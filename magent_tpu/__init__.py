@@ -1,0 +1,21 @@
+"""magent_tpu: a TPU-native many-agent gridworld RL framework.
+
+Brand-new JAX/XLA implementation with the capabilities of the reference
+MAgent platform (many-agent gridworld engine, declarative reward-rule DSL,
+parameter-sharing RL baselines, replay rendering), re-designed TPU-first:
+the entire environment step is batched jitted array ops over fixed-capacity
+masked agent arrays; env batches shard over device meshes via ``jax.sharding``.
+
+Public surface mirrors the reference package (reference:
+python/magent/__init__.py): ``magent.GridWorld``, ``magent.gridworld`` (config
+DSL), ``magent.utility``, ``magent.ProcessingModel``.
+"""
+
+from . import gridworld
+from . import utility
+from .env import GridWorld
+from .model import BaseModel, ProcessingModel
+
+round = utility.rec_round
+
+__all__ = ["GridWorld", "gridworld", "utility", "BaseModel", "ProcessingModel", "round"]

@@ -1,0 +1,551 @@
+"""Functional simulation core: one env step as pure batched array ops.
+
+Replaces the reference's sequential OpenMP-patched step
+(reference: src/gridworld/GridWorld.cc:456-631) with deterministic vectorized
+phases executed in the same order:
+
+  attack -> starve -> turn -> move -> reward rules -> done check
+
+Sequential mutation order is re-expressed as deterministic priority schemes:
+
+- **attacks** execute in a random priority order (the reference Fisher-Yates
+  shuffles its attack buffer, GridWorld.cc:464-468); per-target damage is an
+  order-aware segmented cumulative sum, so the kill credit goes to the first
+  attacker (in priority order) whose cumulative damage drops the target's hp
+  below zero — exactly the sequential outcome whenever no attacker is itself
+  killed mid-phase.
+- **moves** resolve simultaneously: a mover succeeds iff its target rectangle
+  was blank at phase start and it wins (lowest slot index = reference buffer
+  order) every contested cell.  The only divergence from the sequential
+  reference is "chain moves" into cells vacated in the same phase, which the
+  fast path treats as collisions.
+
+All shapes are static; the whole step jits into one XLA program and `vmap`s
+over env batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import spec as speclib
+from ..spec import OP_ATTACK, OP_COLLIDE, OP_KILL, OP_NULL
+from . import geometry as geo
+from .state import State
+
+
+def _pad_gather(arr, idx, fill):
+    """arr[idx] with idx == -1 (or OOB) mapping to `fill`."""
+    padded = jnp.concatenate([arr, jnp.asarray([fill], dtype=arr.dtype)])
+    safe = jnp.where((idx >= 0) & (idx < arr.shape[0]), idx, arr.shape[0])
+    return padded[safe]
+
+
+def _segment_starts(sorted_keys):
+    first = jnp.ones((1,), dtype=bool)
+    return jnp.concatenate([first, sorted_keys[1:] != sorted_keys[:-1]])
+
+
+def _segment_cumsum(values, seg_start):
+    """Per-segment inclusive cumulative sum over sorted segments.
+
+    Requires values >= 0 so the running total is non-decreasing (lets us
+    forward-fill segment bases with a cummax).
+    """
+    cum = jnp.cumsum(values)
+    base = jnp.where(seg_start, cum - values, -jnp.inf)
+    base = jax.lax.cummax(base)
+    return cum - base
+
+
+def _clear_body(cell_slot, mask, x, y, bw, bh, max_body):
+    """Clear body rectangles of masked slots from the occupancy grid."""
+    H, W = cell_slot.shape
+    for i in range(max_body):
+        for j in range(max_body):
+            ok = mask & (i < bw) & (j < bh)
+            cx = jnp.where(ok, x + i, W)  # OOB -> dropped
+            cy = jnp.where(ok, y + j, H)
+            cell_slot = cell_slot.at[cy, cx].set(-1, mode="drop")
+    return cell_slot
+
+
+def _fill_body(cell_slot, mask, x, y, bw, bh, slots, max_body):
+    H, W = cell_slot.shape
+    for i in range(max_body):
+        for j in range(max_body):
+            ok = mask & (i < bw) & (j < bh)
+            cx = jnp.where(ok, x + i, W)
+            cy = jnp.where(ok, y + j, H)
+            cell_slot = cell_slot.at[cy, cx].set(
+                jnp.where(ok, slots, -1).astype(cell_slot.dtype), mode="drop"
+            )
+    return cell_slot
+
+
+def _attack_phase(spec: speclib.GameSpec, state: State, rank):
+    """Resolve all attack actions (reference: GridWorld.cc:470-517,
+    Map.cc:209-310)."""
+    A = spec.n_agents_cap
+    H, W = spec.height, spec.width
+    g = jnp.asarray(spec.group_of_slot)
+    act = state.last_action
+    alive = state.active & ~state.dead
+
+    attack_base = jnp.asarray(spec.g_attack_base)[g]
+    n_action = jnp.asarray(spec.g_n_action)[g]
+    is_attack = alive & (act >= attack_base) & (act < n_action)
+
+    # target cell (reference: Map::get_attack_obj, Map.cc:209-252)
+    att_idx = jnp.clip(act - attack_base, 0, spec.max_attack - 1)
+    adx = jnp.asarray(spec.g_att_dx)[g, att_idx]
+    ady = jnp.asarray(spec.g_att_dy)[g, att_idx]
+    w = jnp.asarray(spec.g_width)[g]
+    l = jnp.asarray(spec.g_length)[g]
+    rx, ry = geo.save_to_real(state.x, state.y, state.dir, w, l)
+    tx, ty = geo.rela_to_abs(
+        rx, ry, state.dir,
+        jnp.asarray(spec.g_att_x_offset)[g] + adx,
+        jnp.asarray(spec.g_att_y_offset)[g] + ady,
+    )
+    in_board = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H)
+    txc = jnp.clip(tx, 0, W - 1)
+    tyc = jnp.clip(ty, 0, H - 1)
+    tgt = jnp.where(is_attack & in_board, state.cell_slot[tyc, txc], -1)
+    food_amount = jnp.where(is_attack & in_board, state.cell_food[tyc, txc], 0.0)
+
+    tgt_group = _pad_gather(jnp.asarray(spec.group_of_slot), tgt, 0)
+    valid = (
+        (tgt >= 0)
+        & (jnp.asarray(spec.g_attack_in_group)[g] | (tgt_group != g))
+    )
+    food_target = spec.food_mode & is_attack & (tgt < 0) & (food_amount > 0.0)
+
+    # attack penalty for every attacker, hit or miss (GridWorld.cc:488,505)
+    next_reward = state.next_reward + jnp.where(
+        is_attack, jnp.asarray(spec.g_attack_penalty)[g], 0.0
+    )
+
+    # ---- order-aware damage: sort attackers by (target, priority) ----
+    SENT = A  # sentinel segment for non-attacks
+    tgt_key = jnp.where(valid, tgt, SENT)
+    order = jnp.lexsort((rank, tgt_key))
+    s_tgt = tgt_key[order]
+    s_valid = valid[order]
+    s_dmg = jnp.where(s_valid, jnp.asarray(spec.g_damage)[g[order]], 0.0)
+    seg_start = _segment_starts(s_tgt)
+    s_cum = _segment_cumsum(s_dmg, seg_start)
+    s_tgt_hp = _pad_gather(state.hp, jnp.where(s_valid, s_tgt, -1), jnp.inf)
+
+    kill_here = s_valid & (s_tgt_hp - s_cum < 0.0)  # be_attack: hp < 0 (GridWorld.h:203-208)
+    prev_kill = jnp.concatenate([jnp.zeros((1,), bool), kill_here[:-1]]) & ~seg_start
+    is_killer = kill_here & ~prev_kill
+    acted = s_valid & ~(kill_here & ~is_killer)  # attackers after the kill are no-ops
+
+    # damage applied to each target (stops at the kill)
+    applied = jnp.where(acted, s_dmg, 0.0)
+    hp_pad = jnp.zeros(A + 1, dtype=state.hp.dtype)
+    dmg_per_tgt = hp_pad.at[s_tgt].add(applied)[:A]
+    hp = state.hp - dmg_per_tgt
+
+    died = jnp.zeros(A + 1, dtype=bool).at[jnp.where(is_killer, s_tgt, A)].set(True)[:A]
+    died = died & state.active & ~state.dead
+
+    # ---- attacker effects (scatter back in slot order) ----
+    s_slot = order
+    s_kill_reward = jnp.asarray(spec.g_kill_reward)[_pad_gather(
+        jnp.asarray(spec.group_of_slot), jnp.where(s_valid, s_tgt, -1), 0)]
+    s_kill_supply = jnp.asarray(spec.g_kill_supply)[_pad_gather(
+        jnp.asarray(spec.group_of_slot), jnp.where(s_valid, s_tgt, -1), 0)]
+
+    op_new = jnp.full(A, OP_NULL, jnp.int32).at[s_slot].set(
+        jnp.where(is_killer, OP_KILL, jnp.where(acted, OP_ATTACK, OP_NULL)).astype(jnp.int32)
+    )
+    obj_new = jnp.full(A, -1, jnp.int32).at[s_slot].set(
+        jnp.where(acted, s_tgt, -1).astype(jnp.int32)
+    )
+    last_op = jnp.where(op_new != OP_NULL, op_new, state.last_op)
+    op_obj = jnp.where(op_new != OP_NULL, obj_new, state.op_obj)
+
+    kill_rew_per_slot = jnp.zeros(A).at[s_slot].add(jnp.where(is_killer, s_kill_reward, 0.0))
+    next_reward = next_reward + kill_rew_per_slot
+
+    supply_per_slot = jnp.zeros(A).at[s_slot].add(jnp.where(is_killer, s_kill_supply, 0.0))
+    hp_max = jnp.asarray(spec.g_hp_max)[g]
+    hp = jnp.where(supply_per_slot > 0, jnp.minimum(hp_max, hp + supply_per_slot), hp)
+
+    # dying targets: replace reward with dead_penalty (GridWorld.h:203-208)
+    next_reward = jnp.where(died, jnp.asarray(spec.g_dead_penalty)[g], next_reward)
+    dead = state.dead | died
+
+    # remove dead bodies from the grid
+    cell_slot = state.cell_slot
+    died_pad = jnp.concatenate([died, jnp.zeros((1,), bool)])
+    occ_died = died_pad[jnp.where(cell_slot >= 0, cell_slot, A)]
+    cell_slot = jnp.where(occ_died, -1, cell_slot)
+
+    # corpse food drop at the attacked cell (food_mode, Map.cc:277-284)
+    cell_food = state.cell_food
+    if spec.food_mode:
+        s_food_supply = jnp.asarray(spec.g_food_supply)[_pad_gather(
+            jnp.asarray(spec.group_of_slot), jnp.where(s_valid, s_tgt, -1), 0)]
+        s_cx = txc[order]
+        s_cy = tyc[order]
+        fx = jnp.where(is_killer, s_cx, W)
+        fy = jnp.where(is_killer, s_cy, H)
+        cell_food = cell_food.at[fy, fx].set(s_food_supply, mode="drop")
+
+        # ---- eating existing food via attack (Map.cc:292-303) ----
+        fcell = jnp.where(food_target, tyc * W + txc, H * W)
+        forder = jnp.lexsort((rank, fcell))
+        f_cell = fcell[forder]
+        f_ok = food_target[forder]
+        f_eat = jnp.where(f_ok, jnp.asarray(spec.g_eat_ability)[g[forder]], 0.0)
+        f_start = _segment_starts(f_cell)
+        f_cum = _segment_cumsum(f_eat, f_start)
+        flat_food = cell_food.reshape(-1)
+        f_avail = _pad_gather(flat_food, jnp.where(f_ok, f_cell, -1), 0.0)
+        amount = jnp.clip(f_avail - (f_cum - f_eat), 0.0, f_eat)
+        gained = jnp.zeros(A).at[forder].add(amount)
+        hp = jnp.where(gained > 0, jnp.minimum(hp_max, hp + gained), hp)
+        eaten_tot = jnp.zeros(H * W + 1).at[f_cell].add(amount)[: H * W]
+        flat_food = flat_food - eaten_tot
+        flat_food = jnp.where((flat_food < 0.1) & (eaten_tot > 0), 0.0, flat_food)
+        cell_food = flat_food.reshape(H, W)
+
+    return state.replace(
+        hp=hp,
+        dead=dead,
+        next_reward=next_reward,
+        last_op=last_op,
+        op_obj=op_obj,
+        cell_slot=cell_slot,
+        cell_food=cell_food,
+    )
+
+
+def _starve_phase(spec: speclib.GameSpec, state: State):
+    """hp recovery / decay (reference: GridWorld.cc:519-542, Agent::starve
+    GridWorld.h:194-201)."""
+    g = jnp.asarray(spec.group_of_slot)
+    alive = state.active & ~state.dead
+    rec = jnp.asarray(spec.g_step_recover)[g]
+    hp_max = jnp.asarray(spec.g_hp_max)[g]
+
+    hp_pos = jnp.minimum(hp_max, state.hp + rec)  # add_hp clips at max
+    hp_neg = state.hp + rec  # be_attack(-rec): no clip, death below 0
+    hp = jnp.where(alive, jnp.where(rec > 0, hp_pos, hp_neg), state.hp)
+    starved = alive & (rec <= 0) & (hp < 0.0)
+
+    next_reward = jnp.where(starved, jnp.asarray(spec.g_dead_penalty)[g], state.next_reward)
+    dead = state.dead | starved
+
+    A = spec.n_agents_cap
+    starved_pad = jnp.concatenate([starved, jnp.zeros((1,), bool)])
+    occ = jnp.where(state.cell_slot >= 0, state.cell_slot, A)
+    cell_slot = jnp.where(starved_pad[occ], -1, state.cell_slot)
+
+    return state.replace(hp=hp, dead=dead, next_reward=next_reward, cell_slot=cell_slot)
+
+
+def _move_phase(spec: speclib.GameSpec, state: State):
+    """Resolve all move actions (reference: GridWorld.cc:573-613,
+    Map::do_move Map.cc:313-358)."""
+    A = spec.n_agents_cap
+    H, W = spec.height, spec.width
+    MB = spec.max_body_w
+    g = jnp.asarray(spec.group_of_slot)
+    act = state.last_action
+    alive = state.active & ~state.dead
+    slots = jnp.arange(A, dtype=jnp.int32)
+
+    is_move = alive & ~state.absorbed & (act >= 0) & (act < jnp.asarray(spec.g_turn_base)[g])
+    midx = jnp.clip(act, 0, spec.max_move - 1)
+    dx = jnp.asarray(spec.g_move_dx)[g, midx]
+    dy = jnp.asarray(spec.g_move_dy)[g, midx]
+    ddx, ddy = geo.rotate_move_delta(state.dir, dx, dy)
+    nx = state.x + ddx
+    ny = state.y + ddy
+
+    w = jnp.asarray(spec.g_width)[g]
+    l = jnp.asarray(spec.g_length)[g]
+    bw, bh = geo.size_for_dir(state.dir, w, l)
+    in_bounds = (nx >= 0) & (ny >= 0) & (nx + bw < W) & (ny + bh < H)  # Map.cc:454-455
+
+    # scan target rect: blank check + first colliding agent (x-major order,
+    # Map::get_collide Map.cc:486-501)
+    blank = is_move & in_bounds
+    collide_obj = jnp.full(A, -1, jnp.int32)
+    for i in range(MB):
+        for j in range(MB):
+            cell_ok = is_move & (i < bw) & (j < bh)
+            cx = jnp.clip(nx + i, 0, W - 1)
+            cy = jnp.clip(ny + j, 0, H - 1)
+            occ = state.cell_slot[cy, cx]
+            blocked = (
+                state.cell_wall[cy, cx]
+                | (state.cell_food[cy, cx] > 0.0)
+                | ((occ >= 0) & (occ != slots))
+            )
+            blank = blank & (~cell_ok | ~blocked)
+            hit = cell_ok & in_bounds & (occ >= 0) & (occ != slots) & (collide_obj < 0)
+            collide_obj = jnp.where(hit, occ, collide_obj)
+
+    # cell claims: winner = lowest slot (reference buffer order = slot order)
+    claim = jnp.full((H + 1, W + 1), A, jnp.int32)
+    for i in range(MB):
+        for j in range(MB):
+            ok = blank & (i < bw) & (j < bh)
+            cx = jnp.where(ok, nx + i, W)
+            cy = jnp.where(ok, ny + j, H)
+            claim = claim.at[cy, cx].min(slots)
+    wins = blank
+    lose_to = jnp.full(A, -1, jnp.int32)
+    for i in range(MB):
+        for j in range(MB):
+            ok = blank & (i < bw) & (j < bh)
+            cx = jnp.clip(nx + i, 0, W)
+            cy = jnp.clip(ny + j, 0, H)
+            winner = claim[cy, cx]
+            lost = ok & (winner != slots)
+            wins = wins & ~lost
+            lose_to = jnp.where(lost & (lose_to < 0), winner, lose_to)
+
+    success = blank & wins
+
+    # collisions: blocked-by-agent, or lost a contested cell to another mover
+    coll_obj = jnp.where(blank & ~wins, lose_to, collide_obj)
+    collide = is_move & ~success & in_bounds & (coll_obj >= 0)
+
+    # can_absorb special rule (Map.cc:340-353): first collider is absorbed
+    # into the absorber, which doubles hp; the collider dies silently.
+    last_op, op_obj = state.last_op, state.op_obj
+    dead = state.dead
+    hp = state.hp
+    absorbed = state.absorbed
+    cell_slot = state.cell_slot
+    if bool(spec.g_can_absorb.any()):
+        obj_can = collide & _pad_gather(jnp.asarray(spec.g_can_absorb)[g], coll_obj, False)
+        obj_absorbed = _pad_gather(absorbed, coll_obj, True)
+        cand = collide & obj_can & ~obj_absorbed
+        winner_per_obj = jnp.full(A + 1, A, jnp.int32).at[
+            jnp.where(cand, coll_obj, A)
+        ].min(slots)[:A]
+        absorb_win = cand & (winner_per_obj[jnp.clip(coll_obj, 0, A - 1)] == slots)
+        newly_absorbed = jnp.zeros(A, bool).at[jnp.where(absorb_win, coll_obj, A)].set(
+            True, mode="drop"
+        )
+        absorbed = absorbed | newly_absorbed
+        hp = jnp.where(newly_absorbed, hp * 2.0, hp)
+        dead = dead | absorb_win
+        cell_slot = _clear_body(cell_slot, absorb_win, state.x, state.y, bw, bh, MB)
+        # non-winning candidates record no op (already-absorbed branch is silent)
+        set_op = collide & ~(obj_can & ~absorb_win)
+    else:
+        set_op = collide
+
+    last_op = jnp.where(set_op, OP_COLLIDE, last_op)
+    op_obj = jnp.where(set_op, coll_obj, op_obj)
+
+    # commit moves: clear all old rects, then fill new rects
+    cell_slot = _clear_body(cell_slot, success, state.x, state.y, bw, bh, MB)
+    cell_slot = _fill_body(cell_slot, success, nx, ny, bw, bh, slots, MB)
+    x = jnp.where(success, nx, state.x)
+    y = jnp.where(success, ny, state.y)
+
+    return state.replace(
+        x=x, y=y, dead=dead, hp=hp, absorbed=absorbed,
+        last_op=last_op, op_obj=op_obj, cell_slot=cell_slot,
+    )
+
+
+def _turn_phase(spec: speclib.GameSpec, state: State):
+    """Turn actions (turn_mode): rotate body about its turn anchor
+    (reference: GridWorld.cc:544-571, Map::do_turn Map.cc:361-406).
+
+    Conflict policy mirrors the move phase: rotations whose destination rect is
+    blank (w.r.t. phase start) and uncontested commit simultaneously.
+    """
+    A = spec.n_agents_cap
+    H, W = spec.height, spec.width
+    MB = spec.max_body_w
+    g = jnp.asarray(spec.group_of_slot)
+    act = state.last_action
+    alive = state.active & ~state.dead
+    slots = jnp.arange(A, dtype=jnp.int32)
+
+    turn_base = jnp.asarray(spec.g_turn_base)[g]
+    is_turn = alive & (act >= turn_base) & (act < jnp.asarray(spec.g_attack_base)[g])
+    # act - move_base in {turn_base, turn_base+1}; wise = act*2-1 with act in {0,1}
+    rel = jnp.clip(act - turn_base, 0, 1)
+    wise = rel * 2 - 1  # -1 counter-clockwise, +1 clockwise
+
+    w = jnp.asarray(spec.g_width)[g]
+    l = jnp.asarray(spec.g_length)[g]
+    bw, bh = geo.size_for_dir(state.dir, w, l)
+    new_dir = (state.dir + wise + 4) % 4
+
+    ax_, ay_ = geo.save_to_real(state.x, state.y, state.dir, w, l)
+    anchor_x, anchor_y = geo.rela_to_abs(ax_, ay_, state.dir, 0, 0)  # turn offsets are 0
+    dx = ax_ - anchor_x
+    dy = ay_ - anchor_y
+    new_rx = jnp.where(wise == -1, anchor_x - dy, anchor_x + dy)
+    new_ry = jnp.where(wise == -1, anchor_y + dx, anchor_y - dx)
+    sx, sy = geo.real_to_save(new_rx, new_ry, new_dir, w, l)
+    nbw, nbh = geo.size_for_dir(new_dir, w, l)
+
+    in_bounds = (sx >= 0) & (sy >= 0) & (sx + nbw < W) & (sy + nbh < H)
+    blank = is_turn & in_bounds
+    for i in range(MB):
+        for j in range(MB):
+            cell_ok = is_turn & (i < nbw) & (j < nbh)
+            cx = jnp.clip(sx + i, 0, W - 1)
+            cy = jnp.clip(sy + j, 0, H - 1)
+            occ = state.cell_slot[cy, cx]
+            blocked = (
+                state.cell_wall[cy, cx]
+                | (state.cell_food[cy, cx] > 0.0)
+                | ((occ >= 0) & (occ != slots))
+            )
+            blank = blank & (~cell_ok | ~blocked)
+
+    claim = jnp.full((H + 1, W + 1), A, jnp.int32)
+    for i in range(MB):
+        for j in range(MB):
+            ok = blank & (i < nbw) & (j < nbh)
+            cx = jnp.where(ok, sx + i, W)
+            cy = jnp.where(ok, sy + j, H)
+            claim = claim.at[cy, cx].min(slots)
+    wins = blank
+    for i in range(MB):
+        for j in range(MB):
+            ok = blank & (i < nbw) & (j < nbh)
+            cx = jnp.clip(sx + i, 0, W)
+            cy = jnp.clip(sy + j, 0, H)
+            wins = wins & (~ok | (claim[cy, cx] == slots))
+    success = blank & wins
+
+    cell_slot = _clear_body(state.cell_slot, success, state.x, state.y, bw, bh, MB)
+    cell_slot = _fill_body(cell_slot, success, sx, sy, nbw, nbh, slots, MB)
+    return state.replace(
+        x=jnp.where(success, sx, state.x),
+        y=jnp.where(success, sy, state.y),
+        dir=jnp.where(success, new_dir, state.dir),
+        cell_slot=cell_slot,
+    )
+
+
+def make_step(spec: speclib.GameSpec):
+    """Build the jittable full-step function for a spec."""
+    rules = spec.compiled_rules()
+    G = spec.n_groups
+
+    def step(state: State, actions=None) -> State:
+        if actions is not None:
+            state = state.replace(last_action=jnp.asarray(actions, jnp.int32))
+
+        # attack priority = random permutation (reference shuffles its attack
+        # buffer with the engine rng, GridWorld.cc:464-468)
+        key, sub = jax.random.split(state.key)
+        rank = jax.random.permutation(sub, spec.n_agents_cap).astype(jnp.int32)
+        state = state.replace(key=key)
+
+        state = _attack_phase(spec, state, rank)
+        state = _starve_phase(spec, state)
+        if spec.turn_mode:
+            state = _turn_phase(spec, state)
+        state = _move_phase(spec, state)
+
+        # reward rules (reference: GridWorld::calc_reward, GridWorld.cc:681-692)
+        next_reward, group_reward, terminal = state.next_reward, state.group_reward, False
+        for rule in rules:
+            next_reward, group_reward, trig = rule.apply(spec, state, next_reward, group_reward)
+            if rule.is_terminal:
+                terminal = jnp.logical_or(terminal, trig)
+        state = state.replace(next_reward=next_reward, group_reward=group_reward)
+
+        # done: any group extinct (GridWorld.cc:618-630)
+        gidx = jnp.asarray(spec.group_of_slot)
+        alive = (state.active & ~state.dead).astype(jnp.int32)
+        alive_per_group = jnp.zeros(G, jnp.int32).at[gidx].add(alive)
+        done = jnp.any(alive_per_group == 0)
+        done = jnp.logical_or(done, terminal)
+
+        return state.replace(done=done, step_ct=state.step_ct + 1)
+
+    return step
+
+
+def make_clear_dead(spec: speclib.GameSpec):
+    """Build the jittable clear_dead: per-group stable compaction + per-step
+    reward/op reset (reference: GridWorld::clear_dead GridWorld.cc:633-665,
+    Agent::init_reward GridWorld.h:168-174)."""
+    A = spec.n_agents_cap
+    G = spec.n_groups
+    offsets = jnp.asarray(spec.group_offsets)
+    gidx = jnp.asarray(spec.group_of_slot)
+
+    def clear_dead(state: State) -> State:
+        keep = state.active & ~state.dead
+        keep_i = keep.astype(jnp.int32)
+        cum = jnp.cumsum(keep_i)
+        # exclusive cumsum at each group's first slot
+        base = (cum - keep_i)[offsets]  # [G]
+        new_in_group = cum - 1 - base[gidx]
+        new_slot = offsets[gidx] + new_in_group  # valid where keep
+
+        # inverse permutation: which old slot fills each new slot
+        inv = jnp.full(A, -1, jnp.int32).at[jnp.where(keep, new_slot, A)].set(
+            jnp.arange(A, dtype=jnp.int32), mode="drop"
+        )
+        filled = inv >= 0
+        invc = jnp.clip(inv, 0, A - 1)
+
+        def permute(arr, default):
+            return jnp.where(filled, arr[invc], default)
+
+        step_reward = jnp.asarray(spec.g_step_reward)[gidx]
+        new_state = state.replace(
+            x=permute(state.x, 0),
+            y=permute(state.y, 0),
+            dir=permute(state.dir, speclib.NORTH),
+            hp=permute(state.hp, 0.0),
+            active=filled,
+            dead=jnp.zeros(A, bool),
+            absorbed=permute(state.absorbed, False),
+            id=permute(state.id, 0),
+            last_action=permute(state.last_action, 0),
+            # init_reward: last <- next, next <- step_reward
+            last_reward=permute(state.next_reward, 0.0),
+            next_reward=jnp.where(filled, step_reward, 0.0),
+            last_op=jnp.full(A, OP_NULL, jnp.int32),
+            op_obj=jnp.full(A, -1, jnp.int32),
+            group_reward=jnp.zeros(G, jnp.float32),
+            n_in_group=jnp.zeros(G, jnp.int32).at[gidx].add(filled.astype(jnp.int32)),
+        )
+
+        # remap grid occupancy to compacted slots
+        remap = jnp.full(A + 1, -1, jnp.int32).at[jnp.where(keep, jnp.arange(A), A)].set(
+            new_slot.astype(jnp.int32), mode="drop"
+        )[:A]
+        occ = state.cell_slot
+        occ_new = jnp.where(occ >= 0, _pad_gather(remap, occ, -1), occ)
+        return new_state.replace(cell_slot=occ_new)
+
+    return clear_dead
+
+
+def set_action(spec: speclib.GameSpec, state: State, group: int, actions) -> State:
+    """Store a group's actions (reference: GridWorld::set_action
+    GridWorld.cc:403-454 — buffering is implicit in slot order here)."""
+    gs = spec.groups[group]
+    la = state.last_action.at[gs.offset : gs.offset + gs.cap].set(actions)
+    return state.replace(last_action=la)
+
+
+def get_reward(spec: speclib.GameSpec, state: State, group: int):
+    """Per-agent reward + group reward (reference: GridWorld.cc:694-704)."""
+    gs = spec.groups[group]
+    sl = slice(gs.offset, gs.offset + gs.cap)
+    return state.next_reward[sl] + state.group_reward[group]

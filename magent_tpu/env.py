@@ -1,0 +1,511 @@
+"""Stateful GridWorld wrapper with the reference Python API.
+
+Drop-in surface of the reference's ctypes wrapper
+(reference: python/magent/gridworld.py:14-490): construction from a builtin
+config name or a :class:`Config`, group handles, ``get_observation`` /
+``set_action`` / ``step`` / ``get_reward`` / ``clear_dead`` and the info
+getters.  Underneath, the state is a JAX pytree and the hot functions are
+jitted per spec; agent placement runs host-side with the reference's LCG so
+random layouts match.
+
+Fixed capacities grow on demand (powers of two) — growth recompiles the
+jitted functions for the new shapes.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import spec as speclib
+from .config import Config
+from .core import engine, lcg, observe
+from .core.state import State, init_state
+from .spec import NORTH, OP_NULL
+
+
+class Handle:
+    """Group handle with a ``.value`` attribute like ``ctypes.c_int32``."""
+
+    def __init__(self, value: int):
+        self.value = value
+
+    def __index__(self):
+        return self.value
+
+    def __int__(self):
+        return self.value
+
+    def __repr__(self):
+        return "Handle(%d)" % self.value
+
+
+class GridWorld:
+    OBS_INDEX_VIEW = 0
+    OBS_INDEX_HP = 1
+
+    def __init__(self, config, caps: int | list | None = None, **kwargs):
+        if isinstance(config, str):
+            try:
+                mod = importlib.import_module("magent_tpu.builtin.config." + config)
+                config = getattr(mod, "get_config")(**kwargs)
+            except ImportError:
+                raise BaseException('unknown built-in game "%s"' % config)
+        assert isinstance(config, Config)
+
+        self._config = config
+        self._caps = self._initial_caps(config, caps)
+        self._lcg = lcg.HostLCG(int(config.config_dict.get("seed", 0)))
+        self._render_dir = None
+        self._render_gen = None
+        self._first_render = True
+        self._attack_events = np.zeros((0, 3), np.int32)
+
+        self._build(self._caps)
+        self.state = init_state(self.spec)
+
+        self.group_handles = [Handle(i) for i in range(self.spec.n_groups)]
+        self.view_space = {
+            h.value: self.spec.view_space(h.value) for h in self.group_handles
+        }
+        self.feature_space = {
+            h.value: (self.spec.feature_size(h.value),) for h in self.group_handles
+        }
+        self.action_space = {
+            h.value: self.spec.action_space(h.value) for h in self.group_handles
+        }
+
+    # ------------------------------------------------------------------ build
+    @staticmethod
+    def _initial_caps(config, caps):
+        n_groups = len(config.groups)
+        if caps is None:
+            return [256] * n_groups
+        if isinstance(caps, int):
+            return [caps] * n_groups
+        return list(caps)
+
+    def _build(self, caps):
+        self.spec = speclib.compile_spec(self._config, caps)
+        sp = self.spec
+        self._step_fn = jax.jit(engine.make_step(sp))
+        self._clear_fn = jax.jit(engine.make_clear_dead(sp))
+        self._observe_fns = [
+            jax.jit(observe.make_observe(sp, g)) for g in range(sp.n_groups)
+        ]
+        self._actions = np.zeros(sp.n_agents_cap, np.int32)
+
+    def _grow(self, group: int, needed: int):
+        """Grow a group's capacity and migrate state (slot indices shift)."""
+        old_spec, old_state = self.spec, self.state
+        caps = list(self._caps)
+        while caps[group] < needed:
+            caps[group] = max(2 * caps[group], 256)
+        self._caps = caps
+        old_actions = self._actions
+        self._build(caps)
+        new_state = init_state(self.spec)
+
+        def seg_copy(new_arr, old_arr):
+            for g in range(old_spec.n_groups):
+                o_off = old_spec.groups[g].offset
+                n_off = self.spec.groups[g].offset
+                cap = old_spec.groups[g].cap
+                new_arr = new_arr.at[n_off : n_off + cap].set(
+                    old_arr[o_off : o_off + cap]
+                )
+            return new_arr
+
+        fields = [
+            "x", "y", "dir", "hp", "active", "dead", "absorbed", "id",
+            "last_action", "next_reward", "last_reward", "last_op", "op_obj",
+        ]
+        updates = {f: seg_copy(getattr(new_state, f), getattr(old_state, f)) for f in fields}
+        updates.update(
+            cell_wall=old_state.cell_wall,
+            cell_food=old_state.cell_food,
+            group_reward=old_state.group_reward,
+            n_in_group=old_state.n_in_group,
+            lcg=old_state.lcg,
+            key=old_state.key,
+            done=old_state.done,
+            id_counter=old_state.id_counter,
+            step_ct=old_state.step_ct,
+        )
+        new_state = new_state.replace(**updates)
+
+        # rebuild occupancy grid from migrated agent positions
+        cell = self._rebuild_grid(new_state)
+        self.state = new_state.replace(cell_slot=cell)
+
+        for g in range(old_spec.n_groups):
+            o_off = old_spec.groups[g].offset
+            n_off = self.spec.groups[g].offset
+            cap = old_spec.groups[g].cap
+            self._actions[n_off : n_off + cap] = old_actions[o_off : o_off + cap]
+
+    def _rebuild_grid(self, state: State):
+        sp = self.spec
+        cell = jnp.full((sp.height, sp.width), -1, jnp.int32)
+        g = jnp.asarray(sp.group_of_slot)
+        w = jnp.asarray(sp.g_width)[g]
+        l = jnp.asarray(sp.g_length)[g]
+        import magent_tpu.core.geometry as geo
+
+        bw, bh = geo.size_for_dir(state.dir, w, l)
+        mask = state.active & ~state.dead
+        slots = jnp.arange(sp.n_agents_cap, dtype=jnp.int32)
+        for i in range(sp.max_body_w):
+            for j in range(sp.max_body_w):
+                ok = mask & (i < bw) & (j < bh)
+                cx = jnp.where(ok, state.x + i, sp.width)
+                cy = jnp.where(ok, state.y + j, sp.height)
+                cell = cell.at[cy, cx].set(jnp.where(ok, slots, -1), mode="drop")
+        return cell
+
+    # ------------------------------------------------------------------ game
+    def reset(self):
+        """Reset map and agents; the engine RNG persists across resets
+        (reference: GridWorld::reset never reseeds, GridWorld.cc:72-118)."""
+        carry_key = self.state.key
+        self.state = init_state(self.spec).replace(
+            key=carry_key, lcg=jnp.asarray(self._lcg.state, jnp.uint32)
+        )
+        self._actions[:] = 0
+        self._first_render = True
+        if self._render_gen is not None:
+            self._render_gen.next_file()
+
+    def set_seed(self, seed):
+        self._lcg.seed(seed)
+        self.state = self.state.replace(
+            lcg=jnp.asarray(self._lcg.state, jnp.uint32),
+            key=jax.random.PRNGKey(int(seed)).astype(jnp.uint32),
+        )
+
+    # ----------------------------------------------------------------- agents
+    def new_group(self, name):
+        raise NotImplementedError(
+            "groups are declared in the Config before construction"
+        )
+
+    def add_walls(self, method, **kwargs):
+        kwargs["dir"] = 0
+        self.add_agents(-1, method, **kwargs)
+
+    def _host_blocked(self):
+        occ = np.asarray(self.state.cell_slot)
+        wall = np.asarray(self.state.cell_wall)
+        food = np.asarray(self.state.cell_food)
+        return wall | (occ >= 0) | (food > 0), wall
+
+    def add_agents(self, handle, method, **kwargs):
+        group = handle.value if isinstance(handle, Handle) else int(handle)
+        sp = self.spec
+        H, W = sp.height, sp.width
+        blocked, wall = self._host_blocked()
+
+        if group == -1:  # walls (reference: GridWorld.cc:184-217)
+            new_wall = wall.copy()
+            if method == "random":
+                n = int(kwargs["n"])
+                for _ in range(n):
+                    x, y = self._random_blank(blocked, 1, 1)
+                    new_wall[y, x] = True
+                    blocked[y, x] = True
+            elif method == "custom":
+                for p in kwargs["pos"]:
+                    x, y = int(p[0]), int(p[1])
+                    if not (0 <= x < W and 0 <= y < H):
+                        continue
+                    if blocked[y, x] and not new_wall[y, x]:
+                        continue  # occupied by agent/food: ignored with warning
+                    new_wall[y, x] = True
+                    blocked[y, x] = True
+            elif method == "fill":
+                x0, y0 = int(kwargs["pos"][0]), int(kwargs["pos"][1])
+                fw, fh = int(kwargs["size"][0]), int(kwargs["size"][1])
+                for x in range(x0, x0 + fw):
+                    for y in range(y0, y0 + fh):
+                        if 0 <= x < W and 0 <= y < H and not (
+                            blocked[y, x] and not new_wall[y, x]
+                        ):
+                            new_wall[y, x] = True
+                            blocked[y, x] = True
+            else:
+                raise ValueError("unsupported add_walls method " + str(method))
+            self.state = self.state.replace(cell_wall=jnp.asarray(new_wall))
+            return
+
+        gspec = sp.groups[group]
+        t = gspec.type
+        placements = []  # (x, y, dir)
+
+        def body_wh(d):
+            # NORTH/SOUTH share the upright footprint (reference: Map.cc:597-607)
+            return (t.width, t.length) if d in (NORTH, speclib.SOUTH) else (
+                t.length, t.width
+            )
+
+        def rect_blank(x, y, bw, bh):
+            if x < 0 or y < 0 or x + bw >= W or y + bh >= H:
+                return False
+            return not blocked[y : y + bh, x : x + bw].any()
+
+        if method == "random":
+            n = int(kwargs["n"])
+            for _ in range(n):
+                d = (self._lcg() % 4) if sp.turn_mode else NORTH
+                bw, bh = body_wh(d)
+                x, y = self._random_blank(blocked, bw, bh)
+                blocked[y : y + bh, x : x + bw] = True
+                placements.append((x, y, d))
+        elif method == "custom":
+            pos = kwargs["pos"]
+            for p in pos:
+                x, y = int(p[0]), int(p[1])
+                d = int(p[2]) if len(p) > 2 and sp.turn_mode else NORTH
+                bw, bh = body_wh(d)
+                if not rect_blank(x, y, bw, bh):
+                    continue  # reference warns and ignores
+                blocked[y : y + bh, x : x + bw] = True
+                placements.append((x, y, d))
+        elif method == "fill":
+            x0, y0 = int(kwargs["pos"][0]), int(kwargs["pos"][1])
+            fw, fh = int(kwargs["size"][0]), int(kwargs["size"][1])
+            d = int(kwargs.get("dir", 0)) if sp.turn_mode else NORTH
+            bw, bh = body_wh(d)
+            for x in range(x0, x0 + fw, bw):
+                for y in range(y0, y0 + fh, bh):
+                    if not rect_blank(x, y, bw, bh):
+                        continue
+                    blocked[y : y + bh, x : x + bw] = True
+                    placements.append((x, y, d))
+        else:
+            raise ValueError("unknown method " + str(method))
+
+        self._commit_agents(group, placements)
+
+    def _random_blank(self, blocked, bw, bh):
+        """Rejection sampling with the engine LCG (reference: Map.cc:49-63)."""
+        H, W = blocked.shape
+        tries = 0
+        while True:
+            x = self._lcg() % (W - bw)
+            y = self._lcg() % (H - bh)
+            if x + bw < W and y + bh < H and not blocked[y : y + bh, x : x + bw].any():
+                return x, y
+            tries += 1
+            if tries > W * H:
+                raise RuntimeError("cannot find a blank position in a filled map")
+
+    def _commit_agents(self, group, placements):
+        sp = self.spec
+        n_new = len(placements)
+        if n_new == 0:
+            return
+        n_cur = int(self.state.n_in_group[group])
+        if n_cur + n_new > sp.groups[group].cap:
+            self._grow(group, n_cur + n_new)
+            sp = self.spec
+
+        gspec = sp.groups[group]
+        t = gspec.type
+        slots = np.arange(n_cur, n_cur + n_new, dtype=np.int32) + gspec.offset
+        xs = np.asarray([p[0] for p in placements], np.int32)
+        ys = np.asarray([p[1] for p in placements], np.int32)
+        ds = np.asarray([p[2] for p in placements], np.int32)
+        id0 = int(self.state.id_counter)
+        ids = np.arange(id0, id0 + n_new, dtype=np.int32)
+
+        st = self.state
+        st = st.replace(
+            x=st.x.at[slots].set(xs),
+            y=st.y.at[slots].set(ys),
+            dir=st.dir.at[slots].set(ds),
+            hp=st.hp.at[slots].set(t.hp),
+            active=st.active.at[slots].set(True),
+            dead=st.dead.at[slots].set(False),
+            absorbed=st.absorbed.at[slots].set(False),
+            id=st.id.at[slots].set(ids),
+            # "dangerous here": fresh agents' last_action = n_action
+            # (reference: GridWorld.h:140) -> one-hot encodes to zeros
+            last_action=st.last_action.at[slots].set(t.n_action),
+            next_reward=st.next_reward.at[slots].set(t.step_reward),
+            last_reward=st.last_reward.at[slots].set(0.0),
+            last_op=st.last_op.at[slots].set(OP_NULL),
+            op_obj=st.op_obj.at[slots].set(-1),
+            n_in_group=st.n_in_group.at[group].add(n_new),
+            id_counter=jnp.asarray(id0 + n_new, jnp.int32),
+        )
+
+        # fill occupancy grid (body rects) in one scatter
+        cys, cxs, vals = [], [], []
+        for k, (x, y, d) in enumerate(placements):
+            bw, bh = (t.width, t.length) if d in (NORTH, speclib.SOUTH) else (
+                t.length, t.width
+            )
+            for i in range(bw):
+                for j in range(bh):
+                    cxs.append(x + i)
+                    cys.append(y + j)
+                    vals.append(slots[k])
+        cell = st.cell_slot.at[np.asarray(cys), np.asarray(cxs)].set(
+            np.asarray(vals, np.int32)
+        )
+        self.state = st.replace(cell_slot=cell)
+
+    # ------------------------------------------------------------------- run
+    def get_observation(self, handle):
+        g = handle.value
+        view, feat = self._observe_fns[g](self.state)
+        n = self.get_num(handle)
+        return (
+            np.asarray(view[:n], dtype=np.float32),
+            np.asarray(feat[:n], dtype=np.float32),
+        )
+
+    def set_action(self, handle, actions):
+        assert isinstance(actions, np.ndarray)
+        assert actions.dtype == np.int32
+        g = handle.value
+        off = self.spec.groups[g].offset
+        n = self.get_num(handle)
+        self._actions[off : off + n] = actions[:n]
+
+    def step(self):
+        self.state = self._step_fn(self.state, jnp.asarray(self._actions))
+        return bool(self.state.done)
+
+    def get_reward(self, handle):
+        g = handle.value
+        sp = self.spec.groups[g]
+        n = self.get_num(handle)
+        rew = self.state.next_reward[sp.offset : sp.offset + n] + self.state.group_reward[g]
+        return np.asarray(rew, dtype=np.float32)
+
+    def clear_dead(self):
+        self.state = self._clear_fn(self.state)
+
+    # ------------------------------------------------------------------ info
+    def get_handles(self):
+        return self.group_handles
+
+    def get_num(self, handle):
+        return int(self.state.n_in_group[handle.value])
+
+    def get_action_space(self, handle):
+        return self.action_space[handle.value]
+
+    def get_view_space(self, handle):
+        return self.view_space[handle.value]
+
+    def get_feature_space(self, handle):
+        return self.feature_space[handle.value]
+
+    def _group_slice(self, handle):
+        g = handle.value
+        sp = self.spec.groups[g]
+        n = self.get_num(handle)
+        return slice(sp.offset, sp.offset + n)
+
+    def get_agent_id(self, handle):
+        return np.asarray(self.state.id[self._group_slice(handle)], dtype=np.int32)
+
+    def get_alive(self, handle):
+        return np.asarray(~self.state.dead[self._group_slice(handle)])
+
+    def get_pos(self, handle):
+        sl = self._group_slice(handle)
+        return np.stack(
+            [np.asarray(self.state.x[sl]), np.asarray(self.state.y[sl])], axis=1
+        ).astype(np.int32)
+
+    def get_mean_info(self, handle):
+        sl = self._group_slice(handle)
+        n_action = self.action_space[handle.value][0]
+        xs = np.asarray(self.state.x[sl], dtype=np.float64)
+        ys = np.asarray(self.state.y[sl], dtype=np.float64)
+        acts = np.asarray(self.state.last_action[sl])
+        hist = np.bincount(np.clip(acts, 0, n_action - 1), minlength=n_action)
+        n = max(len(xs), 1)
+        out = np.empty(2 + n_action, np.float32)
+        out[0] = xs.mean() if len(xs) else 0.0
+        out[1] = ys.mean() if len(ys) else 0.0
+        out[2:] = hist / n
+        return out
+
+    def get_view2attack(self, handle):
+        t = self.spec.groups[handle.value].type
+        return t.attack_base, t.view2attack()
+
+    def get_global_minimap(self, height, width):
+        sp = self.spec
+        G = sp.n_groups
+        out = np.zeros((height, width, G), np.float32)
+        scale_h = (sp.height + height - 1) // height
+        scale_w = (sp.width + width - 1) // width
+        for i in range(G):
+            channel = (i + 1) % G  # reference called with group=-1
+            sl = self._group_slice(self.group_handles[i])
+            xs = np.asarray(self.state.x[sl]) // scale_w
+            ys = np.asarray(self.state.y[sl]) // scale_h
+            np.add.at(out[:, :, channel], (ys, xs), 1.0)
+            out[:, :, channel] /= max(len(xs), 1)
+        return out
+
+    # ---------------------------------------------------------------- render
+    def set_render_dir(self, name):
+        if not os.path.exists(name):
+            os.mkdir(name)
+        self._render_dir = name
+
+    def render(self):
+        from .render.generator import RenderGenerator
+
+        if self._render_gen is None:
+            self._render_gen = RenderGenerator(self._render_dir or "render")
+        if self._first_render:
+            self._first_render = False
+            self._render_gen.gen_config(self)
+        self._render_gen.render_a_frame(self)
+
+    def _get_groups_info(self):
+        colors = [(192, 64, 64), (64, 64, 192), (64, 192, 64), (64, 64, 64)]
+        sp = self.spec
+        out = np.empty((sp.n_groups, 5), np.int32)
+        for i, g in enumerate(sp.groups):
+            out[i, 0] = g.type.width
+            out[i, 1] = g.type.length
+            out[i, 2:5] = colors[i % 4]
+        return out
+
+    def _get_walls_info(self):
+        wall = np.asarray(self.state.cell_wall)
+        ys, xs = np.nonzero(wall)
+        return np.stack([xs, ys], axis=1).astype(np.int32)
+
+    def _get_render_info(self, x_range, y_range):
+        agent_info = {}
+        for handle in self.group_handles:
+            sl = self._group_slice(handle)
+            ids = np.asarray(self.state.id[sl])
+            xs = np.asarray(self.state.x[sl])
+            ys = np.asarray(self.state.y[sl])
+            absorbed = np.asarray(self.state.absorbed[sl])
+            can_absorb = self.spec.groups[handle.value].type.can_absorb
+            for k in range(len(ids)):
+                if not (x_range[0] <= xs[k] <= x_range[1] and y_range[0] <= ys[k] <= y_range[1]):
+                    continue
+                if can_absorb and not absorbed[k]:
+                    continue
+                agent_info[int(ids[k])] = [int(xs[k]), int(ys[k]), handle.value]
+        return agent_info, self._attack_events
+
+    # --------------------------------------------------------------- special
+    def set_goal(self, handle, method, *args, **kwargs):
+        raise NotImplementedError("goal_mode is deprecated in the reference")
