@@ -1,0 +1,68 @@
+"""Checkpointing base for JAX models.
+
+Per-model directories ``save_model/<name>/<subclass>_<epoch>`` with
+cross-name restore like the reference (reference:
+python/magent/builtin/tf_model/base.py:24-76); checkpoints are flat
+numpy archives of the parameter pytree.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+
+from ...model import BaseModel
+
+
+def _flatten_pytree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_pytree(v, prefix + k + "/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_pytree(flat):
+    tree = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+class JaxBaseModel(BaseModel):
+    def __init__(self, env, handle, name, subclass_name):
+        super().__init__(env, handle)
+        self.name = name
+        self.subclass_name = subclass_name
+
+    # subclasses expose .params (pytree) and accept .replace_params(tree)
+    def get_params(self):
+        raise NotImplementedError
+
+    def set_params(self, tree):
+        raise NotImplementedError
+
+    def save(self, dir_name, epoch):
+        """save model to dir_name/name/subclass_epoch.npz"""
+        if not os.path.exists(dir_name):
+            os.mkdir(dir_name)
+        dir_name = os.path.join(dir_name, self.name)
+        if not os.path.exists(dir_name):
+            os.mkdir(dir_name)
+        path = os.path.join(dir_name, self.subclass_name + "_%d.npz" % epoch)
+        np.savez(path, **_flatten_pytree(jax.device_get(self.get_params())))
+
+    def load(self, dir_name, epoch=0, name=None):
+        """load model; ``name`` allows restoring another model's weights"""
+        name = name or self.name
+        path = os.path.join(dir_name, name, self.subclass_name + "_%d.npz" % epoch)
+        flat = dict(np.load(path))
+        self.set_params(_unflatten_pytree(flat))

@@ -1,0 +1,5 @@
+"""Compatibility alias: the reference exposed MXNet models under
+``magent.builtin.mx_model``; here they are JAX models (builtin.jax_model)."""
+
+from ..jax_model import *  # noqa: F401,F403
+from ..jax_model import DeepQNetwork  # noqa: F401

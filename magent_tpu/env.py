@@ -461,7 +461,7 @@ class GridWorld:
     # ---------------------------------------------------------------- render
     def set_render_dir(self, name):
         if not os.path.exists(name):
-            os.mkdir(name)
+            os.makedirs(name, exist_ok=True)
         self._render_dir = name
 
     def render(self):
