@@ -1,0 +1,158 @@
+"""Fused rollout + learner step: the whole sample->train loop as one program.
+
+The reference overlaps sampling and training with one subprocess per group
+connected over pipes (reference: python/magent/model.py:115-285,
+examples/train_battle.py:61-127).  Here env stepping, observation rendering,
+policy inference, and the DQN update co-compile into a single XLA program
+over the device mesh: the rollout is a ``lax.scan``, transitions stay in
+device memory, and gradients data-parallel-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .vec_env import VecGridWorld
+
+
+def make_dqn_train_step(
+    venv: VecGridWorld,
+    nets,
+    tx: optax.GradientTransformation,
+    gamma: float = 0.99,
+    rollout_len: int = 8,
+    use_double: bool = True,
+):
+    """Build ``train_step(params, target_params, opt_states, env_state, key,
+    eps) -> (params, opt_states, env_state, metrics)``.
+
+    ``nets``/``params`` are per-group (length ``n_groups``); groups sharing an
+    agent type may share parameters by passing the same pytree.
+
+    One call: roll ``rollout_len`` steps with e-greedy policies, then take
+    one double-DQN gradient step per group on the collected transitions
+    (TD(0) over consecutive rollout steps, masked by per-agent liveness —
+    equivalent to the reference's replay of fresh samples with
+    ``train_freq`` = 1, reference: builtin/tf_model/dqn.py:277-346).
+    """
+    spec = venv.spec
+    G = spec.n_groups
+    B = venv.n_envs
+    A = spec.n_agents_cap
+    offs = [g.offset for g in spec.groups]
+    caps = [g.cap for g in spec.groups]
+
+    def policy_actions(params, state, key, eps):
+        """e-greedy actions for every group, assembled over the slot axis."""
+        actions = jnp.zeros((B, A), jnp.int32)
+        views, feats = [], []
+        for g in range(G):
+            view, feat = venv.observe(state, g)  # [B, cap, vh, vw, C], [B, cap, F]
+            n_act = spec.groups[g].type.n_action
+            q = nets[g].apply(
+                {"params": params[g]},
+                view.reshape((-1,) + view.shape[2:]),
+                feat.reshape((-1,) + feat.shape[2:]),
+            ).reshape(B, caps[g], n_act)
+            kg, kr = jax.random.split(jax.random.fold_in(key, g))
+            greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
+            explore = jax.random.uniform(kr, greedy.shape) < eps
+            act = jnp.where(explore, rand, greedy)
+            actions = actions.at[:, offs[g] : offs[g] + caps[g]].set(act)
+            views.append(view)
+            feats.append(feat)
+        return actions, views, feats
+
+    def rollout(params, env_state, key, eps):
+        def body(carry, t):
+            state, key = carry
+            key, akey = jax.random.split(key)
+            actions, views, feats = policy_actions(params, state, akey, eps)
+            next_state, rewards, alive, done = venv.transition(state, actions)
+            out = dict(
+                views=tuple(views),
+                feats=tuple(feats),
+                actions=tuple(
+                    actions[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                rewards=tuple(
+                    rewards[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                alive=tuple(
+                    alive[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                done=done,
+            )
+            return (next_state, key), out
+
+        (env_state, _), traj = jax.lax.scan(
+            body, (env_state, key), jnp.arange(rollout_len)
+        )
+        return env_state, traj
+
+    def group_loss(p, tp, g, traj):
+        """Masked double-DQN TD loss for group ``g`` over the rollout."""
+        n_act = spec.groups[g].type.n_action
+        view = traj["views"][g]  # [T, B, cap, vh, vw, C]
+        feat = traj["feats"][g]
+        act = traj["actions"][g]
+        rew = traj["rewards"][g]
+        alive = traj["alive"][g]
+        done = traj["done"]  # [T, B]
+
+        T = view.shape[0]
+        flat_v = view.reshape((-1,) + view.shape[3:])
+        flat_f = feat.reshape((-1,) + feat.shape[3:])
+        q_all = nets[g].apply({"params": p}, flat_v, flat_f).reshape(
+            T, B, caps[g], n_act
+        )
+        tq_all = nets[g].apply({"params": tp}, flat_v, flat_f).reshape(
+            T, B, caps[g], n_act
+        )
+
+        q_t = jnp.take_along_axis(
+            q_all[:-1], act[:-1][..., None], axis=-1
+        )[..., 0]
+        if use_double:
+            sel = jnp.argmax(q_all[1:], axis=-1, keepdims=True)
+            next_v = jnp.take_along_axis(tq_all[1:], sel, axis=-1)[..., 0]
+        else:
+            next_v = jnp.max(tq_all[1:], axis=-1)
+
+        # terminal when the agent dies or the episode ends this step
+        terminal = (~traj["alive"][g][:-1]) | done[:-1][:, :, None]
+        target = jnp.where(
+            terminal, rew[:-1], rew[:-1] + gamma * jax.lax.stop_gradient(next_v)
+        )
+        # only transitions whose state was alive count
+        prev_alive = jnp.concatenate(
+            [jnp.ones((1, B, caps[g]), bool), alive[:-2]], axis=0
+        )
+        mask = prev_alive.astype(jnp.float32)
+        td = jnp.square(jax.lax.stop_gradient(target) - q_t)
+        return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def train_step(params, target_params, opt_states, env_state, key, eps):
+        key, rkey = jax.random.split(key)
+        env_state, traj = rollout(params, env_state, rkey, eps)
+
+        new_params, new_opts, losses = [], [], []
+        for g in range(G):
+            loss, grads = jax.value_and_grad(group_loss)(
+                params[g], target_params[g], g, traj
+            )
+            updates, opt_g = tx.update(grads, opt_states[g], params[g])
+            new_params.append(optax.apply_updates(params[g], updates))
+            new_opts.append(opt_g)
+            losses.append(loss)
+
+        mean_rew = jnp.stack(
+            [jnp.mean(traj["rewards"][g]) for g in range(G)]
+        )
+        metrics = dict(loss=jnp.stack(losses), mean_reward=mean_rew)
+        return tuple(new_params), tuple(new_opts), env_state, metrics
+
+    return train_step
