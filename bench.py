@@ -45,8 +45,7 @@ def main():
         key, akey = jax.random.split(key)
         # observation rendering for both groups is part of the measured loop
         obs_sum = 0.0
-        for g in range(spec.n_groups):
-            view, feat = venv.observe(state, g)
+        for view, feat in venv.observe_all(state):
             obs_sum = obs_sum + jnp.sum(view[:, 0, 0, 0, 0]) + jnp.sum(feat[:, 0, 0])
         actions = venv.random_actions(akey)
         state, rewards, alive, done = venv.transition(state, actions)
@@ -62,14 +61,15 @@ def main():
     state = venv.reset(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
 
-    # warm-up (compile)
+    # warm-up (compile); fetch the value to force real completion — through
+    # the axon tunnel block_until_ready returns before remote execution ends
     state, key, sink = run(state, key)
-    jax.block_until_ready(sink)
+    float(sink)
 
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
         state, key, sink = run(state, key)
-    jax.block_until_ready(sink)
+    float(sink)
     dt = time.perf_counter() - t0
 
     agent_steps = 2 * N_PER_GROUP * N_ENVS * STEPS_PER_CALL * TIMED_CALLS

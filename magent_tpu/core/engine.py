@@ -179,11 +179,12 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     next_reward = jnp.where(died, jnp.asarray(spec.g_dead_penalty)[g], next_reward)
     dead = state.dead | died
 
-    # remove dead bodies from the grid
-    cell_slot = state.cell_slot
-    died_pad = jnp.concatenate([died, jnp.zeros((1,), bool)])
-    occ_died = died_pad[jnp.where(cell_slot >= 0, cell_slot, A)]
-    cell_slot = jnp.where(occ_died, -1, cell_slot)
+    # remove dead bodies from the grid (scatter at the dead agents' rects;
+    # per-cell gathers are the slow path on TPU)
+    bw, bh = geo.size_for_dir(state.dir, w, l)
+    cell_slot = _clear_body(
+        state.cell_slot, died, state.x, state.y, bw, bh, spec.max_body_w
+    )
 
     # corpse food drop at the attacked cell (food_mode, Map.cc:277-284)
     cell_food = state.cell_food
@@ -241,10 +242,12 @@ def _starve_phase(spec: speclib.GameSpec, state: State):
     next_reward = jnp.where(starved, jnp.asarray(spec.g_dead_penalty)[g], state.next_reward)
     dead = state.dead | starved
 
-    A = spec.n_agents_cap
-    starved_pad = jnp.concatenate([starved, jnp.zeros((1,), bool)])
-    occ = jnp.where(state.cell_slot >= 0, state.cell_slot, A)
-    cell_slot = jnp.where(starved_pad[occ], -1, state.cell_slot)
+    w = jnp.asarray(spec.g_width)[g]
+    l = jnp.asarray(spec.g_length)[g]
+    bw, bh = geo.size_for_dir(state.dir, w, l)
+    cell_slot = _clear_body(
+        state.cell_slot, starved, state.x, state.y, bw, bh, spec.max_body_w
+    )
 
     return state.replace(hp=hp, dead=dead, next_reward=next_reward, cell_slot=cell_slot)
 
@@ -445,10 +448,12 @@ def make_step(spec: speclib.GameSpec):
         if actions is not None:
             state = state.replace(last_action=jnp.asarray(actions, jnp.int32))
 
-        # attack priority = random permutation (reference shuffles its attack
-        # buffer with the engine rng, GridWorld.cc:464-468)
+        # attack priority = random keys (the reference shuffles its attack
+        # buffer with the engine rng, GridWorld.cc:464-468; random sort keys
+        # give an equivalent uniform order without paying for a permutation
+        # sort — ties fall back to slot order via the stable lexsort)
         key, sub = jax.random.split(state.key)
-        rank = jax.random.permutation(sub, spec.n_agents_cap).astype(jnp.int32)
+        rank = jax.random.bits(sub, (spec.n_agents_cap,))
         state = state.replace(key=key)
 
         state = _attack_phase(spec, state, rank)

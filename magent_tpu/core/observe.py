@@ -2,36 +2,279 @@
 
 Replaces the reference's per-agent window scan (reference: Map::extract_view,
 src/gridworld/Map.cc:129-207 driven by GridWorld::get_observation,
-GridWorld.cc:292-401) with a batched gather:
+GridWorld.cc:292-401) with a render-then-slice pipeline built for the TPU:
 
-1. build one global "channel grid" (cell -> channel id) and "hp grid" per env,
-2. for every agent gather its (possibly rotated) view window with a
-   precomputed per-direction index table,
-3. one-hot scatter into the observation tensor through the observer group's
-   channel permutation (GridWorld.cc:897-913), masked by the range mask.
+1. **scatter** agent channels and normalized hp into dense per-cell grids
+   (never gather per cell — random-index gathers are the slow path on TPU);
+2. render the grids into a per-observer-group padded channel image
+   ``gfull [B, Hp, Wp*C]`` with pure elementwise compares against constant
+   channel tables (the observer's channel permutation, GridWorld.cc:897-913,
+   is folded into those constants);
+3. slice each agent's (vh, vw*C) window out of the image with the Pallas
+   window-gather kernel (:mod:`magent_tpu.ops.window_gather`), masked by the
+   view range; an XLA gather fallback covers CPU/tests;
+4. add minimap channels + the feature vector (id embedding, last-action
+   one-hot, last reward, absolute coords) per GridWorld.cc:327-400.
 
-The minimap channels and the feature vector (id embedding, last-action
-one-hot, last reward, absolute coords) follow GridWorld.cc:327-400.
+A rotation-capable legacy path handles ``turn_mode`` (per-direction window
+rotation), using plain XLA gathers.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .. import spec as speclib
+import importlib
+
+wg = importlib.import_module("magent_tpu.ops.window_gather")
 from . import geometry as geo
 from .state import State
 
 
+# --------------------------------------------------------------------- helpers
+def _batched(state: State) -> bool:
+    return state.x.ndim == 2
+
+
+def _channel_tables(spec: speclib.GameSpec, group: int):
+    """Constant per-observed-channel source tables.
+
+    ``inv_has[c]``: canonical channel whose presence lights observed channel
+    c (wall/food/group-has), or -1.  ``inv_hp[c]``: canonical group channel
+    whose hp fills observed channel c, or -1.
+    """
+    C = spec.n_channel
+    perm = spec.channel_perm(group)
+    inv_has = np.full(C, -1, np.int32)
+    inv_hp = np.full(C, -1, np.int32)
+    inv_has[0] = 0  # wall
+    if spec.food_mode:
+        inv_has[1] = 1
+    for gg in range(spec.n_groups):
+        orig = spec.group2channel(gg)
+        inv_has[perm[orig]] = orig
+        inv_hp[perm[orig] + 1] = orig
+    return inv_has, inv_hp
+
+
+def make_grids(spec: speclib.GameSpec):
+    """state -> (ch_grid [B, Hp, Wp] int32, hp_grid [B, Hp, Wp] f32).
+
+    Shared across observer groups; geometry is padded for the largest view.
+    ``ch_grid`` holds the canonical channel per cell (C = empty sentinel).
+    """
+    H, W, C = spec.height, spec.width, spec.n_channel
+    max_vh = max(g.type.view_range.height for g in spec.groups)
+    max_vw = max(g.type.view_range.width for g in spec.groups)
+    Hp, Wp, lanes, pad_y, pad_x = wg.padded_geometry(H, W, C, max_vh, max_vw)
+    A = spec.n_agents_cap
+    MB = spec.max_body_w
+    gof = jnp.asarray(spec.group_of_slot)
+    agent_ch = (spec.channel_base + spec.group_of_slot * spec.channel_scale).astype(
+        np.int32
+    )
+    hp_max = spec.g_hp_max[spec.group_of_slot].astype(np.float32)
+
+    def grids_one(state: State):
+        base = jnp.full((Hp, Wp), C, jnp.int32)
+        base = base.at[pad_y : pad_y + H, pad_x : pad_x + W].set(
+            jnp.where(state.cell_wall, 0, C)
+        )
+        if spec.food_mode:
+            base = base.at[pad_y : pad_y + H, pad_x : pad_x + W].min(
+                jnp.where(state.cell_food > 0.0, 1, C)
+            )
+        hp_img = jnp.zeros((Hp, Wp), jnp.float32)
+
+        ok_agent = state.active & ~state.dead
+        g = gof
+        w = jnp.asarray(spec.g_width)[g]
+        l = jnp.asarray(spec.g_length)[g]
+        bw, bh = geo.size_for_dir(state.dir, w, l)
+        chs = jnp.asarray(agent_ch)
+        hps = state.hp / jnp.asarray(hp_max)
+        flat_base = base.reshape(-1)
+        flat_hp = hp_img.reshape(-1)
+        for i in range(MB):
+            for j in range(MB):
+                ok = ok_agent & (i < bw) & (j < bh)
+                cell = (state.y + j + pad_y) * Wp + (state.x + i + pad_x)
+                cell = jnp.where(ok, cell, -1)
+                flat_base = flat_base.at[cell].set(chs, mode="drop")
+                flat_hp = flat_hp.at[cell].set(hps, mode="drop")
+        return flat_base.reshape(Hp, Wp), flat_hp.reshape(Hp, Wp)
+
+    def grids(state: State):
+        if _batched(state):
+            return jax.vmap(grids_one)(state)
+        ch, hp = grids_one(state)
+        return ch, hp
+
+    grids.geometry = (Hp, Wp, lanes, pad_y, pad_x)
+    return grids
+
+
+def _render_image(spec, group, ch_grid, hp_grid, lanes):
+    """(ch, hp) grids -> observer-group padded channel image [B, Hp, lanes]."""
+    C = spec.n_channel
+    inv_has, inv_hp = _channel_tables(spec, group)
+    B, Hp, Wp = ch_grid.shape
+    has = (ch_grid[..., None] == jnp.asarray(inv_has)).astype(jnp.float32)
+    hp = (ch_grid[..., None] == jnp.asarray(inv_hp)).astype(jnp.float32) * hp_grid[
+        ..., None
+    ]
+    img = (has + hp).reshape(B, Hp, Wp * C)
+    return jnp.pad(img, ((0, 0), (0, 0), (0, lanes - Wp * C)))
+
+
+def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
+                 interpret: bool = False):
+    """Build the observe function for one group.
+
+    The returned function accepts either a single-env state (arrays [A, ...])
+    or a batched state (arrays [B, A, ...]); output shapes follow.  Optional
+    ``grids=(ch_grid, hp_grid)`` lets callers share the scatter pass across
+    groups.
+    """
+    if spec.turn_mode:
+        return _make_observe_rotating(spec, group)
+
+    t = spec.groups[group].type
+    gs = spec.groups[group]
+    vr = t.view_range
+    vh, vw = vr.height, vr.width
+    C = spec.n_channel
+    H, W, G = spec.height, spec.width, spec.n_groups
+    emb = spec.embedding_size
+    n_action = t.n_action
+    perm = spec.channel_perm(group)
+
+    grids_fn = make_grids(spec)
+    Hp, Wp, lanes, pad_y, pad_x = grids_fn.geometry
+
+    # window mask: range mask expanded over channels
+    mask = jnp.asarray(
+        np.repeat(vr.mask.astype(np.float32), C, axis=1)
+    )  # [vh, vw*C]
+
+    # minimap pooling factors (GridWorld.cc:328-329)
+    scale_h = (H + vh - 1) // vh
+    scale_w = (W + vw - 1) // vw
+    gof = spec.group_of_slot
+
+    use_pallas = (not force_xla) and (wg.supports_pallas() or interpret)
+
+    def observe_batched(state: State, grids=None):
+        B = state.x.shape[0]
+        if grids is None:
+            grids = grids_fn(state)
+        ch_grid, hp_grid = grids
+        img = _render_image(spec, group, ch_grid, hp_grid, lanes)
+
+        sl = slice(gs.offset, gs.offset + gs.cap)
+        x = state.x[:, sl]
+        y = state.y[:, sl]
+        # window top-left in padded map cells (NORTH-only fast path)
+        tlx = x + t.view_x_offset + vr.x1 + pad_x
+        tly = y + t.view_y_offset + vr.y1 + pad_y
+        pos = tly * Wp + tlx
+
+        if use_pallas:
+            view = wg.window_gather(
+                img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                chunk=min(256, wg._ceil_to(gs.cap, 8)), interpret=interpret,
+            )
+        else:
+            view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)
+        view = view.reshape(B, gs.cap, vh, vw, C)
+
+        # --- minimap channels (GridWorld.cc:327-384) ---
+        if spec.minimap_mode:
+            px = jnp.clip(state.x // scale_w, 0, vw - 1)
+            py = jnp.clip(state.y // scale_h, 0, vh - 1)
+            counted = state.active & ~state.dead
+            if t.can_absorb:  # observer type gates this (GridWorld.cc:341-347)
+                counted = counted & ~state.absorbed
+            gof_j = jnp.asarray(gof)
+
+            def pool_one(pxe, pye, counte):
+                flat = jnp.zeros((G, vh * vw), jnp.float32).at[
+                    gof_j, pye * vw + pxe
+                ].add(counte.astype(jnp.float32))
+                totals = jnp.maximum(jnp.sum(flat, axis=1), 1.0)
+                return (flat / totals[:, None]).reshape(G, vh, vw)
+
+            pooled = jax.vmap(pool_one)(px, py, counted)  # [B, G, vh, vw]
+
+            # pooled maps -> their observed channels, one static stack
+            chan_src = np.full(C, -1, np.int32)
+            for gg in range(G):
+                chan_src[perm[spec.group2channel(gg)] + 2] = gg
+            pooled_ext = jnp.concatenate(
+                [pooled, jnp.zeros((B, 1, vh, vw), jnp.float32)], axis=1
+            )
+            mm = pooled_ext[:, jnp.asarray(np.where(chan_src < 0, G, chan_src))]
+            mm = jnp.moveaxis(mm, 1, -1)  # [B, vh, vw, C]
+
+            # self position mark added to every group's minimap channel
+            self_cell = py[:, sl] * vw + px[:, sl]
+            self_mark = jax.nn.one_hot(self_cell, vh * vw, dtype=jnp.float32)
+            self_mark = self_mark.reshape(B, gs.cap, vh, vw)
+            mm_mask = jnp.asarray((chan_src >= 0).astype(np.float32))
+            view = (
+                view
+                + mm[:, None]
+                + self_mark[..., None] * mm_mask[None, None, None, None, :]
+            )
+
+        # --- feature vector (GridWorld.cc:386-396) ---
+        ids = state.id[:, sl]
+        feats = []
+        if emb > 0:
+            bits = (ids[..., None] >> jnp.arange(emb)[None, None, :]) & 1
+            feats.append(bits.astype(jnp.float32))
+        feats.append(
+            jax.nn.one_hot(state.last_action[:, sl], n_action, dtype=jnp.float32)
+        )
+        feats.append(state.last_reward[:, sl][..., None])
+        if spec.minimap_mode:
+            feats.append((x / W)[..., None].astype(jnp.float32))
+            feats.append((y / H)[..., None].astype(jnp.float32))
+        if spec.goal_mode:
+            feats.append(jnp.zeros((B, gs.cap, 2), jnp.float32))
+        feature = jnp.concatenate(feats, axis=-1)
+
+        act = state.active[:, sl]
+        view = view * act[:, :, None, None, None]
+        feature = feature * act[:, :, None]
+        return view, feature
+
+    def observe(state: State, grids=None):
+        if _batched(state):
+            return observe_batched(state, grids)
+        state_b = jax.tree.map(lambda a: a[None], state)
+        if grids is not None:
+            grids = jax.tree.map(lambda a: a[None], grids)
+        view, feat = observe_batched(state_b, grids)
+        return view[0], feat[0]
+
+    observe.grids_fn = grids_fn
+    return observe
+
+
+# ------------------------------------------------------------- turn-mode path
 def _dir_offset_tables(t: "speclib.AgentTypeSpec"):
     """offs[d, vy, vx] = absolute offset of view cell (vy, vx) from the eye
     for direction d (rotation per Map.cc:515-532)."""
     vr = t.view_range
     vh, vw = vr.height, vr.width
-    rx = np.arange(vw)[None, :] + vr.x1  # relative x per column
-    ry = np.arange(vh)[:, None] + vr.y1  # relative y per row
+    rx = np.arange(vw)[None, :] + vr.x1
+    ry = np.arange(vh)[:, None] + vr.y1
     rx = np.broadcast_to(rx, (vh, vw))
     ry = np.broadcast_to(ry, (vh, vw))
     offs_x = np.zeros((4, vh, vw), np.int32)
@@ -43,36 +286,28 @@ def _dir_offset_tables(t: "speclib.AgentTypeSpec"):
     return offs_x, offs_y
 
 
-def make_observe(spec: speclib.GameSpec, group: int):
-    """Build the jittable observe function for one group.
-
-    Returns views [cap, vh, vw, n_channel] and features [cap, feature_size];
-    the caller slices to the live prefix.
-    """
+def _make_observe_rotating(spec: speclib.GameSpec, group: int):
+    """Legacy rotation-capable path (turn_mode): per-direction window gather
+    (XLA); correct for all directions, slower than the kernel path."""
     t = spec.groups[group].type
     gs = spec.groups[group]
     vr = t.view_range
     vh, vw = vr.height, vr.width
     C = spec.n_channel
     A = spec.n_agents_cap
-    H, W = spec.height, spec.width
-    G = spec.n_groups
+    H, W, G = spec.height, spec.width, spec.n_groups
     emb = spec.embedding_size
     n_action = t.n_action
 
-    perm = spec.channel_perm(group)  # orig channel -> observed channel
+    perm = spec.channel_perm(group)
     offs_x, offs_y = _dir_offset_tables(t)
     range_mask = vr.mask
-
-    # minimap pooling factors (GridWorld.cc:328-329)
     scale_h = (H + vh - 1) // vh
     scale_w = (W + vw - 1) // vw
-
     group_of_slot = spec.group_of_slot
     base, scale = spec.channel_base, spec.channel_scale
 
-    def observe(state: State):
-        # --- global grids ---
+    def observe_one(state: State):
         occ = state.cell_slot
         is_agent_cell = occ >= 0
         occ_c = jnp.clip(occ, 0, A - 1)
@@ -82,13 +317,11 @@ def make_observe(spec: speclib.GameSpec, group: int):
             jnp.where(state.cell_food > 0.0, 1 if spec.food_mode else -1,
                       jnp.where(is_agent_cell, agent_ch, -1)),
         )
-        # apply observer's channel permutation globally (identity on wall/food)
         perm_ext = jnp.concatenate([jnp.asarray(perm), jnp.asarray([C], jnp.int32)])
-        pch = perm_ext[jnp.where(ch >= 0, ch, C)]  # C = "empty" sentinel
+        pch = perm_ext[jnp.where(ch >= 0, ch, C)]
         hp_max_cell = jnp.asarray(spec.g_hp_max)[jnp.asarray(group_of_slot)[occ_c]]
         hp_grid = jnp.where(is_agent_cell, state.hp[occ_c] / hp_max_cell, 0.0)
 
-        # --- per-agent window gather ---
         sl = slice(gs.offset, gs.offset + gs.cap)
         ax_, ay_ = geo.save_to_real(
             state.x[sl], state.y[sl], state.dir[sl], t.width, t.length
@@ -96,7 +329,7 @@ def make_observe(spec: speclib.GameSpec, group: int):
         eye_x, eye_y = geo.rela_to_abs(
             ax_, ay_, state.dir[sl], t.view_x_offset, t.view_y_offset
         )
-        ox = jnp.asarray(offs_x)[state.dir[sl]]  # [cap, vh, vw]
+        ox = jnp.asarray(offs_x)[state.dir[sl]]
         oy = jnp.asarray(offs_y)[state.dir[sl]]
         gx = eye_x[:, None, None] + ox
         gy = eye_y[:, None, None] + oy
@@ -104,7 +337,7 @@ def make_observe(spec: speclib.GameSpec, group: int):
         gxc = jnp.clip(gx, 0, W - 1)
         gyc = jnp.clip(gy, 0, H - 1)
 
-        cell_ch = pch[gyc, gxc]  # [cap, vh, vw] observed channel (C = none)
+        cell_ch = pch[gyc, gxc]
         cell_hp = hp_grid[gyc, gxc]
         cell_is_agent = is_agent_cell[gyc, gxc]
         valid = inb & jnp.asarray(range_mask)[None, :, :] & (cell_ch < C)
@@ -116,12 +349,11 @@ def make_observe(spec: speclib.GameSpec, group: int):
         )
         view = view + hp_onehot * cell_hp[..., None]
 
-        # --- minimap channels (GridWorld.cc:327-384) ---
         if spec.minimap_mode:
             px = jnp.clip(state.x // scale_w, 0, vw - 1)
             py = jnp.clip(state.y // scale_h, 0, vh - 1)
-            counted = state.active
-            if t.can_absorb:
+            counted = state.active & ~state.dead
+            if t.can_absorb:  # observer type gates this (GridWorld.cc:341-347)
                 counted = counted & ~state.absorbed
             gof = jnp.asarray(group_of_slot)
             flat = jnp.zeros((G, vh * vw), jnp.float32).at[
@@ -139,7 +371,6 @@ def make_observe(spec: speclib.GameSpec, group: int):
                 mm_ch = int(perm[spec.group2channel(gg)]) + 2
                 view = view.at[:, :, :, mm_ch].set(pooled[gg][None, :, :] + self_mark)
 
-        # --- feature vector (GridWorld.cc:386-396, embedding GridWorld.h:157-166) ---
         ids = state.id[sl]
         feats = []
         if emb > 0:
@@ -154,10 +385,14 @@ def make_observe(spec: speclib.GameSpec, group: int):
             feats.append(jnp.zeros((gs.cap, 2), jnp.float32))
         feature = jnp.concatenate(feats, axis=1)
 
-        # inactive slots -> zeros
         act = state.active[sl]
         view = view * act[:, None, None, None]
         feature = feature * act[:, None]
         return view, feature
+
+    def observe(state: State, grids=None):
+        if _batched(state):
+            return jax.vmap(observe_one)(state)
+        return observe_one(state)
 
     return observe

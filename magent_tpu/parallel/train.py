@@ -48,8 +48,9 @@ def make_dqn_train_step(
         """e-greedy actions for every group, assembled over the slot axis."""
         actions = jnp.zeros((B, A), jnp.int32)
         views, feats = [], []
+        all_obs = venv.observe_all(state)
         for g in range(G):
-            view, feat = venv.observe(state, g)  # [B, cap, vh, vw, C], [B, cap, F]
+            view, feat = all_obs[g]  # [B, cap, vh, vw, C], [B, cap, F]
             n_act = spec.groups[g].type.n_action
             q = nets[g].apply(
                 {"params": params[g]},

@@ -163,9 +163,15 @@ class VecGridWorld:
         keys = jax.random.split(key, self.n_envs)
         return jax.vmap(self._reset1)(keys)
 
-    def observe(self, state, group: int):
+    def observe(self, state, group: int, grids=None):
         """batched State -> (views [B, cap, vh, vw, C], feats [B, cap, F])."""
-        return jax.vmap(self._observe1[group])(state)
+        return self._observe1[group](state, grids)
+
+    def observe_all(self, state):
+        """Observations for every group, sharing one grid-render pass."""
+        grids_fn = getattr(self._observe1[0], "grids_fn", None)
+        grids = grids_fn(state) if grids_fn is not None else None
+        return [self._observe1[g](state, grids) for g in range(self.spec.n_groups)]
 
     def step(self, state, actions):
         """Advance every env one step.  ``actions`` is [B, A] over the full
@@ -198,15 +204,22 @@ class VecGridWorld:
             op_obj=jnp.full((self.n_envs, A), -1, jnp.int32),
         )
 
-        # auto-reset finished envs (fresh layout from the env's carried key)
-        reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(stepped.key)
-        fresh = jax.vmap(self._reset1)(reset_keys)
-        next_state = jax.tree.map(
-            lambda f, r: jnp.where(
-                done.reshape((-1,) + (1,) * (r.ndim - 1)), f, r
-            ),
-            fresh,
-            rotated,
+        # auto-reset finished envs (fresh layout from the env's carried key);
+        # episodes end rarely, so the reset computation is gated behind a
+        # real lax.cond on the whole batch — most steps skip it entirely
+        def do_reset(rot):
+            reset_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(stepped.key)
+            fresh = jax.vmap(self._reset1)(reset_keys)
+            return jax.tree.map(
+                lambda f, r: jnp.where(
+                    done.reshape((-1,) + (1,) * (r.ndim - 1)), f, r
+                ),
+                fresh,
+                rot,
+            )
+
+        next_state = jax.lax.cond(
+            jnp.any(done), do_reset, lambda rot: rot, rotated
         )
         return next_state, rewards, alive, done
 

@@ -1,0 +1,77 @@
+"""Parity between the three observation paths: the kernel-formulated fast
+path (XLA fallback), the Pallas kernel in interpreter mode, and the legacy
+rotation-capable gather path (which mirrors the reference's Map::extract_view
+most directly)."""
+
+import numpy as np
+import jax
+import pytest
+
+import magent_tpu as magent
+from magent_tpu.core import observe as obs_mod
+
+
+def _battle_env(map_size=32):
+    env = magent.GridWorld("battle", map_size=map_size)
+    h0, h1 = env.get_handles()
+    env.reset()
+    pos0 = [[x, y] for x in range(4, 16, 2) for y in range(6, 26, 3)]
+    pos1 = [[x, y] for x in range(18, 28, 2) for y in range(7, 27, 3)]
+    env.add_agents(h0, method="custom", pos=pos0)
+    env.add_agents(h1, method="custom", pos=pos1)
+    env.add_walls(method="custom", pos=[[16, y] for y in range(10, 16)])
+    return env, (h0, h1)
+
+
+def _step_random(env, handles, steps=4, seed=0):
+    rng = np.random.RandomState(seed)
+    for _ in range(steps):
+        for h in handles:
+            n = env.get_num(h)
+            acts = rng.randint(0, env.get_action_space(h)[0], size=n).astype(np.int32)
+            env.set_action(h, acts)
+        env.step()
+        env.clear_dead()
+
+
+@pytest.mark.parametrize("group", [0, 1])
+def test_fast_path_matches_rotating_path(group):
+    env, handles = _battle_env()
+    _step_random(env, handles)
+    spec, state = env.spec, env.state
+
+    fast = obs_mod.make_observe(spec, group, force_xla=True)
+    legacy = obs_mod._make_observe_rotating(spec, group)
+
+    v_fast, f_fast = jax.jit(fast)(state)
+    v_leg, f_leg = jax.jit(legacy)(state)
+    np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_leg), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_leg), atol=1e-6)
+
+
+def test_pallas_interpret_matches_xla_fallback():
+    env, handles = _battle_env(24)
+    _step_random(env, handles, steps=2)
+    spec, state = env.spec, env.state
+
+    xla = obs_mod.make_observe(spec, 0, force_xla=True)
+    pallas = obs_mod.make_observe(spec, 0, interpret=True)
+
+    v_x, f_x = xla(state)
+    v_p, f_p = pallas(state)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-6)
+
+
+def test_batched_observe_matches_single():
+    env, handles = _battle_env(24)
+    _step_random(env, handles, steps=2)
+    spec, state = env.spec, env.state
+
+    fast = obs_mod.make_observe(spec, 0, force_xla=True)
+    v1, f1 = fast(state)
+    state_b = jax.tree.map(lambda a: np.stack([np.asarray(a)] * 3), state)
+    vb, fb = fast(state_b)
+    for b in range(3):
+        np.testing.assert_allclose(np.asarray(vb[b]), np.asarray(v1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fb[b]), np.asarray(f1), atol=1e-6)
