@@ -11,6 +11,18 @@ python/magent/__init__.py): ``magent.GridWorld``, ``magent.gridworld`` (config
 DSL), ``magent.utility``, ``magent.ProcessingModel``.
 """
 
+import os as _os
+
+# Honor JAX_PLATFORMS=cpu even when a site-installed PJRT plugin (the axon
+# TPU tunnel) has force-registered itself as the default backend.
+if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from . import gridworld
 from . import utility
 from .env import GridWorld

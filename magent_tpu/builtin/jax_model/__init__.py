@@ -1,3 +1,5 @@
 from .dqn import DeepQNetwork
+from .drqn import DeepRecurrentQNetwork
+from .a2c import AdvantageActorCritic
 
-__all__ = ["DeepQNetwork"]
+__all__ = ["DeepQNetwork", "DeepRecurrentQNetwork", "AdvantageActorCritic"]

@@ -52,6 +52,32 @@ def size_for_dir(d, w, l):
     return jnp.where(ns, w, l), jnp.where(ns, l, w)
 
 
+def save_to_real_np(x, y, d, w, l):
+    """Host (numpy) variant of :func:`save_to_real` for render dumps."""
+    import numpy as np
+
+    rx = np.where(
+        d == NORTH, x, np.where(d == SOUTH, x + w - 1, np.where(d == WEST, x, x + l - 1))
+    )
+    ry = np.where(
+        d == NORTH, y, np.where(d == SOUTH, y + l - 1, np.where(d == WEST, y + w - 1, y))
+    )
+    return rx, ry
+
+
+def rela_to_abs_np(cx, cy, d, rx, ry):
+    """Host (numpy) variant of :func:`rela_to_abs` for render dumps."""
+    import numpy as np
+
+    ax = np.where(
+        d == NORTH, cx + rx, np.where(d == SOUTH, cx - rx, np.where(d == WEST, cx + ry, cx - ry))
+    )
+    ay = np.where(
+        d == NORTH, cy + ry, np.where(d == SOUTH, cy - ry, np.where(d == WEST, cy - rx, cy + rx))
+    )
+    return ax, ay
+
+
 def rotate_move_delta(d, dx, dy):
     """Move delta rotation (reference: GridWorld.cc:587-595)."""
     ddx = jnp.where(

@@ -1,0 +1,177 @@
+"""Throughput test with random agents, up to one million
+(parity with reference scripts/test/test_1m.py: forest config sized
+sqrt(20*n), random/DQN actors, per-phase timing, FPS after 20 warm-up
+steps).
+
+Two modes:
+- default: the reference-style host loop over the stateful API (each phase
+  is a separate device call — dominated by per-call latency on the tunneled
+  TPU backend, comparable to the reference's ctypes loop on CPU);
+- ``--vectorized``: the TPU-native path — the whole
+  obs→act→step→reward→clear loop fused in one jitted program over an env
+  batch (this is the number that matters on TPU).
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import magent_tpu as magent
+from magent_tpu.builtin.rule_model import RandomActor
+
+
+def load_forest(map_size):
+    gw = magent.gridworld
+    cfg = gw.Config()
+
+    cfg.set({"map_width": map_size, "map_height": map_size})
+
+    predator = cfg.register_agent_type(
+        "predator",
+        {'width': 2, 'length': 2, 'hp': 1, 'speed': 1,
+         'view_range': gw.CircleRange(5), 'attack_range': gw.CircleRange(2),
+         'attack_penalty': -0.2})
+
+    prey = cfg.register_agent_type(
+        "prey",
+        {'width': 1, 'length': 1, 'hp': 1, 'speed': 1.5,
+         'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(0)})
+
+    predator_group = cfg.add_group(predator)
+    prey_group = cfg.add_group(prey)
+
+    a = gw.AgentSymbol(predator_group, index='any')
+    b = gw.AgentSymbol(prey_group, index='any')
+
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=[a, b], value=[1, -1])
+    return cfg
+
+
+def measure_time(msg, func, *args, **kwargs):
+    start_time = time.time()
+    ret = func(*args, **kwargs)
+    print("%-11s %.5f" % (msg, time.time() - start_time))
+    return ret
+
+
+def run_host_loop(args):
+    n_step = args.n_step
+    agent_number = args.agent_number
+    skip = 20
+    n_step += skip
+
+    env = magent.GridWorld(load_forest(int(math.sqrt(agent_number * 20))))
+    env.reset()
+
+    deer_handle, tiger_handle = env.get_handles()
+    env.add_walls(method="random", n=agent_number // 10)
+    env.add_agents(deer_handle, method="random", n=agent_number // 2)
+    env.add_agents(tiger_handle, method="random", n=agent_number // 2)
+
+    if args.num_gpu == 0:
+        model1 = RandomActor(env, deer_handle, "deer")
+        model2 = RandomActor(env, tiger_handle, "tiger")
+    else:
+        from magent_tpu.builtin.jax_model import DeepQNetwork
+        model1 = DeepQNetwork(env, deer_handle, "deer", infer_batch_size=100000)
+        model2 = DeepQNetwork(env, tiger_handle, "tiger", infer_batch_size=100000)
+
+    total_reward = 0
+    print(env.get_view_space(deer_handle))
+    print(env.get_view_space(tiger_handle))
+    total_time = 0
+
+    for i in range(n_step):
+        print("===== step %d =====" % i)
+        start_time = time.time()
+
+        obs_1 = measure_time("get obs 1", env.get_observation, deer_handle)
+        acts_1 = measure_time("infer act 1", model1.infer_action, obs_1, None)
+        measure_time("set act 1", env.set_action, deer_handle, acts_1)
+
+        obs_2 = measure_time("get obs 2", env.get_observation, tiger_handle)
+        acts_2 = measure_time("infer act 2", model2.infer_action, obs_2, None)
+        measure_time("set act 2", env.set_action, tiger_handle, acts_2)
+
+        done = measure_time("step", env.step)
+        rewards = measure_time("get reward", env.get_reward, tiger_handle)
+        total_reward += sum(rewards)
+        measure_time("clear", env.clear_dead)
+
+        step_time = time.time() - start_time
+        if i >= skip:
+            total_time += step_time
+        print("all time: %.2f\n" % step_time)
+
+        print("number of deer: %d" % env.get_num(deer_handle))
+        print("number of tiger: %d" % env.get_num(tiger_handle))
+        print("total reward: %d" % total_reward)
+
+        if done:
+            print("game over")
+            break
+
+    print("FPS", (n_step - skip) * args.agent_number / total_time)
+
+
+def run_vectorized(args):
+    import jax
+    import jax.numpy as jnp
+    from magent_tpu.parallel import VecGridWorld
+
+    agent_number = args.agent_number
+    n_envs = args.n_envs
+    per_env = max(agent_number // n_envs, 2)
+    map_size = int(math.sqrt(per_env * 20))
+    cfg = load_forest(map_size)
+    # prey only (2x2 predators need host placement); same agent count
+    venv = VecGridWorld(cfg, [2, per_env - 2], n_envs=n_envs)
+
+    def body(carry, _):
+        state, key = carry
+        key, akey = jax.random.split(key)
+        s = 0.0
+        for view, feat in venv.observe_all(state):
+            s = s + jnp.sum(view[:, 0, 0, 0, 0])
+        actions = venv.random_actions(akey)
+        state, rewards, alive, done = venv.transition(state, actions)
+        return (state, key), s + jnp.sum(rewards[:, 0])
+
+    @jax.jit
+    def run(state, key):
+        (state, key), sink = jax.lax.scan(body, (state, key), None,
+                                          length=args.n_step)
+        return state, key, jnp.sum(sink)
+
+    state = venv.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    state, key, sink = run(state, key)
+    float(sink)  # compile + warm up
+
+    start = time.time()
+    state, key, sink = run(state, key)
+    float(sink)
+    dt = time.time() - start
+    steps = args.n_step * n_envs
+    print("map %dx%d, %d envs x %d agents" % (map_size, map_size, n_envs, per_env))
+    print("env-steps/s %.1f" % (steps / dt))
+    print("FPS %.1f" % (steps * per_env / dt))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n_step", type=int, default=20)
+    parser.add_argument("--agent_number", type=int, default=1000)
+    parser.add_argument("--num_gpu", type=int, default=0)
+    parser.add_argument("--n_envs", type=int, default=16)
+    parser.add_argument("--vectorized", action="store_true")
+    parser.add_argument("--frame", default="jax", choices=["jax", "tf", "mx"])
+    args = parser.parse_args()
+
+    if args.vectorized:
+        run_vectorized(args)
+    else:
+        run_host_loop(args)

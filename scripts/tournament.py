@@ -1,0 +1,122 @@
+"""Round-robin tournament between saved checkpoint generations
+(parity with reference scripts/tournament.py)."""
+
+import argparse
+import math
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import magent_tpu as magent
+from magent_tpu.builtin.jax_model import DeepQNetwork
+
+
+def play(env, handles, models, map_size, leftID, rightID, eps=0.05):
+    env.reset()
+    width = height = map_size
+    init_num = map_size * map_size * 0.04
+    gap = 3
+
+    side = int(math.sqrt(init_num)) * 2
+    pos = []
+    for x in range(width // 2 - gap - side, width // 2 - gap - side + side, 2):
+        for y in range((height - side) // 2, (height - side) // 2 + side, 2):
+            pos.append([x, y, 0])
+    env.add_agents(handles[leftID], method="custom", pos=pos)
+
+    pos = []
+    for x in range(width // 2 + gap, width // 2 + gap + side, 2):
+        for y in range((height - side) // 2, (height - side) // 2 + side, 2):
+            pos.append([x, y, 0])
+    env.add_agents(handles[rightID], method="custom", pos=pos)
+
+    step_ct = 0
+    done = False
+    n = 2
+    obs = [None] * n
+    ids = [None] * n
+    acts = [None] * n
+    nums = [env.get_num(handle) for handle in handles]
+
+    while not done:
+        for i in range(n):
+            obs[i] = env.get_observation(handles[i])
+            ids[i] = env.get_agent_id(handles[i])
+            acts[i] = models[i].infer_action(obs[i], ids[i], 'e_greedy', eps)
+            env.set_action(handles[i], acts[i])
+
+        done = env.step()
+        nums = [env.get_num(handle) for handle in handles]
+        env.clear_dead()
+
+        step_ct += 1
+        if step_ct > 550:
+            break
+
+    return nums
+
+
+def extract_checkpoints(savedir, name, begin=0, pick_every=4):
+    """list saved epochs of a model (checkpoints are <subclass>_<epoch>.npz)"""
+    pattern = re.compile(r"tfdqn_(\d+)\.npz")
+    ret = []
+    for path in sorted(os.listdir(os.path.join(savedir, name))):
+        match = pattern.match(path)
+        if match and int(match.group(1)) >= begin:
+            ret.append(int(match.group(1)))
+    return ret[::pick_every]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--map_size", type=int, default=125)
+    parser.add_argument("--name", type=str, default="battle-l")
+    parser.add_argument("--savedir", type=str, default="save_model")
+    parser.add_argument("--begin", type=int, default=0)
+    parser.add_argument("--pick_every", type=int, default=4)
+    parser.add_argument("--n_game", type=int, default=2,
+                        help="games per pairing (sides swap each game)")
+    args = parser.parse_args()
+
+    env = magent.GridWorld("battle", map_size=args.map_size)
+    handles = env.get_handles()
+
+    epochs = extract_checkpoints(args.savedir, args.name,
+                                 args.begin, args.pick_every)
+    print("checkpoint epochs:", epochs)
+    if len(epochs) < 2:
+        print("need at least two checkpoints for a tournament")
+        return
+
+    models = [DeepQNetwork(env, handles[0], "p0", memory_size=2 ** 10),
+              DeepQNetwork(env, handles[1], "p1", memory_size=2 ** 10)]
+
+    wins = {e: 0 for e in epochs}
+    for i, e_a in enumerate(epochs):
+        for e_b in epochs[i + 1:]:
+            models[0].load(args.savedir, e_a, name=args.name)
+            models[1].load(args.savedir, e_b, name=args.name)
+            score = [0, 0]
+            for g in range(args.n_game):
+                left, right = (0, 1) if g % 2 == 0 else (1, 0)
+                nums = play(env, handles, models, args.map_size, left, right)
+                if nums[0] > nums[1]:
+                    score[0] += 1
+                elif nums[1] > nums[0]:
+                    score[1] += 1
+            print("epoch %d vs %d -> %s" % (e_a, e_b, score))
+            if score[0] > score[1]:
+                wins[e_a] += 1
+            elif score[1] > score[0]:
+                wins[e_b] += 1
+
+    print("\n===== standings (wins) =====")
+    for e in sorted(wins, key=lambda k: -wins[k]):
+        print("epoch %6d : %d" % (e, wins[e]))
+
+
+if __name__ == "__main__":
+    main()

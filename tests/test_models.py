@@ -1,0 +1,87 @@
+"""End-to-end smoke tests for the RL baselines (DQN is covered in
+test_dqn.py): infer -> sample -> train -> save/load for DRQN and A2C,
+mirroring the reference's script-driven integration tests
+(reference: scripts/test/test_examples.py)."""
+
+import numpy as np
+import pytest
+
+import magent_tpu as magent
+from magent_tpu.builtin.jax_model import AdvantageActorCritic, DeepRecurrentQNetwork
+
+
+def _small_battle():
+    env = magent.GridWorld("battle", map_size=16)
+    h0, h1 = env.get_handles()
+    env.reset()
+    env.add_agents(h0, method="custom", pos=[[3, 3], [5, 5], [3, 7]])
+    env.add_agents(h1, method="custom", pos=[[10, 10], [12, 12], [10, 8]])
+    return env, (h0, h1)
+
+
+def _run_rounds(env, handles, models, rounds=2, steps=6):
+    for _ in range(rounds):
+        env.reset()
+        h0, h1 = handles
+        env.add_agents(h0, method="custom", pos=[[3, 3], [5, 5], [3, 7]])
+        env.add_agents(h1, method="custom", pos=[[10, 10], [12, 12], [10, 8]])
+        sample_buffers = [magent.utility.EpisodesBuffer(100) for _ in handles]
+        done = False
+        for _ in range(steps):
+            if done:
+                break
+            all_obs = [env.get_observation(h) for h in handles]
+            all_ids = [env.get_agent_id(h) for h in handles]
+            acts = []
+            for i, h in enumerate(handles):
+                a = models[i].infer_action(all_obs[i], all_ids[i], eps=0.5)
+                assert a.shape == (env.get_num(h),)
+                assert a.dtype == np.int32
+                acts.append(a)
+                env.set_action(h, a)
+            done = env.step()
+            for i, h in enumerate(handles):
+                rewards = env.get_reward(h)
+                alives = env.get_alive(h)
+                sample_buffers[i].record_step(
+                    all_ids[i], all_obs[i], acts[i], rewards, alives
+                )
+            env.clear_dead()
+        for i in range(len(handles)):
+            models[i].train(sample_buffers[i])
+
+
+def test_drqn_train_and_checkpoint(tmp_path):
+    env, handles = _small_battle()
+    models = [
+        DeepRecurrentQNetwork(env, h, "drqn-%d" % i, batch_size=4,
+                              unroll_step=4, memory_size=500, seed=i)
+        for i, h in enumerate(handles)
+    ]
+    _run_rounds(env, handles, models)
+    # hidden state persists per agent id
+    assert len(models[0].agent_states) > 0
+    models[0].save(str(tmp_path), 7)
+    before = models[0].infer_action(
+        env.get_observation(handles[0]), env.get_agent_id(handles[0]),
+        policy="greedy",
+    )
+    models[1].load(str(tmp_path), 7, name="drqn-0")
+    models[1].agent_states = dict(models[0].agent_states)
+    after = models[1].infer_action(
+        env.get_observation(handles[0]), env.get_agent_id(handles[0]),
+        policy="greedy",
+    )
+    np.testing.assert_array_equal(before, after)
+
+
+@pytest.mark.parametrize("use_comm", [False, True])
+def test_a2c_train(use_comm, tmp_path):
+    env, handles = _small_battle()
+    models = [
+        AdvantageActorCritic(env, h, "a2c-%d" % i, use_comm=use_comm, seed=i)
+        for i, h in enumerate(handles)
+    ]
+    _run_rounds(env, handles, models)
+    models[0].save(str(tmp_path), 0)
+    models[1].load(str(tmp_path), 0, name="a2c-0")
