@@ -48,7 +48,8 @@ class GridWorld:
     OBS_INDEX_VIEW = 0
     OBS_INDEX_HP = 1
 
-    def __init__(self, config, caps: int | list | None = None, **kwargs):
+    def __init__(self, config, caps: int | list | None = None, engine_mode="fast",
+                 **kwargs):
         if isinstance(config, str):
             try:
                 mod = importlib.import_module("magent_tpu.builtin.config." + config)
@@ -56,8 +57,12 @@ class GridWorld:
             except ImportError:
                 raise BaseException('unknown built-in game "%s"' % config)
         assert isinstance(config, Config)
+        assert engine_mode in ("fast", "sequential")
 
         self._config = config
+        self._engine_mode = engine_mode
+        self._seq = None
+        self._dead_ct = None
         self._caps = self._initial_caps(config, caps)
         self._lcg = lcg.HostLCG(int(config.config_dict.get("seed", 0)))
         self._render_dir = None
@@ -176,6 +181,8 @@ class GridWorld:
             key=carry_key, lcg=jnp.asarray(self._lcg.state, jnp.uint32)
         )
         self._actions[:] = 0
+        if self._dead_ct is not None:
+            self._dead_ct[:] = 0
         self._first_render = True
         if self._render_gen is not None:
             self._render_gen.next_file()
@@ -378,8 +385,59 @@ class GridWorld:
         self._actions[off : off + n] = actions[:n]
 
     def step(self):
+        if self._engine_mode == "sequential":
+            return self._step_sequential()
         self.state = self._step_fn(self.state, jnp.asarray(self._actions))
         return bool(self.state.done)
+
+    def _step_sequential(self):
+        """Reference-order parity step (host NumPy; see core.seq_engine)."""
+        from .core.seq_engine import SequentialEngine
+
+        if self._seq is None or self._seq.spec is not self.spec:
+            self._seq = SequentialEngine(self.spec)
+        if self._dead_ct is None:
+            self._dead_ct = np.zeros(self.spec.n_groups, np.int64)
+
+        st = self.state
+        S = {
+            "x": np.asarray(st.x).copy(),
+            "y": np.asarray(st.y).copy(),
+            "dir": np.asarray(st.dir).copy(),
+            "hp": np.asarray(st.hp).copy(),
+            "active": np.asarray(st.active).copy(),
+            "dead": np.asarray(st.dead).copy(),
+            "absorbed": np.asarray(st.absorbed).copy(),
+            "last_action": self._actions.copy(),
+            "next_reward": np.asarray(st.next_reward).copy(),
+            "last_op": np.asarray(st.last_op).copy(),
+            "op_obj": np.asarray(st.op_obj).copy(),
+            "cell_slot": np.asarray(st.cell_slot).copy(),
+            "cell_wall": np.asarray(st.cell_wall),
+            "cell_food": np.asarray(st.cell_food).copy(),
+            "group_reward": np.asarray(st.group_reward).copy(),
+            "dead_ct": self._dead_ct,
+        }
+        done = self._seq.step(S, self._lcg)
+        self.state = st.replace(
+            x=jnp.asarray(S["x"]),
+            y=jnp.asarray(S["y"]),
+            dir=jnp.asarray(S["dir"]),
+            hp=jnp.asarray(S["hp"]),
+            dead=jnp.asarray(S["dead"]),
+            absorbed=jnp.asarray(S["absorbed"]),
+            last_action=jnp.asarray(self._actions),
+            next_reward=jnp.asarray(S["next_reward"]),
+            last_op=jnp.asarray(S["last_op"]),
+            op_obj=jnp.asarray(S["op_obj"]),
+            cell_slot=jnp.asarray(S["cell_slot"]),
+            cell_food=jnp.asarray(S["cell_food"]),
+            group_reward=jnp.asarray(S["group_reward"]),
+            lcg=jnp.asarray(self._lcg.state, jnp.uint32),
+            done=jnp.asarray(done),
+            step_ct=st.step_ct + 1,
+        )
+        return bool(done)
 
     def get_reward(self, handle):
         g = handle.value
@@ -390,6 +448,8 @@ class GridWorld:
 
     def clear_dead(self):
         self.state = self._clear_fn(self.state)
+        if self._dead_ct is not None:
+            self._dead_ct[:] = 0
 
     # ------------------------------------------------------------------ info
     def get_handles(self):

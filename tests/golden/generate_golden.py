@@ -1,0 +1,46 @@
+"""Golden-trajectory generator: drives the REFERENCE C++ engine over the
+shared scenarios and dumps per-step traces to .npz.
+
+Usage:
+    python tests/golden/generate_golden.py --reference /tmp/refbuild
+
+where --reference points at a checkout of geek-ai/MAgent with
+build/libmagent.so already built (cmake + ninja magent).  The resulting
+golden_<scenario>.npz files are committed; the parity tests replay them
+without needing the reference build.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+from scenarios import SCENARIOS, flatten_trace, run_scenario  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--reference", default="/tmp/refbuild")
+    parser.add_argument("--scenarios", nargs="*", default=sorted(SCENARIOS))
+    args = parser.parse_args()
+
+    sys.path.insert(0, os.path.join(args.reference, "python"))
+    os.environ.setdefault("OMP_NUM_THREADS", "2")
+    import magent  # the reference package
+
+    for name in args.scenarios:
+        print("generating", name, "...")
+        trace = run_scenario(magent, name)
+        flat = flatten_trace(trace, 2)
+        out = os.path.join(HERE, "golden_%s.npz" % name)
+        np.savez_compressed(out, **flat)
+        print("  %d steps -> %s (%.1f KB)" %
+              (trace["steps"], out, os.path.getsize(out) / 1024))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""Scenario definitions shared by the golden-trajectory generator (which
+drives the reference C++ engine) and the parity tests (which drive
+magent_tpu).  Config builders take the ``gw`` config-DSL module so the same
+code builds either package's config (the DSL surface is identical).
+
+Each scenario fixes: the config, deterministic custom placements, a seeded
+action stream, and the step budget.  The engine seed is 0 (both engines
+reseed identically) and all randomness inside the engine flows from the
+shared minstd LCG.
+"""
+
+import numpy as np
+
+
+def battle_cfg(gw, map_size):
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"minimap_mode": True})
+    cfg.set({"embedding_size": 10})
+    small = cfg.register_agent_type(
+        "small",
+        {'width': 1, 'length': 1, 'hp': 10, 'speed': 2,
+         'view_range': gw.CircleRange(6), 'attack_range': gw.CircleRange(1.5),
+         'damage': 2, 'step_recover': 0.1,
+         'step_reward': -0.005, 'kill_reward': 5, 'dead_penalty': -0.1,
+         'attack_penalty': -0.1})
+    g0 = cfg.add_group(small)
+    g1 = cfg.add_group(small)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=a, value=0.2)
+    cfg.add_reward_rule(gw.Event(b, 'attack', a), receiver=b, value=0.2)
+    return cfg
+
+
+def forest_cfg(gw, map_size):
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"embedding_size": 10})
+    deer = cfg.register_agent_type(
+        "deer",
+        {'width': 1, 'length': 1, 'hp': 5, 'speed': 1,
+         'view_range': gw.CircleRange(1), 'attack_range': gw.CircleRange(0),
+         'damage': 0, 'step_recover': 0.2, 'kill_supply': 8})
+    tiger = cfg.register_agent_type(
+        "tiger",
+        {'width': 1, 'length': 1, 'hp': 10, 'speed': 1,
+         'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(1),
+         'damage': 3, 'step_recover': -0.5,
+         'step_reward': 1, 'attack_penalty': -0.1})
+    cfg.add_group(deer)
+    cfg.add_group(tiger)
+    return cfg
+
+
+def double_attack_cfg(gw, map_size):
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"embedding_size": 10})
+    deer = cfg.register_agent_type(
+        "deer",
+        {'width': 1, 'length': 1, 'hp': 5, 'speed': 1,
+         'view_range': gw.CircleRange(1), 'attack_range': gw.CircleRange(0),
+         'step_recover': 0.2})
+    tiger = cfg.register_agent_type(
+        "tiger",
+        {'width': 1, 'length': 1, 'hp': 10, 'speed': 1,
+         'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(1),
+         'damage': 1, 'step_recover': -0.2, 'attack_in_group': True,
+         'step_reward': -0.01, 'attack_penalty': -0.1})
+    g_deer = cfg.add_group(deer)
+    g_tiger = cfg.add_group(tiger)
+    a = gw.AgentSymbol(g_tiger, index='any')
+    b = gw.AgentSymbol(g_tiger, index='any')
+    c = gw.AgentSymbol(g_deer, index='any')
+    e1 = gw.Event(a, 'attack', c)
+    e2 = gw.Event(b, 'attack', c)
+    cfg.add_reward_rule(e1 & e2, receiver=[a, b], value=[1, 1])
+    return cfg
+
+
+def gather_cfg(gw, map_size):
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"minimap_mode": True})
+    agent = cfg.register_agent_type(
+        "agent",
+        {'width': 1, 'length': 1, 'hp': 3, 'speed': 3,
+         'view_range': gw.CircleRange(7), 'attack_range': gw.CircleRange(1),
+         'damage': 6, 'step_recover': 0,
+         'step_reward': -0.01, 'dead_penalty': -1, 'attack_penalty': -0.1,
+         'attack_in_group': 1})
+    food = cfg.register_agent_type(
+        "food",
+        {'width': 1, 'length': 1, 'hp': 25, 'speed': 0,
+         'view_range': gw.CircleRange(1), 'attack_range': gw.CircleRange(0),
+         'kill_reward': 5})
+    g_f = cfg.add_group(food)
+    g_s = cfg.add_group(agent)
+    a = gw.AgentSymbol(g_s, index='any')
+    b = gw.AgentSymbol(g_f, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=a, value=0.5)
+    return cfg
+
+
+def pursuit_cfg(gw, map_size):
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"embedding_size": 10})
+    predator = cfg.register_agent_type(
+        "predator",
+        {'width': 2, 'length': 2, 'hp': 1, 'speed': 1,
+         'view_range': gw.CircleRange(5), 'attack_range': gw.CircleRange(2),
+         'attack_penalty': -0.2})
+    prey = cfg.register_agent_type(
+        "prey",
+        {'width': 1, 'length': 1, 'hp': 1, 'speed': 1.5,
+         'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(0)})
+    g0 = cfg.add_group(predator)
+    g1 = cfg.add_group(prey)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=[a, b], value=[1, -1])
+    return cfg
+
+
+def _two_squares(map_size, gap=3, frac=0.01, stride=2):
+    """two facing squares of 1x1 agents (the battle formation)"""
+    import math
+
+    init_num = map_size * map_size * frac
+    side = int(math.sqrt(init_num)) * 2
+    left, right = [], []
+    for x in range(map_size // 2 - gap - side, map_size // 2 - gap - side + side, stride):
+        for y in range((map_size - side) // 2, (map_size - side) // 2 + side, stride):
+            left.append([x, y, 0])
+    for x in range(map_size // 2 + gap, map_size // 2 + gap + side, stride):
+        for y in range((map_size - side) // 2, (map_size - side) // 2 + side, stride):
+            right.append([x, y, 0])
+    return left, right
+
+
+def _grid(x0, y0, nx, ny, stride=2):
+    return [[x0 + i * stride, y0 + j * stride, 0]
+            for i in range(nx) for j in range(ny)]
+
+
+SCENARIOS = {
+    # close-quarters battle: attacks land from step one
+    "battle_melee": dict(
+        cfg=battle_cfg, map_size=24, steps=40, action_seed=7,
+        placements=[_grid(6, 6, 4, 4, 2), _grid(7, 7, 4, 4, 2)],
+    ),
+    # the headline battle-64x64 config under fixed seed
+    "battle64": dict(
+        cfg=battle_cfg, map_size=64, steps=30, action_seed=11,
+        placements=list(_two_squares(64, frac=0.04)),
+        skip_views=True,
+    ),
+    # hp recovery, negative step_recover starvation, kill_supply
+    "forest": dict(
+        cfg=forest_cfg, map_size=24, steps=50, action_seed=3,
+        placements=[_grid(4, 4, 5, 5, 3), _grid(5, 5, 3, 3, 4)],
+    ),
+    # conjunctive two-subject reward rule (double_attack)
+    "double_attack": dict(
+        cfg=double_attack_cfg, map_size=20, steps=50, action_seed=5,
+        placements=[_grid(6, 6, 3, 3, 3), _grid(5, 5, 4, 4, 2)],
+    ),
+    # static high-hp food, eat-by-attack
+    "gather": dict(
+        cfg=gather_cfg, map_size=24, steps=40, action_seed=9,
+        placements=[_grid(10, 10, 3, 3, 2), _grid(5, 5, 5, 5, 3)],
+    ),
+    # 2x2 predator bodies
+    "pursuit": dict(
+        cfg=pursuit_cfg, map_size=24, steps=40, action_seed=13,
+        placements=[_grid(4, 4, 3, 3, 4), _grid(6, 6, 5, 5, 2)],
+    ),
+}
+
+
+def run_scenario(magent_module, scenario, engine_mode=None):
+    """Drive one scenario on either package; returns the recorded trace."""
+    spec = SCENARIOS[scenario]
+    gw = magent_module.gridworld
+    cfg = spec["cfg"](gw, spec["map_size"])
+    kwargs = {}
+    if engine_mode is not None:
+        kwargs["engine_mode"] = engine_mode
+    env = magent_module.GridWorld(cfg, **kwargs)
+    handles = env.get_handles()
+    env.reset()
+    for h, pos in zip(handles, spec["placements"]):
+        env.add_agents(h, method="custom", pos=pos)
+
+    trace = {"done": [], "steps": 0}
+    for g in range(len(handles)):
+        trace["num_%d" % g] = []
+        trace["ids_%d" % g] = []
+        trace["pos_%d" % g] = []
+        trace["rew_%d" % g] = []
+        trace["alive_%d" % g] = []
+        trace["view0_%d" % g] = None
+        trace["feat0_%d" % g] = None
+
+    rng = np.random.RandomState(spec["action_seed"])
+    done = False
+    for step in range(spec["steps"]):
+        if done:
+            break
+        for i, h in enumerate(handles):
+            view, feat = env.get_observation(h)
+            if step == 0 and not spec.get("skip_views"):
+                # deep-copy: the reference reuses (and in-place resizes) its
+                # observation buffers across calls
+                trace["view0_%d" % i] = np.array(view, np.float32, copy=True)
+                trace["feat0_%d" % i] = np.array(feat, np.float32, copy=True)
+            n = env.get_num(h)
+            acts = rng.randint(0, env.get_action_space(h)[0], n).astype(np.int32)
+            env.set_action(h, acts)
+        done = bool(env.step())
+        for i, h in enumerate(handles):
+            trace["num_%d" % i].append(env.get_num(h))
+            trace["ids_%d" % i].append(np.asarray(env.get_agent_id(h), np.int32))
+            trace["pos_%d" % i].append(np.asarray(env.get_pos(h), np.int32))
+            trace["rew_%d" % i].append(np.asarray(env.get_reward(h), np.float32))
+            trace["alive_%d" % i].append(np.asarray(env.get_alive(h), bool))
+        trace["done"].append(done)
+        env.clear_dead()
+        trace["steps"] = step + 1
+    return trace
+
+
+def flatten_trace(trace, n_groups):
+    """trace -> flat dict of arrays for npz storage (ragged lists are
+    concatenated with a length index)."""
+    out = {"done": np.asarray(trace["done"], bool),
+           "steps": np.asarray(trace["steps"])}
+    for g in range(n_groups):
+        for key in ("ids", "pos", "rew", "alive"):
+            parts = trace["%s_%d" % (key, g)]
+            lens = np.asarray([len(p) for p in parts], np.int32)
+            out["%s_%d_lens" % (key, g)] = lens
+            if parts:
+                out["%s_%d_data" % (key, g)] = np.concatenate(parts, axis=0)
+            else:
+                out["%s_%d_data" % (key, g)] = np.zeros(0)
+        out["num_%d" % g] = np.asarray(trace["num_%d" % g], np.int32)
+        if trace["view0_%d" % g] is not None:
+            out["view0_%d" % g] = trace["view0_%d" % g]
+            out["feat0_%d" % g] = trace["feat0_%d" % g]
+    return out
