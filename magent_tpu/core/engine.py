@@ -113,65 +113,82 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     txc = jnp.clip(tx, 0, W - 1)
     tyc = jnp.clip(ty, 0, H - 1)
     tgt = jnp.where(is_attack & in_board, state.cell_slot[tyc, txc], -1)
-    food_amount = jnp.where(is_attack & in_board, state.cell_food[tyc, txc], 0.0)
+    if spec.food_mode:
+        food_amount = jnp.where(is_attack & in_board, state.cell_food[tyc, txc], 0.0)
+        food_target = is_attack & (tgt < 0) & (food_amount > 0.0)
 
     tgt_group = _pad_gather(jnp.asarray(spec.group_of_slot), tgt, 0)
     valid = (
         (tgt >= 0)
         & (jnp.asarray(spec.g_attack_in_group)[g] | (tgt_group != g))
     )
-    food_target = spec.food_mode & is_attack & (tgt < 0) & (food_amount > 0.0)
 
     # attack penalty for every attacker, hit or miss (GridWorld.cc:488,505)
     next_reward = state.next_reward + jnp.where(
         is_attack, jnp.asarray(spec.g_attack_penalty)[g], 0.0
     )
 
-    # ---- order-aware damage: sort attackers by (target, priority) ----
+    # ---- order-aware damage: ONE multi-operand sort by (target, priority)
+    # carries every per-attacker value along, replacing a lexsort plus a
+    # fan of post-sort gathers (gathers are the slow path on TPU)
     SENT = A  # sentinel segment for non-attacks
-    tgt_key = jnp.where(valid, tgt, SENT)
-    order = jnp.lexsort((rank, tgt_key))
-    s_tgt = tgt_key[order]
-    s_valid = valid[order]
-    s_dmg = jnp.where(s_valid, jnp.asarray(spec.g_damage)[g[order]], 0.0)
+    tgt_key = jnp.where(valid, tgt, SENT).astype(jnp.int32)
+    dmg_slot = jnp.where(valid, jnp.asarray(spec.g_damage)[g], 0.0)
+    kr_t = jnp.asarray(spec.g_kill_reward)[tgt_group]
+    ks_t = jnp.asarray(spec.g_kill_supply)[tgt_group]
+    hp_t = _pad_gather(state.hp, jnp.where(valid, tgt, -1), jnp.inf)
+    slot_iota = jnp.arange(A, dtype=jnp.int32)
+
+    s_tgt, _, s_slot, s_dmg, s_kill_reward, s_kill_supply, s_tgt_hp, s_valid = (
+        jax.lax.sort(
+            (tgt_key, rank, slot_iota, dmg_slot, kr_t, ks_t, hp_t,
+             valid.astype(jnp.int32)),
+            num_keys=2,
+        )
+    )
+    s_valid = s_valid.astype(bool)
     seg_start = _segment_starts(s_tgt)
     s_cum = _segment_cumsum(s_dmg, seg_start)
-    s_tgt_hp = _pad_gather(state.hp, jnp.where(s_valid, s_tgt, -1), jnp.inf)
 
     kill_here = s_valid & (s_tgt_hp - s_cum < 0.0)  # be_attack: hp < 0 (GridWorld.h:203-208)
     prev_kill = jnp.concatenate([jnp.zeros((1,), bool), kill_here[:-1]]) & ~seg_start
     is_killer = kill_here & ~prev_kill
     acted = s_valid & ~(kill_here & ~is_killer)  # attackers after the kill are no-ops
 
-    # damage applied to each target (stops at the kill)
+    # per-target effects: packed scatter-add of (damage-until-kill, died)
     applied = jnp.where(acted, s_dmg, 0.0)
-    hp_pad = jnp.zeros(A + 1, dtype=state.hp.dtype)
-    dmg_per_tgt = hp_pad.at[s_tgt].add(applied)[:A]
-    hp = state.hp - dmg_per_tgt
+    tgt_fx = jnp.zeros((A + 1, 2), dtype=state.hp.dtype).at[s_tgt].add(
+        jnp.stack([applied, is_killer.astype(state.hp.dtype)], axis=1)
+    )[:A]
+    hp = state.hp - tgt_fx[:, 0]
+    died = (tgt_fx[:, 1] > 0) & state.active & ~state.dead
 
-    died = jnp.zeros(A + 1, dtype=bool).at[jnp.where(is_killer, s_tgt, A)].set(True)[:A]
-    died = died & state.active & ~state.dead
-
-    # ---- attacker effects (scatter back in slot order) ----
-    s_slot = order
-    s_kill_reward = jnp.asarray(spec.g_kill_reward)[_pad_gather(
-        jnp.asarray(spec.group_of_slot), jnp.where(s_valid, s_tgt, -1), 0)]
-    s_kill_supply = jnp.asarray(spec.g_kill_supply)[_pad_gather(
-        jnp.asarray(spec.group_of_slot), jnp.where(s_valid, s_tgt, -1), 0)]
-
-    op_new = jnp.full(A, OP_NULL, jnp.int32).at[s_slot].set(
-        jnp.where(is_killer, OP_KILL, jnp.where(acted, OP_ATTACK, OP_NULL)).astype(jnp.int32)
+    # ---- attacker effects: packed scatters back through the permutation
+    ops_pack = jnp.zeros((A, 2), jnp.int32).at[s_slot].set(
+        jnp.stack(
+            [
+                jnp.where(is_killer, OP_KILL, jnp.where(acted, OP_ATTACK, OP_NULL)
+                          ).astype(jnp.int32),
+                jnp.where(acted, s_tgt, -1).astype(jnp.int32),
+            ],
+            axis=1,
+        )
     )
-    obj_new = jnp.full(A, -1, jnp.int32).at[s_slot].set(
-        jnp.where(acted, s_tgt, -1).astype(jnp.int32)
-    )
+    op_new, obj_new = ops_pack[:, 0], ops_pack[:, 1]
     last_op = jnp.where(op_new != OP_NULL, op_new, state.last_op)
     op_obj = jnp.where(op_new != OP_NULL, obj_new, state.op_obj)
 
-    kill_rew_per_slot = jnp.zeros(A).at[s_slot].add(jnp.where(is_killer, s_kill_reward, 0.0))
-    next_reward = next_reward + kill_rew_per_slot
-
-    supply_per_slot = jnp.zeros(A).at[s_slot].add(jnp.where(is_killer, s_kill_supply, 0.0))
+    gain_pack = jnp.zeros((A, 2), dtype=state.hp.dtype).at[s_slot].set(
+        jnp.stack(
+            [
+                jnp.where(is_killer, s_kill_reward, 0.0),
+                jnp.where(is_killer, s_kill_supply, 0.0),
+            ],
+            axis=1,
+        )
+    )
+    next_reward = next_reward + gain_pack[:, 0]
+    supply_per_slot = gain_pack[:, 1]
     hp_max = jnp.asarray(spec.g_hp_max)[g]
     hp = jnp.where(supply_per_slot > 0, jnp.minimum(hp_max, hp + supply_per_slot), hp)
 
@@ -186,16 +203,20 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
         state.cell_slot, died, state.x, state.y, bw, bh, spec.max_body_w
     )
 
-    # corpse food drop at the attacked cell (food_mode, Map.cc:277-284)
+    # corpse food drop at the attacked cell (food_mode, Map.cc:277-284):
+    # scatter food_supply at each killer's target cell (kill cells are
+    # unique per target, so slot order suffices — no sorted order needed)
     cell_food = state.cell_food
     if spec.food_mode:
-        s_food_supply = jnp.asarray(spec.g_food_supply)[_pad_gather(
-            jnp.asarray(spec.group_of_slot), jnp.where(s_valid, s_tgt, -1), 0)]
-        s_cx = txc[order]
-        s_cy = tyc[order]
-        fx = jnp.where(is_killer, s_cx, W)
-        fy = jnp.where(is_killer, s_cy, H)
-        cell_food = cell_food.at[fy, fx].set(s_food_supply, mode="drop")
+        kill_pack = jnp.zeros((A, 1), jnp.int32).at[s_slot].set(
+            is_killer.astype(jnp.int32)[:, None]
+        )
+        killer_slot = kill_pack[:, 0] > 0  # per-slot: this agent killed
+        fs_t = jnp.asarray(spec.g_food_supply)[tgt_group]
+        fx = jnp.where(killer_slot, txc, W)
+        fy = jnp.where(killer_slot, tyc, H)
+        cell_food = cell_food.at[fy, fx].set(jnp.where(killer_slot, fs_t, 0.0),
+                                             mode="drop")
 
         # ---- eating existing food via attack (Map.cc:292-303) ----
         fcell = jnp.where(food_target, tyc * W + txc, H * W)
@@ -235,6 +256,9 @@ def _starve_phase(spec: speclib.GameSpec, state: State):
     hp_max = jnp.asarray(spec.g_hp_max)[g]
 
     hp_pos = jnp.minimum(hp_max, state.hp + rec)  # add_hp clips at max
+    if bool((spec.g_step_recover > 0).all()):
+        # no type can starve: pure recovery, no death bookkeeping
+        return state.replace(hp=jnp.where(alive, hp_pos, state.hp))
     hp_neg = state.hp + rec  # be_attack(-rec): no clip, death below 0
     hp = jnp.where(alive, jnp.where(rec > 0, hp_pos, hp_neg), state.hp)
     starved = alive & (rec <= 0) & (hp < 0.0)

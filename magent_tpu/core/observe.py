@@ -187,7 +187,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
         if use_pallas:
             view = wg.window_gather(
                 img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
-                chunk=min(256, wg._ceil_to(gs.cap, 8)), interpret=interpret,
+                chunk=min(40, wg._ceil_to(gs.cap, 8)), interpret=interpret,
             )
         else:
             view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)
