@@ -1,0 +1,15 @@
+"""Play the interactive battle game against trained models
+(parity with reference examples/show_battle_game.py).
+
+Train first with examples/train_battle.py, then run this."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from magent_tpu.renderer import PyGameRenderer
+from magent_tpu.renderer.server import BattleServer
+
+if __name__ == "__main__":
+    PyGameRenderer().start(BattleServer())

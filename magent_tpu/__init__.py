@@ -26,6 +26,7 @@ if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
 from . import gridworld
 from . import utility
 from .env import GridWorld
+from .discrete_snake import DiscreteSnake
 from .model import BaseModel, ProcessingModel
 
 round = utility.rec_round

@@ -367,8 +367,9 @@ def _move_phase(spec: speclib.GameSpec, state: State):
         hp = jnp.where(newly_absorbed, hp * 2.0, hp)
         dead = dead | absorb_win
         cell_slot = _clear_body(cell_slot, absorb_win, state.x, state.y, bw, bh, MB)
-        # non-winning candidates record no op (already-absorbed branch is silent)
-        set_op = collide & ~(obj_can & ~absorb_win)
+        # the absorb winner records OP_COLLIDE like any collider
+        # (Map.cc:344-351); later colliders see absorbed=true and are silent
+        set_op = collide & (~obj_can | absorb_win)
     else:
         set_op = collide
 

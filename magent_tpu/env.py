@@ -503,6 +503,19 @@ class GridWorld:
         t = self.spec.groups[handle.value].type
         return t.attack_base, t.view2attack()
 
+    def get_both_attack(self):
+        """Count of targets attacked by more than one agent last step
+        (reference stat recorder, GridWorld.cc:492-517, 'both_attack'
+        info GridWorld.cc:889-890)."""
+        from .render.generator import RenderGenerator
+
+        gen = self._render_gen or RenderGenerator(self._render_dir or "render")
+        events = gen._attack_events(self)
+        cells = {}
+        for (_aid, tx, ty) in events:
+            cells[(tx, ty)] = cells.get((tx, ty), 0) + 1
+        return sum(1 for v in cells.values() if v > 1)
+
     def get_global_minimap(self, height, width):
         sp = self.spec
         G = sp.n_groups

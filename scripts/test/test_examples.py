@@ -16,6 +16,9 @@ candidates = [
     ("train_pursuit.py", ["--train", "--n_round", "1", "--map_size", "64"]),
     ("train_tiger.py", ["--train", "--n_round", "1", "--map_size", "64"]),
     ("train_gather.py", ["--train", "--n_round", "1", "--map_size", "50"]),
+    ("train_trans.py", ["--train", "--n_round", "1", "--map_size", "32"]),
+    ("train_arrange.py", ["--train", "--n_round", "1", "--map_size", "48",
+                          "--message", "HI"]),
 ]
 
 if __name__ == "__main__":
