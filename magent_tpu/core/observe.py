@@ -167,7 +167,13 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     scale_w = (W + vw - 1) // vw
     gof = spec.group_of_slot
 
-    use_pallas = (not force_xla) and (wg.supports_pallas() or interpret)
+    # the kernel keeps one env's padded channel image in VMEM (~16MB/core);
+    # for very large maps (the 1M-agent mega-battle scale) fall back to the
+    # XLA gather until the spatially-sharded path lands
+    image_bytes = Hp * lanes * 4
+    fits_vmem = image_bytes <= 12 * 1024 * 1024
+    use_pallas = (not force_xla) and fits_vmem and (
+        wg.supports_pallas() or interpret)
 
     def observe_batched(state: State, grids=None):
         B = state.x.shape[0]

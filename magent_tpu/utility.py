@@ -166,6 +166,35 @@ def has_gpu():
     return any(d.platform != "cpu" for d in jax.devices())
 
 
+# ------------------------------------------------------- pretrained models
+def download_file(filename, url):
+    """Download a file (reference: utility.py:216-236).  Kept for API
+    parity; raises a clear error in network-less environments."""
+    import urllib.request
+
+    print("Download %s from %s..." % (filename, url))
+    try:
+        urllib.request.urlretrieve(url, filename)
+    except Exception as e:  # no egress, bad URL, ...
+        raise RuntimeError(
+            "cannot download %s (%s); train the models locally with the "
+            "examples instead" % (url, e)
+        )
+
+
+def download_model(url):
+    """Download and extract a pretrained model archive
+    (reference: utility.py:239-256)."""
+    import os
+    import tarfile
+
+    name = url.split("/")[-1]
+    download_file(name, url)
+    with tarfile.open(name) as tar:
+        tar.extractall("data/")
+    os.remove(name)
+
+
 class FontProvider:
     """8x8 pixel font for the arrange demo (reference: utility.py:271-305)."""
 
