@@ -481,11 +481,18 @@ def make_step(spec: speclib.GameSpec):
         rank = jax.random.bits(sub, (spec.n_agents_cap,))
         state = state.replace(key=key)
 
-        state = _attack_phase(spec, state, rank)
-        state = _starve_phase(spec, state)
+        # named scopes label the phases in jax.profiler / xprof traces
+        # (the reference's compile-gated LOG(TRACE) equivalents,
+        # reference: GridWorld.cc:460-618)
+        with jax.named_scope("attack"):
+            state = _attack_phase(spec, state, rank)
+        with jax.named_scope("starve"):
+            state = _starve_phase(spec, state)
         if spec.turn_mode:
-            state = _turn_phase(spec, state)
-        state = _move_phase(spec, state)
+            with jax.named_scope("turn"):
+                state = _turn_phase(spec, state)
+        with jax.named_scope("move"):
+            state = _move_phase(spec, state)
 
         # reward rules (reference: GridWorld::calc_reward, GridWorld.cc:681-692)
         next_reward, group_reward, terminal = state.next_reward, state.group_reward, False
