@@ -25,10 +25,10 @@ import jax.numpy as jnp
 
 from ..config import AgentSymbol, EventNode
 from ..spec import (OP_AND, OP_AT, OP_ATTACK, OP_COLLIDE, OP_DIE, OP_IN,
-                    OP_KILL, OP_NOT, OP_OR)
+                    OP_IN_A_LINE, OP_KILL, OP_NOT, OP_OR)
 
 BINARY_OPS = (OP_KILL, OP_COLLIDE, OP_ATTACK)
-UNARY_OPS = (OP_AT, OP_IN, OP_DIE)
+UNARY_OPS = (OP_AT, OP_IN, OP_DIE, OP_IN_A_LINE)
 LOGIC_OPS = (OP_AND, OP_OR, OP_NOT)
 
 
@@ -75,6 +75,24 @@ def _unary_pred(spec, state, leaf, sym_group):
         return (state.x > x1) & (state.x < x2) & (state.y > y1) & (state.y < y2)
     if leaf.op == OP_DIE:
         return state.dead
+    if leaf.op == OP_IN_A_LINE:
+        # group-level predicate (subject must be 'all'): the group's agents
+        # occupy one contiguous row or column (RewardEngine.cc:262-296);
+        # broadcast the group verdict to every slot
+        import jax.numpy as jnp
+
+        sym = leaf.inputs[0]
+        member = (jnp.asarray(spec.group_of_slot) == sym.group) & state.active
+        n = jnp.sum(member.astype(jnp.int32))
+        big = 1 << 20
+        xs_min = jnp.min(jnp.where(member, state.x, big))
+        xs_max = jnp.max(jnp.where(member, state.x, -big))
+        ys_min = jnp.min(jnp.where(member, state.y, big))
+        ys_max = jnp.max(jnp.where(member, state.y, -big))
+        col = (xs_min == xs_max) & (ys_max - ys_min + 1 == n)
+        row = (ys_min == ys_max) & (xs_max - xs_min + 1 == n)
+        verdict = (n < 2) | col | row
+        return jnp.broadcast_to(verdict, state.x.shape)
     raise NotImplementedError("unary op %d" % leaf.op)
 
 

@@ -28,9 +28,9 @@ import numpy as np
 
 from .. import spec as speclib
 from ..config import AgentSymbol, EventNode
-from ..spec import (EAST, NORTH, OP_AND, OP_AT, OP_ATTACK, OP_COLLIDE,
-                    OP_DIE, OP_IN, OP_KILL, OP_NOT, OP_NULL, OP_OR, SOUTH,
-                    WEST)
+from ..spec import (EAST, NORTH, OP_ALIGN, OP_AND, OP_AT, OP_ATTACK,
+                    OP_COLLIDE, OP_DIE, OP_IN, OP_IN_A_LINE, OP_KILL, OP_NOT,
+                    OP_NULL, OP_OR, SOUTH, WEST)
 
 LOGIC_OPS = (OP_AND, OP_OR, OP_NOT)
 BINARY_OPS = (OP_KILL, OP_COLLIDE, OP_ATTACK)
@@ -519,4 +519,26 @@ class SequentialEngine:
                 return all(S["dead"][k]
                            for k in self._group_members(S, sub.group))
             return bool(S["dead"][binding[sub]])
+        if op == OP_IN_A_LINE:
+            # contiguous row or column (RewardEngine.cc:262-296)
+            members = self._group_members(S, sub.group)
+            if len(members) < 2:
+                return True
+            xs = [int(S["x"][k]) for k in members]
+            ys = [int(S["y"][k]) for k in members]
+            if xs.count(xs[0]) == len(xs) and ys.count(ys[0]) != len(ys):
+                return max(ys) - min(ys) + 1 == len(members)
+            if ys.count(ys[0]) == len(ys) and xs.count(xs[0]) != len(xs):
+                return max(xs) - min(xs) + 1 == len(members)
+            return False
+        if op == OP_ALIGN:
+            # intended semantics: same-column + same-row group-mates of the
+            # subject (the reference's counter updates are disabled dead
+            # code, GridWorld.cc:955-970, so its ALIGN always sees zeros;
+            # we implement the documented intent)
+            k = binding[sub]
+            members = self._group_members(S, sub.group)
+            align = sum(1 for m in members if S["x"][m] == S["x"][k]) + \
+                sum(1 for m in members if S["y"][m] == S["y"][k])
+            return align > 1
         raise NotImplementedError("sequential engine: op %d" % op)

@@ -90,6 +90,19 @@ def window_gather(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40, interpret=False)
     if n_pad != N:
         pos = jnp.pad(pos, ((0, 0), (0, n_pad - N)))
 
+    # the position table is a scalar-prefetch operand and must fit SMEM
+    # (~1MB); at mega scale split the call over env sub-batches
+    smem_budget = 200_000  # int32 elements (~800KB)
+    if B * n_pad > smem_budget and B > 1:
+        n_sub = max(1, smem_budget // n_pad)
+        outs = []
+        for b0 in range(0, B, n_sub):
+            outs.append(window_gather(
+                gfull[b0 : b0 + n_sub], pos[b0 : b0 + n_sub, :N], mask,
+                vh=vh, vw=vw, C=C, Wp=Wp, chunk=chunk, interpret=interpret,
+            ))
+        return jnp.concatenate(outs, axis=0)
+
     def kernel(pos_ref, g_ref, mask_ref, out_ref):
         b = pl.program_id(0)
         k = pl.program_id(1)

@@ -62,16 +62,14 @@ def test_drqn_train_and_checkpoint(tmp_path):
     # hidden state persists per agent id
     assert len(models[0].agent_states) > 0
     models[0].save(str(tmp_path), 7)
-    before = models[0].infer_action(
-        env.get_observation(handles[0]), env.get_agent_id(handles[0]),
-        policy="greedy",
-    )
+    # snapshot hidden states BEFORE inference (infer_action advances them)
+    snapshot = {k: v.copy() for k, v in models[0].agent_states.items()}
+    obs = env.get_observation(handles[0])
+    ids = env.get_agent_id(handles[0])
+    before = models[0].infer_action(obs, ids, policy="greedy")
     models[1].load(str(tmp_path), 7, name="drqn-0")
-    models[1].agent_states = dict(models[0].agent_states)
-    after = models[1].infer_action(
-        env.get_observation(handles[0]), env.get_agent_id(handles[0]),
-        policy="greedy",
-    )
+    models[1].agent_states = snapshot
+    after = models[1].infer_action(obs, ids, policy="greedy")
     np.testing.assert_array_equal(before, after)
 
 
