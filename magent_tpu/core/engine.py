@@ -405,21 +405,24 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
 
     turn_base = jnp.asarray(spec.g_turn_base)[g]
     is_turn = alive & (act >= turn_base) & (act < jnp.asarray(spec.g_attack_base)[g])
-    # act - move_base in {turn_base, turn_base+1}; wise = act*2-1 with act in {0,1}
-    rel = jnp.clip(act - turn_base, 0, 1)
-    wise = rel * 2 - 1  # -1 counter-clockwise, +1 clockwise
+    # reference quirk: turn actions are buffered as the ABSOLUTE action index
+    # (act - move_base with move_base = 0, GridWorld.cc:431/449); the body
+    # rotation always takes do_turn's clockwise branch (`wise == -1` never
+    # fires, Map.cc:380-386) while the facing advances by the raw value:
+    # new_dir = (dir + 2*act - 1) % 4 (Map.cc:366)
+    wise_raw = 2 * act - 1
 
     w = jnp.asarray(spec.g_width)[g]
     l = jnp.asarray(spec.g_length)[g]
     bw, bh = geo.size_for_dir(state.dir, w, l)
-    new_dir = (state.dir + wise + 4) % 4
+    new_dir = (state.dir + wise_raw) % 4
 
     ax_, ay_ = geo.save_to_real(state.x, state.y, state.dir, w, l)
     anchor_x, anchor_y = geo.rela_to_abs(ax_, ay_, state.dir, 0, 0)  # turn offsets are 0
     dx = ax_ - anchor_x
     dy = ay_ - anchor_y
-    new_rx = jnp.where(wise == -1, anchor_x - dy, anchor_x + dy)
-    new_ry = jnp.where(wise == -1, anchor_y + dx, anchor_y - dx)
+    new_rx = anchor_x + dy  # clockwise branch always (see quirk above)
+    new_ry = anchor_y - dx
     sx, sy = geo.real_to_save(new_rx, new_ry, new_dir, w, l)
     nbw, nbh = geo.size_for_dir(new_dir, w, l)
 

@@ -184,7 +184,7 @@ class SequentialEngine:
                 if t.attack_base <= act < t.n_action:
                     attack_buf.append((k, act - t.attack_base))
                 elif spec.turn_mode and t.turn_base <= act < t.attack_base:
-                    turn_buf.append((k, act - t.turn_base))
+                    turn_buf.append((k, act))  # absolute (see turn quirk below)
                 elif 0 <= act < t.turn_base:
                     move_buf.append((k, act))
 
@@ -215,10 +215,16 @@ class SequentialEngine:
 
         # ---- turns then moves, buffer (slot) order
         if spec.turn_mode:
-            for slot, rel in turn_buf:
+            for slot, act_abs in turn_buf:
                 if S["dead"][slot]:
                     continue
-                self._do_turn(S, slot, rel * 2 - 1)
+                # reference quirk: the turn buffer stores the ABSOLUTE
+                # action (act - move_base with move_base = 0,
+                # GridWorld.cc:431/449), do_turn's body rotation treats any
+                # wise != -1 as clockwise (Map.cc:380-386), while the facing
+                # advances by the RAW wise: new_dir = (dir + 2*act - 1) % 4
+                # (Map.cc:366)
+                self._do_turn(S, slot, 2 * act_abs - 1)
         for slot, act in move_buf:
             if S["dead"][slot] or S["absorbed"][slot]:
                 continue

@@ -103,6 +103,48 @@ def gather_cfg(gw, map_size):
     return cfg
 
 
+def turn_cfg(gw, map_size):
+    """turn_mode with 1x2 bodies: exercises rotation, direction-dependent
+    footprints and the rotated observation path"""
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"turn_mode": True})
+    cfg.set({"embedding_size": 8})
+    longa = cfg.register_agent_type(
+        "longa",
+        {'width': 1, 'length': 2, 'hp': 10, 'speed': 1,
+         'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(1),
+         'damage': 2, 'step_recover': 0.1,
+         'step_reward': -0.01, 'attack_penalty': -0.1})
+    g0 = cfg.add_group(longa)
+    g1 = cfg.add_group(longa)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=a, value=0.3)
+    return cfg
+
+
+def absorb_cfg(gw, map_size):
+    """can_absorb goal markers + colliding agents (the arrange demo flow)"""
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"minimap_mode": True})
+    cfg.set({"embedding_size": 8})
+    goal = cfg.register_agent_type(
+        "goal", {'width': 1, 'length': 1, 'can_absorb': True})
+    agent = cfg.register_agent_type(
+        "agent",
+        {'width': 1, 'length': 1, 'hp': 10, 'speed': 2,
+         'view_range': gw.CircleRange(6), 'attack_range': gw.CircleRange(0),
+         'damage': 2, 'step_recover': -10.0 / 400, 'step_reward': 0})
+    g_goal = cfg.add_group(goal)
+    g_agent = cfg.add_group(agent)
+    g = gw.AgentSymbol(g_goal, 'any')
+    a = gw.AgentSymbol(g_agent, 'any')
+    cfg.add_reward_rule(gw.Event(a, 'collide', g), receiver=a, value=10)
+    return cfg
+
+
 def pursuit_cfg(gw, map_size):
     cfg = gw.Config()
     cfg.set({"map_width": map_size, "map_height": map_size})
@@ -171,6 +213,19 @@ SCENARIOS = {
     "gather": dict(
         cfg=gather_cfg, map_size=24, steps=40, action_seed=9,
         placements=[_grid(10, 10, 3, 3, 2), _grid(5, 5, 5, 5, 3)],
+    ),
+    # turn_mode rotation with 1x2 bodies (dirs given in placements)
+    "turn_bodies": dict(
+        cfg=turn_cfg, map_size=24, steps=40, action_seed=17,
+        placements=[
+            [[4 + 4 * i, 5 + 4 * j, (i + j) % 4] for i in range(3) for j in range(3)],
+            [[6 + 4 * i, 7 + 4 * j, (i + 2 * j) % 4] for i in range(3) for j in range(3)],
+        ],
+    ),
+    # can_absorb goals + collide rewards (arrange demo mechanics)
+    "absorb": dict(
+        cfg=absorb_cfg, map_size=20, steps=40, action_seed=19,
+        placements=[_grid(8, 8, 3, 3, 2), _grid(4, 4, 4, 4, 3)],
     ),
     # 2x2 predator bodies
     "pursuit": dict(
