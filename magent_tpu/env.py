@@ -102,6 +102,11 @@ class GridWorld:
         self._observe_fns = [
             jax.jit(observe.make_observe(sp, g)) for g in range(sp.n_groups)
         ]
+        # share one grid-render pass across same-step get_observation calls
+        self._grids_fn = (
+            jax.jit(observe.make_grids(sp)) if not sp.turn_mode else None
+        )
+        self._grids_cache = None  # (state object, grids)
         self._actions = np.zeros(sp.n_agents_cap, np.int32)
 
     def _grow(self, group: int, needed: int):
@@ -369,7 +374,12 @@ class GridWorld:
     # ------------------------------------------------------------------- run
     def get_observation(self, handle):
         g = handle.value
-        view, feat = self._observe_fns[g](self.state)
+        grids = None
+        if self._grids_fn is not None:
+            if self._grids_cache is None or self._grids_cache[0] is not self.state:
+                self._grids_cache = (self.state, self._grids_fn(self.state))
+            grids = self._grids_cache[1]
+        view, feat = self._observe_fns[g](self.state, grids)
         n = self.get_num(handle)
         return (
             np.asarray(view[:n], dtype=np.float32),

@@ -188,6 +188,12 @@ def _grid(x0, y0, nx, ny, stride=2):
 
 
 SCENARIOS = {
+    # LCG-driven random placement + random walls (Map::get_random_blank
+    # stream replication) on the battle config with a non-zero seed
+    "battle_random": dict(
+        cfg=battle_cfg, map_size=32, steps=30, action_seed=23,
+        random_placements=[("walls", 20), (0, 30), (1, 30)],
+    ),
     # close-quarters battle: attacks land from step one
     "battle_melee": dict(
         cfg=battle_cfg, map_size=24, steps=40, action_seed=7,
@@ -246,8 +252,15 @@ def run_scenario(magent_module, scenario, engine_mode=None):
     env = magent_module.GridWorld(cfg, **kwargs)
     handles = env.get_handles()
     env.reset()
-    for h, pos in zip(handles, spec["placements"]):
-        env.add_agents(h, method="custom", pos=pos)
+    if "random_placements" in spec:
+        for what, n in spec["random_placements"]:
+            if what == "walls":
+                env.add_walls(method="random", n=n)
+            else:
+                env.add_agents(handles[what], method="random", n=n)
+    else:
+        for h, pos in zip(handles, spec["placements"]):
+            env.add_agents(h, method="custom", pos=pos)
 
     trace = {"done": [], "steps": 0}
     for g in range(len(handles)):
