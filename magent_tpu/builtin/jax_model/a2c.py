@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import optax
 
-from .base import JaxBaseModel
+from .base import JaxBaseModel, round_up_pow2
 
 
 class CommNet(nn.Module):
@@ -74,13 +74,6 @@ class A2CNet(nn.Module):
         policy = jnp.clip(jax.nn.softmax(logits), 1e-10, 1.0 - 1e-10)
         value = nn.Dense(1, name="value")(dense)[:, 0]
         return policy, value
-
-
-def _round_up_pow2(n, lo=64):
-    m = lo
-    while m < n:
-        m *= 2
-    return m
 
 
 class AdvantageActorCritic(JaxBaseModel):
@@ -163,7 +156,7 @@ class AdvantageActorCritic(JaxBaseModel):
         n = len(view)
         if n == 0:
             return np.empty(0, np.int32)
-        padded = _round_up_pow2(n)
+        padded = round_up_pow2(n)
         pv = np.zeros((padded,) + tuple(self.view_space), np.float32)
         pf = np.zeros((padded,) + tuple(self.feature_space), np.float32)
         pm = np.zeros(padded, np.float32)
@@ -187,7 +180,7 @@ class AdvantageActorCritic(JaxBaseModel):
         # bootstrap each episode's return from V(last obs) (a2c.py:253-265)
         last_v = np.stack([np.asarray(e.views[-1]) for e in episodes])
         last_f = np.stack([np.asarray(e.features[-1]) for e in episodes])
-        pad = _round_up_pow2(len(episodes))
+        pad = round_up_pow2(len(episodes))
         pv = np.zeros((pad,) + tuple(self.view_space), np.float32)
         pf = np.zeros((pad,) + tuple(self.feature_space), np.float32)
         pm = np.zeros(pad, np.float32)
@@ -210,7 +203,7 @@ class AdvantageActorCritic(JaxBaseModel):
             ret[ct : ct + m] = r
             ct += m
 
-        padded = _round_up_pow2(n)
+        padded = round_up_pow2(n)
         pvb = np.zeros((padded,) + tuple(self.view_space), np.float32)
         pfb = np.zeros((padded,) + tuple(self.feature_space), np.float32)
         pab = np.zeros(padded, np.int32)

@@ -37,6 +37,14 @@ def _unflatten_pytree(flat):
     return tree
 
 
+def round_up_pow2(n, lo=64):
+    """pad agent batches to power-of-two buckets so XLA compiles few shapes"""
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
 class JaxBaseModel(BaseModel):
     def __init__(self, env, handle, name, subclass_name):
         super().__init__(env, handle)

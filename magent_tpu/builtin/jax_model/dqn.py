@@ -22,7 +22,7 @@ import flax.linen as nn
 import optax
 
 from ..common import ReplayBuffer
-from .base import JaxBaseModel
+from .base import JaxBaseModel, round_up_pow2
 
 
 class DQNNet(nn.Module):
@@ -49,13 +49,6 @@ class DQNNet(nn.Module):
         else:
             q = nn.Dense(self.num_actions, name="value")(dense)
         return q
-
-
-def _round_up_pow2(n, lo=64):
-    m = lo
-    while m < n:
-        m *= 2
-    return m
 
 
 class DeepQNetwork(JaxBaseModel):
@@ -176,7 +169,7 @@ class DeepQNetwork(JaxBaseModel):
         pos = 0
         while pos < n:
             chunk = min(n - pos, self.infer_batch_size)
-            padded = _round_up_pow2(chunk)
+            padded = round_up_pow2(chunk)
             pv = np.zeros((padded,) + tuple(self.view_space), np.float32)
             pf = np.zeros((padded,) + tuple(self.feature_space), np.float32)
             pv[:chunk] = view[pos : pos + chunk]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import optax
 
-from .base import JaxBaseModel
+from .base import JaxBaseModel, round_up_pow2
 
 
 class DRQNTrunk(nn.Module):
@@ -52,13 +52,6 @@ class DRQNNet(nn.Module):
         else:
             q = nn.Dense(self.num_actions, name="value")(rnn_out)
         return new_state, q
-
-
-def _round_up_pow2(n, lo=64):
-    m = lo
-    while m < n:
-        m *= 2
-    return m
 
 
 class DeepRecurrentQNetwork(JaxBaseModel):
@@ -185,7 +178,7 @@ class DeepRecurrentQNetwork(JaxBaseModel):
         if policy == "greedy":
             eps = 0.0
         states = self._get_agent_states(ids)
-        padded = _round_up_pow2(n)
+        padded = round_up_pow2(n)
         ps = np.zeros((padded, self.state_size), np.float32)
         pv = np.zeros((padded,) + tuple(self.view_space), np.float32)
         pf = np.zeros((padded,) + tuple(self.feature_space), np.float32)

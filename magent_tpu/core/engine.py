@@ -505,9 +505,15 @@ def make_step(spec: speclib.GameSpec):
                 terminal = jnp.logical_or(terminal, trig)
         state = state.replace(next_reward=next_reward, group_reward=group_reward)
 
-        # done: any group extinct (GridWorld.cc:618-630)
+        # done: any group extinct (GridWorld.cc:618-630).  The reference's
+        # alive count is size - dead_ct, and absorb-collide deaths never bump
+        # dead_ct (Map.cc:340-353) — a dead agent whose op is COLLIDE can
+        # only have died that way, so it still counts until clear_dead.
         gidx = jnp.asarray(spec.group_of_slot)
-        alive = (state.active & ~state.dead).astype(jnp.int32)
+        counted_dead = state.dead
+        if bool(spec.g_can_absorb.any()):
+            counted_dead = counted_dead & ~(state.last_op == OP_COLLIDE)
+        alive = (state.active & ~counted_dead).astype(jnp.int32)
         alive_per_group = jnp.zeros(G, jnp.int32).at[gidx].add(alive)
         done = jnp.any(alive_per_group == 0)
         done = jnp.logical_or(done, terminal)
@@ -576,16 +582,3 @@ def make_clear_dead(spec: speclib.GameSpec):
     return clear_dead
 
 
-def set_action(spec: speclib.GameSpec, state: State, group: int, actions) -> State:
-    """Store a group's actions (reference: GridWorld::set_action
-    GridWorld.cc:403-454 — buffering is implicit in slot order here)."""
-    gs = spec.groups[group]
-    la = state.last_action.at[gs.offset : gs.offset + gs.cap].set(actions)
-    return state.replace(last_action=la)
-
-
-def get_reward(spec: speclib.GameSpec, state: State, group: int):
-    """Per-agent reward + group reward (reference: GridWorld.cc:694-704)."""
-    gs = spec.groups[group]
-    sl = slice(gs.offset, gs.offset + gs.cap)
-    return state.next_reward[sl] + state.group_reward[group]

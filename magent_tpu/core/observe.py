@@ -29,9 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import spec as speclib
-import importlib
-
-wg = importlib.import_module("magent_tpu.ops.window_gather")
+from ..ops import window_gather as wg
 from . import geometry as geo
 from .state import State
 
@@ -103,8 +101,10 @@ def make_grids(spec: speclib.GameSpec):
         for i in range(MB):
             for j in range(MB):
                 ok = ok_agent & (i < bw) & (j < bh)
-                cell = (state.y + j + pad_y) * Wp + (state.x + i + pad_x)
-                cell = jnp.where(ok, cell, -1)
+                # positive OOB sentinel: JAX wraps negative indices BEFORE
+                # the mode="drop" check, so -1 would hit the last cell
+                cell = jnp.where(ok, (state.y + j + pad_y) * Wp
+                                 + (state.x + i + pad_x), Hp * Wp)
                 flat_base = flat_base.at[cell].set(chs, mode="drop")
                 flat_hp = flat_hp.at[cell].set(hps, mode="drop")
         return flat_base.reshape(Hp, Wp), flat_hp.reshape(Hp, Wp)
@@ -203,6 +203,11 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
         if spec.minimap_mode:
             px = jnp.clip(state.x // scale_w, 0, vw - 1)
             py = jnp.clip(state.y // scale_h, 0, vh - 1)
+            # deliberate divergence: the reference counts dead-but-uncleared
+            # agents until clear_dead (GridWorld.cc:341-352); the lockstep
+            # vectorized path never compacts, so dead agents are excluded
+            # here to keep minimaps meaningful (equal whenever observations
+            # follow clear_dead, as in every reference loop)
             counted = state.active & ~state.dead
             if t.can_absorb:  # observer type gates this (GridWorld.cc:341-347)
                 counted = counted & ~state.absorbed

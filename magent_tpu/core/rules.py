@@ -154,6 +154,12 @@ class SingleSubjectRule(_BaseRule):
             # triggered on an empty group when an object must be inferred
             # (RewardEngine.cc:415-426, 224-234)
             n_subj = jnp.sum(in_subj.astype(jnp.int32))
+            if obj is not None:
+                # the object binds from the FIRST member's op_obj and every
+                # member must reference THAT object (RewardEngine.cc:224-234)
+                off, _ = _group_slice(spec, sgroup)
+                obj0 = state.op_obj[off]
+                mask = mask & (state.op_obj == obj0)
             all_true = jnp.sum((mask & in_subj).astype(jnp.int32)) == n_subj
             if obj is not None:
                 all_true = all_true & (n_subj > 0)
@@ -173,9 +179,18 @@ class SingleSubjectRule(_BaseRule):
                     raise NotImplementedError
                 next_reward = next_reward + jnp.where(trig_mask, val, 0.0)
             elif self.obj is not None and sym is self.obj and not sym.is_all():
-                contrib = jnp.zeros(A + 1).at[
-                    jnp.where(trig_mask, state.op_obj, A)
-                ].add(val)[:A]
+                if self.subject.is_all():
+                    # trig_mask is empty for 'all' subjects; the object bound
+                    # from the first member is paid once on trigger
+                    off, _ = _group_slice(spec, sgroup)
+                    obj0 = state.op_obj[off]
+                    contrib = jnp.zeros(A + 1).at[
+                        jnp.where(n_trig > 0, obj0, A)
+                    ].add(val)[:A]
+                else:
+                    contrib = jnp.zeros(A + 1).at[
+                        jnp.where(trig_mask, state.op_obj, A)
+                    ].add(val)[:A]
                 next_reward = next_reward + contrib
             elif sym.is_all():
                 group_reward = group_reward.at[sym.group].add(val * n_trig)

@@ -32,9 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-import importlib
-
-wg = importlib.import_module("magent_tpu.ops.window_gather")
+from .ops import window_gather as wg
 
 ACT_RIGHT, ACT_DOWN, ACT_LEFT, ACT_UP, ACT_NOOP, ACT_NUM = 0, 1, 2, 3, 4, 5
 _DELTA = np.asarray([[1, 0], [0, 1], [-1, 0], [0, -1]], np.int32)

@@ -517,10 +517,9 @@ class GridWorld:
         """Count of targets attacked by more than one agent last step
         (reference stat recorder, GridWorld.cc:492-517, 'both_attack'
         info GridWorld.cc:889-890)."""
-        from .render.generator import RenderGenerator
+        from .render.generator import attack_events
 
-        gen = self._render_gen or RenderGenerator(self._render_dir or "render")
-        events = gen._attack_events(self)
+        events = attack_events(self)
         cells = {}
         for (_aid, tx, ty) in events:
             cells[(tx, ty)] = cells.get((tx, ty), 0) + 1

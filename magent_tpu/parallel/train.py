@@ -94,7 +94,7 @@ def make_dqn_train_step(
         )
         return env_state, traj
 
-    def group_loss(p, tp, g, traj):
+    def group_loss(p, tp, g, traj, alive0):
         """Masked double-DQN TD loss for group ``g`` over the rollout."""
         n_act = spec.groups[g].type.n_action
         view = traj["views"][g]  # [T, B, cap, vh, vw, C]
@@ -128,9 +128,10 @@ def make_dqn_train_step(
         target = jnp.where(
             terminal, rew[:-1], rew[:-1] + gamma * jax.lax.stop_gradient(next_v)
         )
-        # only transitions whose state was alive count
+        # only transitions whose state was alive count; the first step's
+        # liveness comes from the carried env state, not a constant
         prev_alive = jnp.concatenate(
-            [jnp.ones((1, B, caps[g]), bool), alive[:-2]], axis=0
+            [alive0[None], alive[:-2]], axis=0
         )
         mask = prev_alive.astype(jnp.float32)
         td = jnp.square(jax.lax.stop_gradient(target) - q_t)
@@ -138,12 +139,14 @@ def make_dqn_train_step(
 
     def train_step(params, target_params, opt_states, env_state, key, eps):
         key, rkey = jax.random.split(key)
+        alive_in = env_state.active & ~env_state.dead
         env_state, traj = rollout(params, env_state, rkey, eps)
 
         new_params, new_opts, losses = [], [], []
         for g in range(G):
+            alive0 = alive_in[:, offs[g] : offs[g] + caps[g]]
             loss, grads = jax.value_and_grad(group_loss)(
-                params[g], target_params[g], g, traj
+                params[g], target_params[g], g, traj, alive0
             )
             updates, opt_g = tx.update(grads, opt_states[g], params[g])
             new_params.append(optax.apply_updates(params[g], updates))

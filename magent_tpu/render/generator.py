@@ -33,6 +33,43 @@ def _rgba(r, g, b, alpha):
     return '"rgba(%d,%d,%d,%s)"' % (r, g, b, a)
 
 
+def attack_events(env):
+    """Reconstruct (id, tx, ty) per attacking agent from last actions
+    (reference: GridWorld.cc:475-490 records the event before checking the
+    target).  Pure read of env state; also used by env.get_both_attack."""
+    from ..core import geometry as geo
+
+    spec = env.spec
+    events = []
+    st = env.state
+    actions = env._actions
+    x = np.asarray(st.x)
+    y = np.asarray(st.y)
+    d = np.asarray(st.dir)
+    ids = np.asarray(st.id)
+    active = np.asarray(st.active)
+    dead = np.asarray(st.dead)
+    for g in spec.groups:
+        t = g.type
+        sl = slice(g.offset, g.offset + g.cap)
+        act = actions[sl]
+        is_attack = (
+            active[sl] & ~dead[sl] & (act >= t.attack_base) & (act < t.n_action)
+        )
+        if not is_attack.any():
+            continue
+        for k in np.nonzero(is_attack)[0]:
+            s = g.offset + k
+            att = act[k] - t.attack_base
+            dx, dy = t.attack_range.num2delta(int(att))
+            rx, ry = geo.save_to_real_np(x[s], y[s], d[s], t.width, t.length)
+            tx, ty = geo.rela_to_abs_np(
+                rx, ry, d[s], t.att_x_offset + dx, t.att_y_offset + dy
+            )
+            events.append((int(ids[s]), int(tx), int(ty)))
+    return events
+
+
 class RenderGenerator:
     def __init__(self, save_dir: str, frame_per_file: int = 10000):
         self.save_dir = save_dir
@@ -88,40 +125,7 @@ class RenderGenerator:
 
     # ----------------------------------------------------------------- frames
     def _attack_events(self, env):
-        """Reconstruct (id, tx, ty) per attacking agent from last actions."""
-        spec = env.spec
-        events = []
-        st = env.state
-        actions = env._actions
-        x = np.asarray(st.x)
-        y = np.asarray(st.y)
-        d = np.asarray(st.dir)
-        ids = np.asarray(st.id)
-        active = np.asarray(st.active)
-        dead = np.asarray(st.dead)
-        for g in spec.groups:
-            t = g.type
-            sl = slice(g.offset, g.offset + g.cap)
-            act = actions[sl]
-            is_attack = (
-                active[sl] & ~dead[sl] & (act >= t.attack_base) & (act < t.n_action)
-            )
-            if not is_attack.any():
-                continue
-            idx = np.nonzero(is_attack)[0]
-            for k in idx:
-                s = g.offset + k
-                att = act[k] - t.attack_base
-                dx, dy = t.attack_range.num2delta(int(att))
-                # NORTH-only fast path of rela_to_abs (turn mode uses dir)
-                from ..core import geometry as geo
-
-                rx, ry = geo.save_to_real_np(x[s], y[s], d[s], t.width, t.length)
-                tx, ty = geo.rela_to_abs_np(
-                    rx, ry, d[s], t.att_x_offset + dx, t.att_y_offset + dy
-                )
-                events.append((int(ids[s]), int(tx), int(ty)))
-        return events
+        return attack_events(env)
 
     def render_a_frame(self, env):
         """reference: RenderGenerator::render_a_frame
