@@ -109,10 +109,9 @@ def play_a_round(env, map_size, handles, models, print_every, train=True,
             total_loss[i], value[i] = models[i].fetch_train()
         print("train_time %.2f" % (time.time() - start_time))
 
-    def round_list(lst):
-        return [round(float(x), 2) for x in lst]
-
-    return round_list(total_loss), nums, round_list(total_reward), round_list(value)
+    # a2c reports a [pg, vf, ent] loss list per model; round recursively
+    return (magent.round(total_loss), nums, magent.round(total_reward),
+            magent.round(value))
 
 
 def main():
@@ -158,11 +157,13 @@ def main():
     elif args.alg == 'drqn':
         from magent_tpu.builtin.jax_model import DeepRecurrentQNetwork
         RLModel = DeepRecurrentQNetwork
-        base_args = {'batch_size': batch_size / unroll_step, 'unroll_step': unroll_step,
+        base_args = {'batch_size': batch_size // unroll_step, 'unroll_step': unroll_step,
                      'memory_size': 8 * 625, 'learning_rate': 1e-4,
                      'target_update': target_update, 'train_freq': train_freq}
     else:
-        raise NotImplementedError("see train_against.py for a2c usage")
+        from magent_tpu.builtin.jax_model import AdvantageActorCritic
+        RLModel = AdvantageActorCritic
+        base_args = {'batch_size': batch_size, 'learning_rate': 1e-3}
 
     names = [args.name + "-l", args.name + "-r"]
     models = []

@@ -1,0 +1,122 @@
+"""Battle training on the TPU-native fused path: env stepping, observation
+rendering, policy inference and the double-DQN update co-compile into ONE
+XLA program over a batch of lockstep envs, sharded over all devices.
+
+This is the throughput-oriented counterpart of examples/train_battle.py
+(which mirrors the reference's host-driven loop): no host round-trips inside
+a round, transitions never leave device memory, gradients data-parallel
+reduce over ICI. Orders of magnitude more env-steps/s than the hosted loop.
+"""
+
+import argparse
+import logging as log
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+import jax.numpy as jnp
+import optax
+
+import magent_tpu as magent
+from magent_tpu.builtin.config import battle
+from magent_tpu.builtin.jax_model.dqn import DQNNet
+from magent_tpu.parallel import (VecGridWorld, make_dqn_train_step, make_mesh,
+                                 param_sharding, state_sharding)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n_round", type=int, default=200,
+                        help="train-step calls (each = rollout_len env steps)")
+    parser.add_argument("--map_size", type=int, default=64)
+    parser.add_argument("--agents_per_side", type=int, default=64)
+    parser.add_argument("--n_envs", type=int, default=16)
+    parser.add_argument("--rollout_len", type=int, default=8)
+    parser.add_argument("--target_update", type=int, default=40)
+    parser.add_argument("--save_every", type=int, default=50)
+    parser.add_argument("--name", type=str, default="battle-fused")
+    args = parser.parse_args()
+
+    magent.utility.init_logger(args.name)
+
+    venv = VecGridWorld(battle.get_config(args.map_size),
+                        [args.agents_per_side, args.agents_per_side],
+                        n_envs=args.n_envs)
+    spec = venv.spec
+    G = spec.n_groups
+
+    nets = [DQNNet(num_actions=spec.groups[g].type.n_action) for g in range(G)]
+    key = jax.random.PRNGKey(0)
+    params = []
+    for g in range(G):
+        vh, vw, C = spec.view_space(g)
+        F = spec.feature_size(g)
+        p = nets[g].init(
+            jax.random.fold_in(key, g),
+            jnp.zeros((1, vh, vw, C), jnp.float32),
+            jnp.zeros((1, F), jnp.float32),
+        )["params"]
+        params.append(p)
+    params = tuple(params)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-4))
+    opt_states = tuple(tx.init(p) for p in params)
+    target_params = jax.tree.map(lambda x: x, params)
+
+    train_step = make_dqn_train_step(venv, nets, tx,
+                                     rollout_len=args.rollout_len)
+
+    mesh = make_mesh()
+    env_state = venv.reset(jax.random.PRNGKey(1))
+    env_state = jax.device_put(env_state, state_sharding(mesh, env_state))
+    params = jax.device_put(params, param_sharding(mesh, params))
+    target_params = jax.device_put(target_params,
+                                   param_sharding(mesh, target_params))
+    opt_states = jax.device_put(opt_states, param_sharding(mesh, opt_states))
+
+    jitted = jax.jit(train_step)
+    step_key = jax.random.PRNGKey(2)
+
+    print("devices:", len(jax.devices()), " envs:", args.n_envs,
+          " agents/env:", 2 * args.agents_per_side)
+    start = time.time()
+    env_steps = 0
+    for k in range(args.n_round):
+        eps = magent.utility.piecewise_decay(
+            k, [0, args.n_round // 3, args.n_round], [1, 0.2, 0.05])
+        params, opt_states, env_state, metrics = jitted(
+            params, target_params, opt_states, env_state,
+            jax.random.fold_in(step_key, k), eps)
+        if (k + 1) % args.target_update == 0:
+            target_params = jax.tree.map(lambda x: x, params)
+        env_steps += args.rollout_len * args.n_envs
+        if k % 20 == 0 or k == args.n_round - 1:
+            loss = np.asarray(metrics["loss"])
+            rew = np.asarray(metrics["mean_reward"])
+            dt = time.time() - start
+            log.info("round %d\t loss: %s\t reward: %s\t env_steps/s: %.1f"
+                     % (k, np.round(loss, 4).tolist(),
+                        np.round(rew, 4).tolist(), env_steps / dt))
+
+    dt = time.time() - start
+    total_agents = 2 * args.agents_per_side
+    print("trained %d env-steps (%.1fM agent-steps) in %.1fs -> %.1f "
+          "agent-steps/s" % (env_steps, env_steps * total_agents / 1e6, dt,
+                             env_steps * total_agents / dt))
+
+    # checkpoints compatible with the hosted DQN loader
+    from magent_tpu.builtin.jax_model.base import _flatten_pytree
+
+    savedir = os.path.join("save_model", args.name)
+    os.makedirs(savedir, exist_ok=True)
+    for g, suffix in enumerate(["l", "r"]):
+        path = os.path.join(savedir, "tfdqn_%d.npz" % g)
+        np.savez(path, **_flatten_pytree(jax.device_get(params[g])))
+    print("saved params to", savedir)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,8 +67,8 @@ class DeepRecurrentQNetwork(JaxBaseModel):
         self.view_space = custom_view_space or env.get_view_space(handle)
         self.feature_space = custom_feature_space or env.get_feature_space(handle)
         self.num_actions = env.get_action_space(handle)[0]
-        self.batch_size = batch_size
-        self.unroll_step = unroll_step
+        self.batch_size = int(batch_size)
+        self.unroll_step = int(unroll_step)
         self.gamma = reward_decay
         self.train_freq = train_freq
         self.memory_size = memory_size
