@@ -190,16 +190,10 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
         tly = y + t.view_y_offset + vr.y1 + pad_y
         pos = tly * Wp + tlx
 
-        if use_pallas:
-            view = wg.window_gather(
-                img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
-                chunk=min(40, wg._ceil_to(gs.cap, 8)), interpret=interpret,
-            )
-        else:
-            view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)
-        view = view.reshape(B, gs.cap, vh, vw, C)
-
-        # --- minimap channels (GridWorld.cc:327-384) ---
+        # --- minimap content (GridWorld.cc:327-384): the pooled global maps
+        # are identical for every agent of the group; the kernel adds them
+        # (plus the per-agent self mark) while writing each window ---
+        mm_img = mm_mask2d = self_cell = None
         if spec.minimap_mode:
             px = jnp.clip(state.x // scale_w, 0, vw - 1)
             py = jnp.clip(state.y // scale_h, 0, vh - 1)
@@ -231,16 +225,30 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             )
             mm = pooled_ext[:, jnp.asarray(np.where(chan_src < 0, G, chan_src))]
             mm = jnp.moveaxis(mm, 1, -1)  # [B, vh, vw, C]
-
-            # self position mark added to every group's minimap channel
+            mm_img = mm.reshape(B, vh, vw * C)
+            mm_ch = (chan_src >= 0).astype(np.float32)
+            mm_mask2d = jnp.asarray(np.tile(mm_ch, (vh, vw)))  # [vh, vw*C]
             self_cell = py[:, sl] * vw + px[:, sl]
+
+        if use_pallas:
+            # measured: XLA fuses the minimap epilogue into one cheap pass
+            # over the views, while doing the adds inside the kernel costs
+            # ~16 extra vector ops per agent — so the kernel only gathers
+            view = wg.window_gather(
+                img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                chunk=min(40, wg._ceil_to(gs.cap, 8)), interpret=interpret,
+            )
+        else:
+            view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)
+        view = view.reshape(B, gs.cap, vh, vw, C)
+        if spec.minimap_mode:
             self_mark = jax.nn.one_hot(self_cell, vh * vw, dtype=jnp.float32)
             self_mark = self_mark.reshape(B, gs.cap, vh, vw)
-            mm_mask = jnp.asarray((chan_src >= 0).astype(np.float32))
+            mm_maskc = jnp.asarray((chan_src >= 0).astype(np.float32))
             view = (
                 view
                 + mm[:, None]
-                + self_mark[..., None] * mm_mask[None, None, None, None, :]
+                + self_mark[..., None] * mm_maskc[None, None, None, None, :]
             )
 
         # --- feature vector (GridWorld.cc:386-396) ---

@@ -399,8 +399,8 @@ class DiscreteSnake:
             pos = (tly * Wp + tlx)[None]
 
             if wg.supports_pallas():
-                view = wg.window_gather(flat, pos, mask, vh=vh, vw=vw, C=C,
-                                        Wp=Wp, chunk=min(40, A))
+                view = wg.window_gather(flat, pos * 1024, mask, vh=vh, vw=vw,
+                                        C=C, Wp=Wp, chunk=min(40, A))
             else:
                 view = wg.window_gather_xla(flat, pos, mask, vh=vh, vw=vw,
                                             C=C, Wp=Wp)
