@@ -124,6 +124,33 @@ def turn_cfg(gw, map_size):
     return cfg
 
 
+def food_cfg(gw, map_size):
+    """food_mode: kills leave corpse food, attacks on food eat it"""
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"food_mode": True})
+    cfg.set({"embedding_size": 8})
+    hunter = cfg.register_agent_type(
+        "hunter",
+        {'width': 1, 'length': 1, 'hp': 10, 'speed': 1,
+         'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(1),
+         'damage': 4, 'step_recover': -0.3, 'eat_ability': 3,
+         'food_supply': 6, 'kill_supply': 2,
+         'step_reward': -0.01, 'kill_reward': 2, 'attack_penalty': -0.1,
+         'attack_in_group': True})
+    prey = cfg.register_agent_type(
+        "prey",
+        {'width': 1, 'length': 1, 'hp': 4, 'speed': 1,
+         'view_range': gw.CircleRange(2), 'attack_range': gw.CircleRange(0),
+         'food_supply': 8, 'step_recover': 0.1})
+    g0 = cfg.add_group(hunter)
+    g1 = cfg.add_group(prey)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'kill', b), receiver=a, value=1)
+    return cfg
+
+
 def absorb_cfg(gw, map_size):
     """can_absorb goal markers + colliding agents (the arrange demo flow)"""
     cfg = gw.Config()
@@ -228,6 +255,16 @@ SCENARIOS = {
             [[6 + 4 * i, 7 + 4 * j, (i + 2 * j) % 4] for i in range(3) for j in range(3)],
         ],
     ),
+    # food_mode: corpse drops + eating food via attack
+    "food": dict(
+        cfg=food_cfg, map_size=20, steps=50, action_seed=29,
+        placements=[_grid(5, 5, 3, 3, 2), _grid(6, 6, 4, 4, 2)],
+    ),
+    # fill placement method (rect tiling, GridWorld.cc:259-284)
+    "fill_place": dict(
+        cfg=battle_cfg, map_size=24, steps=20, action_seed=31,
+        fill_placements=[(0, (4, 4), (8, 10)), (1, (14, 8), (6, 8))],
+    ),
     # can_absorb goals + collide rewards (arrange demo mechanics)
     "absorb": dict(
         cfg=absorb_cfg, map_size=20, steps=40, action_seed=19,
@@ -258,6 +295,9 @@ def run_scenario(magent_module, scenario, engine_mode=None):
                 env.add_walls(method="random", n=n)
             else:
                 env.add_agents(handles[what], method="random", n=n)
+    elif "fill_placements" in spec:
+        for g, pos, size in spec["fill_placements"]:
+            env.add_agents(handles[g], method="fill", pos=pos, size=size)
     else:
         for h, pos in zip(handles, spec["placements"]):
             env.add_agents(h, method="custom", pos=pos)
