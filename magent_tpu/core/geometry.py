@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..spec import EAST, NORTH, SOUTH, WEST
+from ..spec import NORTH, SOUTH, WEST
 
 
 def save_to_real(x, y, d, w, l):

@@ -22,8 +22,6 @@ rotation), using plain XLA gathers.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

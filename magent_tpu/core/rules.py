@@ -20,7 +20,6 @@ vectorized plans; evaluation is pure array ops inside the jitted step:
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..config import AgentSymbol, EventNode

@@ -28,9 +28,9 @@ import numpy as np
 
 from .. import spec as speclib
 from ..config import AgentSymbol, EventNode
-from ..spec import (EAST, NORTH, OP_ALIGN, OP_AND, OP_AT, OP_ATTACK,
+from ..spec import (NORTH, OP_ALIGN, OP_AND, OP_AT, OP_ATTACK,
                     OP_COLLIDE, OP_DIE, OP_IN, OP_IN_A_LINE, OP_KILL, OP_NOT,
-                    OP_NULL, OP_OR, SOUTH, WEST)
+                    OP_OR, SOUTH, WEST)
 
 LOGIC_OPS = (OP_AND, OP_OR, OP_NOT)
 BINARY_OPS = (OP_KILL, OP_COLLIDE, OP_ATTACK)

@@ -21,7 +21,6 @@ import os
 
 import numpy as np
 
-from .. import spec as speclib
 
 _COLORS = [(192, 64, 64), (64, 64, 192), (64, 192, 64), (64, 64, 64)]
 _DIR2ANGLE = [0, 90, 180, 270]

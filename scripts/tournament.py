@@ -7,8 +7,6 @@ import os
 import re
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import magent_tpu as magent
 from magent_tpu.builtin.jax_model import DeepQNetwork

@@ -1,0 +1,58 @@
+"""Fused rollout+train step behavior tests (parallel/train.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from magent_tpu.builtin.config import battle
+from magent_tpu.builtin.jax_model.dqn import DQNNet
+from magent_tpu.parallel import VecGridWorld, make_dqn_train_step
+
+
+def _setup(n_envs=4, cap=6):
+    venv = VecGridWorld(battle.get_config(20), [cap, cap], n_envs=n_envs)
+    spec = venv.spec
+    nets = [DQNNet(num_actions=spec.groups[g].type.n_action) for g in range(2)]
+    params = []
+    for g in range(2):
+        vh, vw, C = spec.view_space(g)
+        F = spec.feature_size(g)
+        p = nets[g].init(jax.random.PRNGKey(g),
+                         jnp.zeros((1, vh, vw, C), jnp.float32),
+                         jnp.zeros((1, F), jnp.float32))["params"]
+        params.append(p)
+    params = tuple(params)
+    tx = optax.adam(1e-3)
+    opts = tuple(tx.init(p) for p in params)
+    tgt = jax.tree.map(lambda x: x, params)
+    step = jax.jit(make_dqn_train_step(venv, nets, tx, rollout_len=3))
+    return venv, params, tgt, opts, step
+
+
+def test_train_step_with_dead_agents():
+    venv, params, tgt, opts, step = _setup()
+    state = venv.reset(jax.random.PRNGKey(0))
+    # kill half of group 0 up front (dead but not compacted — the lockstep
+    # regime); the boundary mask must come from this state
+    dead = np.asarray(state.dead).copy()
+    dead[:, :3] = True
+    state = state.replace(dead=jnp.asarray(dead))
+
+    p1, o1, s1, m1 = step(params, tgt, opts, state, jax.random.PRNGKey(1), 0.5)
+    loss = np.asarray(m1["loss"])
+    assert np.all(np.isfinite(loss))
+    # params actually moved
+    delta = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         params[0], p1[0])
+    assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_train_step_chains():
+    venv, params, tgt, opts, step = _setup()
+    state = venv.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(2)
+    for k in range(3):
+        params, opts, state, metrics = step(
+            params, tgt, opts, state, jax.random.fold_in(key, k), 0.5)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
