@@ -1,7 +1,8 @@
 """Play the interactive battle game against trained models
 (parity with reference examples/show_battle_game.py).
 
-Train first with examples/train_battle.py, then run this."""
+Train first with examples/train_battle_game.py (which saves the
+trusty-battle-game-l/r checkpoints this loads), then run this."""
 
 import os
 import sys

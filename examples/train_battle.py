@@ -140,8 +140,7 @@ def main():
         print("sample eval set...")
         env.reset()
         generate_map(env, args.map_size, handles)
-        for i in range(len(handles)):
-            eval_obs[i] = magent.utility.sample_observation(env, handles, 2048, 500)[i]
+        eval_obs = magent.utility.sample_observation(env, handles, 2048, 500)
 
     batch_size = 256
     unroll_step = 8

@@ -110,12 +110,12 @@ def main():
     # checkpoints compatible with the hosted DQN loader
     from magent_tpu.builtin.jax_model.base import _flatten_pytree
 
-    savedir = os.path.join("save_model", args.name)
-    os.makedirs(savedir, exist_ok=True)
     for g, suffix in enumerate(["l", "r"]):
-        path = os.path.join(savedir, "tfdqn_%d.npz" % g)
+        savedir = os.path.join("save_model", "%s-%s" % (args.name, suffix))
+        os.makedirs(savedir, exist_ok=True)
+        path = os.path.join(savedir, "tfdqn_0.npz")
         np.savez(path, **_flatten_pytree(jax.device_get(params[g])))
-    print("saved params to", savedir)
+        print("saved", path)
 
 
 if __name__ == "__main__":

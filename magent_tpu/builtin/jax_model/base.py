@@ -37,6 +37,18 @@ def _unflatten_pytree(flat):
     return tree
 
 
+def latest_epoch(dir_name, name, subclass="tfdqn"):
+    """Highest saved epoch of ``dir_name/name`` or None when absent."""
+    import re
+
+    path = os.path.join(dir_name, name)
+    if not os.path.isdir(path):
+        return None
+    epochs = [int(m.group(1)) for f in os.listdir(path)
+              for m in [re.match(r"%s_(\d+)\.npz$" % subclass, f)] if m]
+    return max(epochs) if epochs else None
+
+
 def round_up_pow2(n, lo=64):
     """pad agent batches to power-of-two buckets so XLA compiles few shapes"""
     m = lo

@@ -70,20 +70,26 @@ def generate_map(env, map_size, goal_handle, agent_handle, messages, font,
 
 
 class ArrangeServer(BaseServer):
-    def __init__(self, path="save_model", epoch=0, name="arrange",
+    def __init__(self, path="save_model", epoch=None, name="arrange",
                  messages=None, map_size=100, total_step=1000, eps=0.15,
                  font_file="data/font_8x8/basic.txt"):
+        from magent_tpu.builtin.jax_model.base import latest_epoch
+
         messages = messages or ["MAGENT"]
         env = magent.GridWorld(load_config(map_size))
         goal_handle, agent_handle = env.get_handles()
 
+        ep = epoch if epoch is not None else latest_epoch(path, name)
         try:
+            if ep is None:
+                raise FileNotFoundError(name)
             model = DeepQNetwork(env, agent_handle, name, memory_size=2 ** 10)
-            model.load(path, epoch, name)
-            print("loaded %s epoch %d" % (name, epoch))
+            model.load(path, ep, name)
+            print("loaded %s epoch %d" % (name, ep))
         except FileNotFoundError:
             model = RandomActor(env, agent_handle)
-            print("no checkpoint for %s: agents act randomly" % name)
+            print("no checkpoint for %s: agents act randomly "
+                  "(train with examples/train_arrange.py)" % name)
 
         env.reset()
         font = FontProvider(font_file)

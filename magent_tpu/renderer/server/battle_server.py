@@ -52,9 +52,12 @@ def generate_map(env, map_size, handles):
 
 
 class BattleServer(BaseServer):
-    def __init__(self, path="save_model", epoch=0, names=("battle-l", "battle-r"),
+    def __init__(self, path="save_model", epoch=None,
+                 names=("trusty-battle-game-l", "trusty-battle-game-r"),
                  map_size=125, total_step=1000, add_counter=10, add_interval=50,
                  eps=0.05):
+        from magent_tpu.builtin.jax_model.base import latest_epoch
+
         env = magent.GridWorld(load_config(map_size))
         handles = env.get_handles()
         models = [
@@ -62,11 +65,15 @@ class BattleServer(BaseServer):
             DeepQNetwork(env, handles[1], names[1], memory_size=2 ** 10),
         ]
         for i, model in enumerate(models):
+            ep = epoch if epoch is not None else latest_epoch(path, names[i])
             try:
-                model.load(path, epoch, names[i])
-                print("loaded %s epoch %d" % (names[i], epoch))
+                if ep is None:
+                    raise FileNotFoundError(names[i])
+                model.load(path, ep, names[i])
+                print("loaded %s epoch %d" % (names[i], ep))
             except FileNotFoundError:
-                print("no checkpoint for %s: plays untrained" % names[i])
+                print("no checkpoint for %s: plays untrained "
+                      "(train with examples/train_battle_game.py)" % names[i])
 
         env.reset()
         generate_map(env, map_size, handles)

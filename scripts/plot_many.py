@@ -13,8 +13,9 @@ from plot_log import parse_log_file, to_numbers
 if __name__ == "__main__":
     rec_filename = sys.argv[1]
     plot_key = sys.argv[2]
-    col = int(sys.argv[3]) if len(sys.argv) > 3 else -1
-    silent = sys.argv[-1] == "--silent"
+    silent = "--silent" in sys.argv
+    args = [a for a in sys.argv[3:] if a != "--silent"]
+    col = int(args[0]) if args else -1
 
     rec_dict = parse_log_file(rec_filename)
 

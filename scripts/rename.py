@@ -19,7 +19,11 @@ if __name__ == "__main__":
         m = pattern.match(name)
         if m:
             new = "%s_%d.npz" % (m.group(1), int(m.group(2)) + args.offset)
-            renames.append((name, new))
+            renames.append((int(m.group(2)), name, new))
+    # process in an order where a rename can never clobber a yet-unrenamed
+    # file: descending epochs for positive offsets, ascending for negative
+    renames.sort(key=lambda r: r[0], reverse=args.offset > 0)
+    renames = [(old, new) for _, old, new in renames]
     for old, new in renames:
         print("%s -> %s" % (old, new))
         if not args.dry:

@@ -83,6 +83,7 @@ def run_host_loop(args):
     print(env.get_view_space(deer_handle))
     print(env.get_view_space(tiger_handle))
     total_time = 0
+    measured_steps = 0
 
     for i in range(n_step):
         print("===== step %d =====" % i)
@@ -104,6 +105,7 @@ def run_host_loop(args):
         step_time = time.time() - start_time
         if i >= skip:
             total_time += step_time
+            measured_steps += 1
         print("all time: %.2f\n" % step_time)
 
         print("number of deer: %d" % env.get_num(deer_handle))
@@ -114,7 +116,10 @@ def run_host_loop(args):
             print("game over")
             break
 
-    print("FPS", (n_step - skip) * args.agent_number / total_time)
+    if measured_steps and total_time > 0:
+        print("FPS", measured_steps * args.agent_number / total_time)
+    else:
+        print("episode ended during warm-up; no FPS measured")
 
 
 def run_vectorized(args):

@@ -61,10 +61,11 @@ def extract_checkpoints(savedir, name, begin=0, pick_every=4):
     """list saved epochs of a model (checkpoints are <subclass>_<epoch>.npz)"""
     pattern = re.compile(r"tfdqn_(\d+)\.npz")
     ret = []
-    for path in sorted(os.listdir(os.path.join(savedir, name))):
+    for path in os.listdir(os.path.join(savedir, name)):
         match = pattern.match(path)
         if match and int(match.group(1)) >= begin:
             ret.append(int(match.group(1)))
+    ret.sort()  # numeric generation order (reference: tournament.py:81)
     return ret[::pick_every]
 
 

@@ -147,7 +147,7 @@ setInterval(() => {
 
 window.addEventListener("keydown", (e) => {
   if (e.target.tagName === "INPUT") return;
-  if (e.key === "ArrowRight") { frame = Math.min(frame + 1, nFrames - 1); }
+  if (e.key === "ArrowRight") { frame = nFrames ? Math.min(frame + 1, nFrames - 1) : 0; }
   else if (e.key === "ArrowLeft") { frame = Math.max(frame - 1, 0); }
   else if (e.key === " ") { playBtn.onclick(); e.preventDefault(); return; }
   else if (e.key === "+" || e.key === "=") { fps = Math.min(fps * 2, 80); return; }

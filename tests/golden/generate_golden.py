@@ -29,7 +29,9 @@ def main():
     args = parser.parse_args()
 
     sys.path.insert(0, os.path.join(args.reference, "python"))
-    os.environ.setdefault("OMP_NUM_THREADS", "2")
+    # the reference engine must run single-threaded for bit-exact
+    # event ordering (its attack loop is an OpenMP merge reduction)
+    os.environ["OMP_NUM_THREADS"] = "1"
     import magent  # the reference package
 
     for name in args.scenarios:
