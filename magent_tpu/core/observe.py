@@ -166,12 +166,16 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     gof = spec.group_of_slot
 
     # the kernel keeps one env's padded channel image in VMEM (~16MB/core);
-    # for very large maps (the 1M-agent mega-battle scale) fall back to the
-    # XLA gather until the spatially-sharded path lands
+    # very large maps (the 1M-agent single-map scale) instead process the
+    # image in horizontal bands with agents sorted by band
     image_bytes = Hp * lanes * 4
     fits_vmem = image_bytes <= 12 * 1024 * 1024
-    use_pallas = (not force_xla) and fits_vmem and (
-        wg.supports_pallas() or interpret)
+    band_rows = 32
+    rows_margin = wg._ceil_to(vh + 7, 8)
+    band_fits = (band_rows + rows_margin) * lanes * 4 <= 8 * 1024 * 1024
+    backend_ok = wg.supports_pallas() or interpret
+    use_pallas = (not force_xla) and fits_vmem and backend_ok
+    use_banded = (not force_xla) and not fits_vmem and band_fits and backend_ok
 
     def observe_batched(state: State, grids=None):
         B = state.x.shape[0]
@@ -235,6 +239,12 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             view = wg.window_gather(
                 img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                 chunk=min(40, wg._ceil_to(gs.cap, 8)), interpret=interpret,
+            )
+        elif use_banded:
+            view = wg.window_gather_banded(
+                img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                chunk=min(40, wg._ceil_to(gs.cap, 8)), band_rows=band_rows,
+                interpret=interpret,
             )
         else:
             view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)

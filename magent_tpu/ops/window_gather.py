@@ -200,6 +200,170 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
     return out[:, :N]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("vh", "vw", "C", "Wp", "chunk", "band_rows", "interpret"),
+)
+def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
+                         band_rows=32, interpret=False):
+    """Window gather for images too large for VMEM: the image is processed
+    in horizontal bands; agents are sorted by band and each kernel program
+    loads only its band's block.
+
+    Same contract as :func:`window_gather` with unpacked positions
+    (``pos = tl_y * Wp + tl_x``, no self-cell packing).  Returns windows in
+    SLOT order (the band sort is undone with one gather over the outputs).
+
+    ``band_rows`` must be a multiple of 8 (sublane alignment); the block a
+    program sees is ``band_rows + rows`` tall, so VMEM use is
+    ``(band_rows + rows) * lanes * 4`` bytes.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert band_rows % _SUBLANE == 0
+    B, Hp, lanes = gfull.shape
+    N = pos.shape[1]
+    vwc = vw * C
+    rows = _ceil_to(vh + _SUBLANE - 1, _SUBLANE)
+    lanes_load = _ceil_to(vwc + _LANE - 1, _LANE)
+    n_bands = -(-Hp // band_rows)
+    block_rows = band_rows + rows
+    # pad the image so the last band's block never runs off the end
+    gfull = jnp.pad(gfull, ((0, 0), (0, n_bands * band_rows + rows - Hp),
+                            (0, 0)))
+
+    # block indexing cannot express overlapping blocks, so build a banded
+    # image whose band b slab replicates its `rows` margin from band b+1
+    slabs = [
+        jax.lax.dynamic_slice_in_dim(gfull, b * band_rows, block_rows, axis=1)
+        for b in range(n_bands)
+    ]
+    gbanded = jnp.concatenate(slabs, axis=1)  # [B, n_bands*block_rows, lanes]
+
+    # ---- band sort + per-band chunk padding (pure XLA bookkeeping) ----
+    band = pos // (Wp * band_rows)
+    slot_iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    s_band, s_pos, s_slot = jax.lax.sort(
+        (band.astype(jnp.int32), pos.astype(jnp.int32), slot_iota), num_keys=1
+    )
+    # rank within band
+    def per_env(s_band_e, s_pos_e, s_slot_e):
+        counts = jnp.zeros(n_bands, jnp.int32).at[s_band_e].add(1)
+        padded = -(-counts // chunk) * chunk
+        pad_off = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1]]
+        )
+        start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        rank = jnp.arange(N, dtype=jnp.int32) - start[s_band_e]
+        dest = pad_off[s_band_e] + rank
+        return dest, padded, pad_off
+
+    dest, padded_counts, pad_offs = jax.vmap(per_env)(s_band, s_pos, s_slot)
+
+    n_pad_total = _ceil_to(N, chunk) + n_bands * chunk  # static upper bound
+    n_chunks = n_pad_total // chunk
+    # chunk -> band table (per env): chunk k belongs to the band whose padded
+    # range contains k*chunk
+    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    chunk_band = (
+        jnp.sum(
+            (pad_offs[:, None, :] <= chunk_starts[None, :, None]).astype(
+                jnp.int32
+            ),
+            axis=2,
+        )
+        - 1
+    )
+    chunk_band = jnp.clip(chunk_band, 0, n_bands - 1)
+
+    # padded position/slot tables; dummies point at their band's first row
+    pos_pad = jnp.zeros((B, n_pad_total), jnp.int32)
+    pos_pad = pos_pad.reshape(B, n_chunks, chunk) + (
+        chunk_band[:, :, None] * band_rows * Wp
+    )
+    pos_pad = pos_pad.reshape(B, n_pad_total)
+    pos_pad = pos_pad.at[
+        jnp.arange(B)[:, None], dest
+    ].set(s_pos)
+    slot_pad = jnp.full((B, n_pad_total), -1, jnp.int32).at[
+        jnp.arange(B)[:, None], dest
+    ].set(s_slot)
+
+    # the position table must fit SMEM (~1MB): split the launch over chunk
+    # ranges; the banded image operand is shared (no copies)
+    smem_budget = 200_000  # int32 elements
+    k_sub = max(1, min(n_chunks, smem_budget // chunk))
+
+    def launch(pos_part, band_part, k_count):
+        def kernel(pos_ref, band_ref, g_ref, mask_ref, out_ref):
+            b = pl.program_id(0)
+            k = pl.program_id(1)
+            base = b * (k_count * chunk) + k * chunk
+            band_base = band_ref[b * k_count + k] * band_rows
+            m = mask_ref[...]
+
+            def body(a, _):
+                p = pos_ref[base + a]
+                yy = p // Wp - band_base
+                lane = (p % Wp) * C
+                y8 = (yy // _SUBLANE) * _SUBLANE
+                l128 = (lane // _LANE) * _LANE
+                win = g_ref[
+                    0,
+                    pl.ds(pl.multiple_of(y8, _SUBLANE), rows),
+                    pl.ds(pl.multiple_of(l128, _LANE), lanes_load),
+                ]
+                win = pltpu.roll(win, (rows - (yy - y8)) % rows, 0)
+                win = pltpu.roll(win, (lanes_load - (lane - l128)) % lanes_load, 1)
+                out_ref[0, a] = win[:vh, :vwc] * m
+                return 0
+
+            jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, k_count),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, block_rows, lanes),
+                        lambda b, k, pos, band: (b, band[b * k_count + k], 0),
+                    ),
+                    pl.BlockSpec((vh, vwc), lambda b, k, pos, band: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, chunk, vh, vwc), lambda b, k, pos, band: (b, k, 0, 0)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, k_count * chunk, vh, vwc),
+                                           jnp.float32),
+            interpret=interpret,
+        )(pos_part.reshape(-1), band_part.reshape(-1), gbanded, mask)
+
+    if k_sub == n_chunks:
+        out = launch(pos_pad, chunk_band, n_chunks)
+    else:
+        parts = []
+        pos_3d = pos_pad.reshape(B, n_chunks, chunk)
+        for k0 in range(0, n_chunks, k_sub):
+            kc = min(k_sub, n_chunks - k0)
+            parts.append(launch(
+                pos_3d[:, k0 : k0 + kc].reshape(B, kc * chunk),
+                chunk_band[:, k0 : k0 + kc], kc,
+            ))
+        out = jnp.concatenate(parts, axis=1)
+
+    # undo the band sort: for each original slot, where did its window land
+    inv = jnp.zeros((B, N), jnp.int32).at[
+        jnp.arange(B)[:, None], s_slot
+    ].set(dest)
+    return jnp.take_along_axis(out, inv[:, :, None, None], axis=1)
+
+
 def window_gather_xla(gfull, pos, mask, *, vh, vw, C, Wp):
     """Reference XLA fallback (CPU tests / non-TPU backends): same contract
     as :func:`window_gather`, implemented with a plain gather."""

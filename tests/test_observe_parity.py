@@ -75,3 +75,25 @@ def test_batched_observe_matches_single():
     for b in range(3):
         np.testing.assert_allclose(np.asarray(vb[b]), np.asarray(v1), atol=1e-6)
         np.testing.assert_allclose(np.asarray(fb[b]), np.asarray(f1), atol=1e-6)
+
+
+def test_banded_kernel_matches_xla():
+    """window_gather_banded (huge-map path) == plain gather, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    from magent_tpu.ops import window_gather as wg
+
+    B, H, W, C, N = 2, 90, 90, 5, 37
+    vh = vw = 7
+    Hp, Wp, lanes, pad_y, pad_x = wg.padded_geometry(H, W, C, vh, vw)
+    key = jax.random.PRNGKey(0)
+    gfull = jax.random.uniform(key, (B, Hp, lanes), jnp.float32)
+    xs = jax.random.randint(key, (B, N), 0, W)
+    ys = jax.random.randint(jax.random.fold_in(key, 1), (B, N), 0, H)
+    pos = (ys + pad_y) * Wp + (xs + pad_x)
+    mask = jnp.ones((vh, vw * C), jnp.float32)
+
+    ref = wg.window_gather_xla(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)
+    out = wg.window_gather_banded(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                                  chunk=8, band_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
