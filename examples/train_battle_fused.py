@@ -37,7 +37,6 @@ def main():
     parser.add_argument("--n_envs", type=int, default=16)
     parser.add_argument("--rollout_len", type=int, default=8)
     parser.add_argument("--target_update", type=int, default=40)
-    parser.add_argument("--save_every", type=int, default=50)
     parser.add_argument("--name", type=str, default="battle-fused")
     args = parser.parse_args()
 

@@ -1,0 +1,39 @@
+"""Capacity growth: adding agents beyond a group's capacity rebuilds the
+spec with larger caps and migrates state (env.py:_grow)."""
+
+import numpy as np
+
+import magent_tpu as magent
+
+
+def test_grow_preserves_state():
+    env = magent.GridWorld("battle", map_size=48, caps=8)
+    h0, h1 = env.get_handles()
+    env.reset()
+    env.add_agents(h0, method="custom", pos=[[4, 4], [6, 6], [8, 8]])
+    env.add_agents(h1, method="custom", pos=[[20, 20], [22, 22]])
+    pos0_before = env.get_pos(h0).copy()
+    ids1_before = env.get_agent_id(h1).copy()
+
+    # overflow group 1 far beyond its cap of 8
+    new_pos = [[30 + 2 * i, 10 + 2 * j] for i in range(4) for j in range(4)]
+    env.add_agents(h1, method="custom", pos=new_pos)
+
+    assert env.get_num(h1) == 2 + len(new_pos)
+    assert env.spec.groups[1].cap >= env.get_num(h1)
+    # pre-existing agents and ids survived the migration
+    np.testing.assert_array_equal(env.get_pos(h0), pos0_before)
+    np.testing.assert_array_equal(env.get_agent_id(h1)[:2], ids1_before)
+
+    # the env still steps and observes correctly after growth
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        for h in (h0, h1):
+            n = env.get_num(h)
+            view, feat = env.get_observation(h)
+            assert view.shape[0] == n
+            env.set_action(h, rng.randint(
+                0, env.get_action_space(h)[0], n).astype(np.int32))
+        env.step()
+        env.clear_dead()
+    assert env.get_num(h0) + env.get_num(h1) > 0
