@@ -84,30 +84,38 @@ def _fill_body(cell_slot, mask, x, y, bw, bh, slots, max_body):
     return cell_slot
 
 
+
+def _row_lookup(table_2d, idx, count):
+    """table_2d[slot, idx[slot]] for a small static last axis: unrolled
+    compare-select (general gathers are the slow path on TPU)."""
+    out = jnp.zeros(idx.shape, dtype=table_2d.dtype)
+    for k in range(count):
+        out = jnp.where(idx == k, table_2d[:, k], out)
+    return out
+
 def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     """Resolve all attack actions (reference: GridWorld.cc:470-517,
     Map.cc:209-310)."""
     A = spec.n_agents_cap
     H, W = spec.height, spec.width
-    g = jnp.asarray(spec.group_of_slot)
     act = state.last_action
     alive = state.active & ~state.dead
 
-    attack_base = jnp.asarray(spec.g_attack_base)[g]
-    n_action = jnp.asarray(spec.g_n_action)[g]
+    attack_base = jnp.asarray(spec.s_attack_base)
+    n_action = jnp.asarray(spec.s_n_action)
     is_attack = alive & (act >= attack_base) & (act < n_action)
 
     # target cell (reference: Map::get_attack_obj, Map.cc:209-252)
     att_idx = jnp.clip(act - attack_base, 0, spec.max_attack - 1)
-    adx = jnp.asarray(spec.g_att_dx)[g, att_idx]
-    ady = jnp.asarray(spec.g_att_dy)[g, att_idx]
-    w = jnp.asarray(spec.g_width)[g]
-    l = jnp.asarray(spec.g_length)[g]
+    adx = _row_lookup(jnp.asarray(spec.s_att_dx), att_idx, spec.max_attack)
+    ady = _row_lookup(jnp.asarray(spec.s_att_dy), att_idx, spec.max_attack)
+    w = jnp.asarray(spec.s_width)
+    l = jnp.asarray(spec.s_length)
     rx, ry = geo.save_to_real(state.x, state.y, state.dir, w, l)
     tx, ty = geo.rela_to_abs(
         rx, ry, state.dir,
-        jnp.asarray(spec.g_att_x_offset)[g] + adx,
-        jnp.asarray(spec.g_att_y_offset)[g] + ady,
+        jnp.asarray(spec.s_att_x_offset) + adx,
+        jnp.asarray(spec.s_att_y_offset) + ady,
     )
     in_board = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H)
     txc = jnp.clip(tx, 0, W - 1)
@@ -117,15 +125,26 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
         food_amount = jnp.where(is_attack & in_board, state.cell_food[tyc, txc], 0.0)
         food_target = is_attack & (tgt < 0) & (food_amount > 0.0)
 
-    tgt_group = _pad_gather(jnp.asarray(spec.group_of_slot), tgt, 0)
+    # ONE row-gather serves both target hp and target group: gathers are
+    # index-cost-dominated on this TPU, so fetching (hp, group) rows beats
+    # two separate [A]-gathers
+    g = jnp.asarray(spec.group_of_slot)
+    G = spec.n_groups
+    hp_group = jnp.stack([state.hp, g.astype(state.hp.dtype)], axis=1)
+    hp_group = jnp.concatenate(
+        [hp_group, jnp.asarray([[jnp.inf, 0.0]], state.hp.dtype)], axis=0
+    )
+    safe_tgt = jnp.where((tgt >= 0) & (tgt < A), tgt, A)
+    row_t = hp_group[safe_tgt]
+    tgt_group = row_t[:, 1].astype(jnp.int32)
     valid = (
         (tgt >= 0)
-        & (jnp.asarray(spec.g_attack_in_group)[g] | (tgt_group != g))
+        & (jnp.asarray(spec.s_attack_in_group) | (tgt_group != g))
     )
 
     # attack penalty for every attacker, hit or miss (GridWorld.cc:488,505)
     next_reward = state.next_reward + jnp.where(
-        is_attack, jnp.asarray(spec.g_attack_penalty)[g], 0.0
+        is_attack, jnp.asarray(spec.s_attack_penalty), 0.0
     )
 
     # ---- order-aware damage: ONE multi-operand sort by (target, priority)
@@ -133,10 +152,17 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     # fan of post-sort gathers (gathers are the slow path on TPU)
     SENT = A  # sentinel segment for non-attacks
     tgt_key = jnp.where(valid, tgt, SENT).astype(jnp.int32)
-    dmg_slot = jnp.where(valid, jnp.asarray(spec.g_damage)[g], 0.0)
-    kr_t = jnp.asarray(spec.g_kill_reward)[tgt_group]
-    ks_t = jnp.asarray(spec.g_kill_supply)[tgt_group]
-    hp_t = _pad_gather(state.hp, jnp.where(valid, tgt, -1), jnp.inf)
+    dmg_slot = jnp.where(valid, jnp.asarray(spec.s_damage), 0.0)
+
+    def g_table(table):  # tiny per-group tables -> static select chain
+        out = jnp.full(tgt_group.shape, float(table[0]), jnp.float32)
+        for gg in range(1, G):
+            out = jnp.where(tgt_group == gg, float(table[gg]), out)
+        return out
+
+    kr_t = g_table(spec.g_kill_reward)
+    ks_t = g_table(spec.g_kill_supply)
+    hp_t = jnp.where(valid, row_t[:, 0], jnp.inf)
     slot_iota = jnp.arange(A, dtype=jnp.int32)
 
     s_tgt, _, s_slot, s_dmg, s_kill_reward, s_kill_supply, s_tgt_hp, s_valid = (
@@ -189,11 +215,11 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     )
     next_reward = next_reward + gain_pack[:, 0]
     supply_per_slot = gain_pack[:, 1]
-    hp_max = jnp.asarray(spec.g_hp_max)[g]
+    hp_max = jnp.asarray(spec.s_hp_max)
     hp = jnp.where(supply_per_slot > 0, jnp.minimum(hp_max, hp + supply_per_slot), hp)
 
     # dying targets: replace reward with dead_penalty (GridWorld.h:203-208)
-    next_reward = jnp.where(died, jnp.asarray(spec.g_dead_penalty)[g], next_reward)
+    next_reward = jnp.where(died, jnp.asarray(spec.s_dead_penalty), next_reward)
     dead = state.dead | died
 
     # remove dead bodies from the grid (scatter at the dead agents' rects;
@@ -223,7 +249,7 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
         forder = jnp.lexsort((rank, fcell))
         f_cell = fcell[forder]
         f_ok = food_target[forder]
-        f_eat = jnp.where(f_ok, jnp.asarray(spec.g_eat_ability)[g[forder]], 0.0)
+        f_eat = jnp.where(f_ok, _pad_gather(jnp.asarray(spec.s_eat_ability), forder, 0.0), 0.0)
         f_start = _segment_starts(f_cell)
         f_cum = _segment_cumsum(f_eat, f_start)
         flat_food = cell_food.reshape(-1)
@@ -250,10 +276,9 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
 def _starve_phase(spec: speclib.GameSpec, state: State):
     """hp recovery / decay (reference: GridWorld.cc:519-542, Agent::starve
     GridWorld.h:194-201)."""
-    g = jnp.asarray(spec.group_of_slot)
     alive = state.active & ~state.dead
-    rec = jnp.asarray(spec.g_step_recover)[g]
-    hp_max = jnp.asarray(spec.g_hp_max)[g]
+    rec = jnp.asarray(spec.s_step_recover)
+    hp_max = jnp.asarray(spec.s_hp_max)
 
     hp_pos = jnp.minimum(hp_max, state.hp + rec)  # add_hp clips at max
     if bool((spec.g_step_recover > 0).all()):
@@ -263,11 +288,11 @@ def _starve_phase(spec: speclib.GameSpec, state: State):
     hp = jnp.where(alive, jnp.where(rec > 0, hp_pos, hp_neg), state.hp)
     starved = alive & (rec <= 0) & (hp < 0.0)
 
-    next_reward = jnp.where(starved, jnp.asarray(spec.g_dead_penalty)[g], state.next_reward)
+    next_reward = jnp.where(starved, jnp.asarray(spec.s_dead_penalty), state.next_reward)
     dead = state.dead | starved
 
-    w = jnp.asarray(spec.g_width)[g]
-    l = jnp.asarray(spec.g_length)[g]
+    w = jnp.asarray(spec.s_width)
+    l = jnp.asarray(spec.s_length)
     bw, bh = geo.size_for_dir(state.dir, w, l)
     cell_slot = _clear_body(
         state.cell_slot, starved, state.x, state.y, bw, bh, spec.max_body_w
@@ -282,21 +307,20 @@ def _move_phase(spec: speclib.GameSpec, state: State):
     A = spec.n_agents_cap
     H, W = spec.height, spec.width
     MB = spec.max_body_w
-    g = jnp.asarray(spec.group_of_slot)
     act = state.last_action
     alive = state.active & ~state.dead
     slots = jnp.arange(A, dtype=jnp.int32)
 
-    is_move = alive & ~state.absorbed & (act >= 0) & (act < jnp.asarray(spec.g_turn_base)[g])
+    is_move = alive & ~state.absorbed & (act >= 0) & (act < jnp.asarray(spec.s_turn_base))
     midx = jnp.clip(act, 0, spec.max_move - 1)
-    dx = jnp.asarray(spec.g_move_dx)[g, midx]
-    dy = jnp.asarray(spec.g_move_dy)[g, midx]
+    dx = _row_lookup(jnp.asarray(spec.s_move_dx), midx, spec.max_move)
+    dy = _row_lookup(jnp.asarray(spec.s_move_dy), midx, spec.max_move)
     ddx, ddy = geo.rotate_move_delta(state.dir, dx, dy)
     nx = state.x + ddx
     ny = state.y + ddy
 
-    w = jnp.asarray(spec.g_width)[g]
-    l = jnp.asarray(spec.g_length)[g]
+    w = jnp.asarray(spec.s_width)
+    l = jnp.asarray(spec.s_length)
     bw, bh = geo.size_for_dir(state.dir, w, l)
     in_bounds = (nx >= 0) & (ny >= 0) & (nx + bw < W) & (ny + bh < H)  # Map.cc:454-455
 
@@ -310,11 +334,9 @@ def _move_phase(spec: speclib.GameSpec, state: State):
             cx = jnp.clip(nx + i, 0, W - 1)
             cy = jnp.clip(ny + j, 0, H - 1)
             occ = state.cell_slot[cy, cx]
-            blocked = (
-                state.cell_wall[cy, cx]
-                | (state.cell_food[cy, cx] > 0.0)
-                | ((occ >= 0) & (occ != slots))
-            )
+            blocked = state.cell_wall[cy, cx] | ((occ >= 0) & (occ != slots))
+            if spec.food_mode:
+                blocked = blocked | (state.cell_food[cy, cx] > 0.0)
             blank = blank & (~cell_ok | ~blocked)
             hit = cell_ok & in_bounds & (occ >= 0) & (occ != slots) & (collide_obj < 0)
             collide_obj = jnp.where(hit, occ, collide_obj)
@@ -353,7 +375,7 @@ def _move_phase(spec: speclib.GameSpec, state: State):
     absorbed = state.absorbed
     cell_slot = state.cell_slot
     if bool(spec.g_can_absorb.any()):
-        obj_can = collide & _pad_gather(jnp.asarray(spec.g_can_absorb)[g], coll_obj, False)
+        obj_can = collide & _pad_gather(jnp.asarray(spec.s_can_absorb), coll_obj, False)
         obj_absorbed = _pad_gather(absorbed, coll_obj, True)
         cand = collide & obj_can & ~obj_absorbed
         winner_per_obj = jnp.full(A + 1, A, jnp.int32).at[
@@ -398,13 +420,12 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
     A = spec.n_agents_cap
     H, W = spec.height, spec.width
     MB = spec.max_body_w
-    g = jnp.asarray(spec.group_of_slot)
     act = state.last_action
     alive = state.active & ~state.dead
     slots = jnp.arange(A, dtype=jnp.int32)
 
-    turn_base = jnp.asarray(spec.g_turn_base)[g]
-    is_turn = alive & (act >= turn_base) & (act < jnp.asarray(spec.g_attack_base)[g])
+    turn_base = jnp.asarray(spec.s_turn_base)
+    is_turn = alive & (act >= turn_base) & (act < jnp.asarray(spec.s_attack_base))
     # reference quirk: turn actions are buffered as the ABSOLUTE action index
     # (act - move_base with move_base = 0, GridWorld.cc:431/449); the body
     # rotation always takes do_turn's clockwise branch (`wise == -1` never
@@ -412,8 +433,8 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
     # new_dir = (dir + 2*act - 1) % 4 (Map.cc:366)
     wise_raw = 2 * act - 1
 
-    w = jnp.asarray(spec.g_width)[g]
-    l = jnp.asarray(spec.g_length)[g]
+    w = jnp.asarray(spec.s_width)
+    l = jnp.asarray(spec.s_length)
     bw, bh = geo.size_for_dir(state.dir, w, l)
     new_dir = (state.dir + wise_raw) % 4
 
@@ -434,11 +455,9 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
             cx = jnp.clip(sx + i, 0, W - 1)
             cy = jnp.clip(sy + j, 0, H - 1)
             occ = state.cell_slot[cy, cx]
-            blocked = (
-                state.cell_wall[cy, cx]
-                | (state.cell_food[cy, cx] > 0.0)
-                | ((occ >= 0) & (occ != slots))
-            )
+            blocked = state.cell_wall[cy, cx] | ((occ >= 0) & (occ != slots))
+            if spec.food_mode:
+                blocked = blocked | (state.cell_food[cy, cx] > 0.0)
             blank = blank & (~cell_ok | ~blocked)
 
     claim = jnp.full((H + 1, W + 1), A, jnp.int32)
@@ -551,7 +570,7 @@ def make_clear_dead(spec: speclib.GameSpec):
         def permute(arr, default):
             return jnp.where(filled, arr[invc], default)
 
-        step_reward = jnp.asarray(spec.g_step_reward)[gidx]
+        step_reward = jnp.asarray(spec.s_step_reward)
         new_state = state.replace(
             x=permute(state.x, 0),
             y=permute(state.y, 0),

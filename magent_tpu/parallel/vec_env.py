@@ -194,7 +194,7 @@ class VecGridWorld:
         done = stepped.done
 
         # reward rotation normally done by clear_dead (GridWorld.h:168-174)
-        step_reward = jnp.asarray(spec.g_step_reward)[gof]
+        step_reward = jnp.asarray(spec.s_step_reward)
         A = spec.n_agents_cap
         rotated = stepped.replace(
             last_reward=rewards,
@@ -225,8 +225,7 @@ class VecGridWorld:
 
     def random_actions(self, key, shape_only=False):
         """Uniform random action per slot, valid for each slot's group."""
-        gof = jnp.asarray(self.spec.group_of_slot)
-        n_act = jnp.asarray(self.spec.g_n_action)[gof]
+        n_act = jnp.asarray(self.spec.s_n_action)
         u = jax.random.uniform(key, (self.n_envs, self.spec.n_agents_cap))
         return (u * n_act).astype(jnp.int32)
 
