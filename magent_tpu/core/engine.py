@@ -190,31 +190,28 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     died = (tgt_fx[:, 1] > 0) & state.active & ~state.dead
 
     # ---- attacker effects: packed scatters back through the permutation
-    ops_pack = jnp.zeros((A, 2), jnp.int32).at[s_slot].set(
+    # one 4-wide f32 scatter (op, obj, kill_reward, kill_supply): s_slot is a
+    # full permutation so every row is written; op/obj are small ints, exact
+    # in f32.  Index count dominates scatter cost on TPU, width is ~free.
+    atk_pack = jnp.zeros((A, 4), jnp.float32).at[s_slot].set(
         jnp.stack(
             [
                 jnp.where(is_killer, OP_KILL, jnp.where(acted, OP_ATTACK, OP_NULL)
-                          ).astype(jnp.int32),
-                jnp.where(acted, s_tgt, -1).astype(jnp.int32),
-            ],
-            axis=1,
-        )
-    )
-    op_new, obj_new = ops_pack[:, 0], ops_pack[:, 1]
-    last_op = jnp.where(op_new != OP_NULL, op_new, state.last_op)
-    op_obj = jnp.where(op_new != OP_NULL, obj_new, state.op_obj)
-
-    gain_pack = jnp.zeros((A, 2), dtype=state.hp.dtype).at[s_slot].set(
-        jnp.stack(
-            [
+                          ).astype(jnp.float32),
+                jnp.where(acted, s_tgt, -1).astype(jnp.float32),
                 jnp.where(is_killer, s_kill_reward, 0.0),
                 jnp.where(is_killer, s_kill_supply, 0.0),
             ],
             axis=1,
         )
     )
-    next_reward = next_reward + gain_pack[:, 0]
-    supply_per_slot = gain_pack[:, 1]
+    op_new = atk_pack[:, 0].astype(jnp.int32)
+    obj_new = atk_pack[:, 1].astype(jnp.int32)
+    last_op = jnp.where(op_new != OP_NULL, op_new, state.last_op)
+    op_obj = jnp.where(op_new != OP_NULL, obj_new, state.op_obj)
+
+    next_reward = next_reward + atk_pack[:, 2]
+    supply_per_slot = atk_pack[:, 3]
     hp_max = jnp.asarray(spec.s_hp_max)
     hp = jnp.where(supply_per_slot > 0, jnp.minimum(hp_max, hp + supply_per_slot), hp)
 
@@ -328,18 +325,21 @@ def _move_phase(spec: speclib.GameSpec, state: State):
     # Map::get_collide Map.cc:486-501)
     blank = is_move & in_bounds
     collide_obj = jnp.full(A, -1, jnp.int32)
+    # encode wall/food into the occupancy grid so ONE gather answers
+    # "blocked?" and "by whom?" (gathers are index-cost-dominated on TPU)
+    enc = jnp.where(state.cell_wall, -2, state.cell_slot)
+    if spec.food_mode:
+        enc = jnp.where(state.cell_food > 0.0, -3, enc)
     for i in range(MB):
         for j in range(MB):
             cell_ok = is_move & (i < bw) & (j < bh)
             cx = jnp.clip(nx + i, 0, W - 1)
             cy = jnp.clip(ny + j, 0, H - 1)
-            occ = state.cell_slot[cy, cx]
-            blocked = state.cell_wall[cy, cx] | ((occ >= 0) & (occ != slots))
-            if spec.food_mode:
-                blocked = blocked | (state.cell_food[cy, cx] > 0.0)
+            e = enc[cy, cx]
+            blocked = (e != -1) & (e != slots)
             blank = blank & (~cell_ok | ~blocked)
-            hit = cell_ok & in_bounds & (occ >= 0) & (occ != slots) & (collide_obj < 0)
-            collide_obj = jnp.where(hit, occ, collide_obj)
+            hit = cell_ok & in_bounds & (e >= 0) & (e != slots) & (collide_obj < 0)
+            collide_obj = jnp.where(hit, e, collide_obj)
 
     # cell claims: winner = lowest slot (reference buffer order = slot order)
     claim = jnp.full((H + 1, W + 1), A, jnp.int32)
@@ -449,15 +449,16 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
 
     in_bounds = (sx >= 0) & (sy >= 0) & (sx + nbw < W) & (sy + nbh < H)
     blank = is_turn & in_bounds
+    enc = jnp.where(state.cell_wall, -2, state.cell_slot)
+    if spec.food_mode:
+        enc = jnp.where(state.cell_food > 0.0, -3, enc)
     for i in range(MB):
         for j in range(MB):
             cell_ok = is_turn & (i < nbw) & (j < nbh)
             cx = jnp.clip(sx + i, 0, W - 1)
             cy = jnp.clip(sy + j, 0, H - 1)
-            occ = state.cell_slot[cy, cx]
-            blocked = state.cell_wall[cy, cx] | ((occ >= 0) & (occ != slots))
-            if spec.food_mode:
-                blocked = blocked | (state.cell_food[cy, cx] > 0.0)
+            e = enc[cy, cx]
+            blocked = (e != -1) & (e != slots)
             blank = blank & (~cell_ok | ~blocked)
 
     claim = jnp.full((H + 1, W + 1), A, jnp.int32)
