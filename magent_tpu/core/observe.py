@@ -209,14 +209,34 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
                 counted = counted & ~state.absorbed
             gof_j = jnp.asarray(gof)
 
-            def pool_one(pxe, pye, counte):
-                flat = jnp.zeros((G, vh * vw), jnp.float32).at[
-                    gof_j, pye * vw + pxe
-                ].add(counte.astype(jnp.float32))
-                totals = jnp.maximum(jnp.sum(flat, axis=1), 1.0)
-                return (flat / totals[:, None]).reshape(G, vh, vw)
+            if spec.max_body_w == 1 and not t.can_absorb:
+                # pool the already-rendered channel grid with 0/1 binning
+                # matmuls (MXU work) instead of a per-agent scatter: every
+                # alive agent occupies exactly one cell marked with its
+                # group's channel code, so bin counts are Py @ ind @ Px^T
+                Py = np.zeros((vh, ch_grid.shape[1]), np.float32)
+                Px = np.zeros((ch_grid.shape[2], vw), np.float32)
+                for yy in range(H):
+                    Py[min(yy // scale_h, vh - 1), pad_y + yy] = 1.0
+                for xx in range(W):
+                    Px[pad_x + xx, min(xx // scale_w, vw - 1)] = 1.0
+                code = spec.channel_base + np.arange(G) * spec.channel_scale
+                ind = (ch_grid[..., None] == jnp.asarray(code)).astype(
+                    jnp.float32)  # [B, Hp, Wp, G]
+                pooled = jnp.einsum(
+                    "rh,bhwg,wc->bgrc", jnp.asarray(Py), ind, jnp.asarray(Px)
+                )
+                totals = jnp.maximum(jnp.sum(pooled, axis=(2, 3)), 1.0)
+                pooled = pooled / totals[:, :, None, None]  # [B, G, vh, vw]
+            else:
+                def pool_one(pxe, pye, counte):
+                    flat = jnp.zeros((G, vh * vw), jnp.float32).at[
+                        gof_j, pye * vw + pxe
+                    ].add(counte.astype(jnp.float32))
+                    totals = jnp.maximum(jnp.sum(flat, axis=1), 1.0)
+                    return (flat / totals[:, None]).reshape(G, vh, vw)
 
-            pooled = jax.vmap(pool_one)(px, py, counted)  # [B, G, vh, vw]
+                pooled = jax.vmap(pool_one)(px, py, counted)  # [B, G, vh, vw]
 
             # pooled maps -> their observed channels, one static stack
             chan_src = np.full(C, -1, np.int32)

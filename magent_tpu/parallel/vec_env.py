@@ -189,7 +189,14 @@ class VecGridWorld:
         gof = jnp.asarray(spec.group_of_slot)
         stepped = self.step(state, actions)
 
-        rewards = stepped.next_reward + stepped.group_reward[:, gof]
+        # broadcast group reward per slot via a static select chain — a
+        # gof-indexed gather costs ~0.2ms/step on TPU, selects are free
+        gr_slot = jnp.broadcast_to(
+            stepped.group_reward[:, :1], stepped.next_reward.shape)
+        for g in range(1, self.spec.n_groups):
+            gr_slot = jnp.where(
+                jnp.asarray(gof == g), stepped.group_reward[:, g : g + 1], gr_slot)
+        rewards = stepped.next_reward + gr_slot
         alive = stepped.active & ~stepped.dead
         done = stepped.done
 
