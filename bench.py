@@ -44,9 +44,13 @@ def main():
         state, key = carry
         key, akey = jax.random.split(key)
         # observation rendering for both groups is part of the measured loop
+        # per-agent slice: depends on every agent's window without imposing
+        # a pathological layout on the kernel output (a full-view consumer
+        # like the DQN reads it once; a scalar slice makes XLA copy 75MB
+        # into the slice fusion's preferred layout)
         obs_sum = 0.0
         for view, feat in venv.observe_all(state):
-            obs_sum = obs_sum + jnp.sum(view[:, 0, 0, 0, 0]) + jnp.sum(feat[:, 0, 0])
+            obs_sum = obs_sum + jnp.sum(view[:, :, 0, 0, 0]) + jnp.sum(feat[:, 0, 0])
         actions = venv.random_actions(akey)
         state, rewards, alive, done = venv.transition(state, actions)
         return (state, key), obs_sum + jnp.sum(rewards[:, 0])

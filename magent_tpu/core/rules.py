@@ -95,6 +95,21 @@ def _unary_pred(spec, state, leaf, sym_group):
     raise NotImplementedError("unary op %d" % leaf.op)
 
 
+
+def _group_slot_of(spec, idx):
+    """(group, slot-in-group) of slot index ``idx`` by arithmetic on the
+    contiguous per-group slot ranges — a ``group_of_slot[idx]`` gather costs
+    ~0.2ms/step on TPU, boundary compares are free."""
+    og = jnp.zeros(idx.shape, jnp.int32)
+    base = jnp.zeros(idx.shape, jnp.int32)
+    for g in range(1, spec.n_groups):
+        off = int(spec.group_offsets[g])
+        hit = idx >= off
+        og = og + hit.astype(jnp.int32)
+        base = jnp.where(hit, off, base)
+    return og, idx - base
+
+
 class SingleSubjectRule(_BaseRule):
     """Rules over one subject symbol with at most one inferred object."""
 
@@ -115,10 +130,10 @@ class SingleSubjectRule(_BaseRule):
             # binding: object inferred from subject's op_obj (RewardEngine.cc:405-409)
             oo = state.op_obj
             ok = (oo >= 0) & in_subj
-            og = jnp.where(ok, jnp.asarray(spec.group_of_slot)[jnp.clip(oo, 0, A - 1)], -1)
+            og_raw, oi = _group_slot_of(spec, jnp.clip(oo, 0, A - 1))
+            og = jnp.where(ok, og_raw, -1)
             bind = ok & (og == obj.group)
             if obj.index >= 0:
-                oi = jnp.asarray(spec.slot_in_group)[jnp.clip(oo, 0, A - 1)]
                 bind = bind & (oi == obj.index)
         else:
             bind = in_subj
@@ -220,10 +235,10 @@ class PairSharedObjectRule(_BaseRule):
         m = (g == sym.group) & state.active & (state.last_op == op)
         oo = state.op_obj
         ok = oo >= 0
-        og = jnp.where(ok, jnp.asarray(spec.group_of_slot)[jnp.clip(oo, 0, A - 1)], -1)
+        og_raw, oi = _group_slot_of(spec, jnp.clip(oo, 0, A - 1))
+        og = jnp.where(ok, og_raw, -1)
         m = m & ok & (og == self.obj.group)
         if self.obj.index >= 0:
-            oi = jnp.asarray(spec.slot_in_group)[jnp.clip(oo, 0, A - 1)]
             m = m & (oi == self.obj.index)
         return m
 
