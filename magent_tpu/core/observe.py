@@ -258,7 +258,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             # ~16 extra vector ops per agent — so the kernel only gathers
             view = wg.window_gather(
                 img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
-                chunk=min(40, wg._ceil_to(gs.cap, 8)), interpret=interpret,
+                chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
             )
         elif use_banded:
             view = wg.window_gather_banded(
