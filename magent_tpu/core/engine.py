@@ -342,24 +342,46 @@ def _move_phase(spec: speclib.GameSpec, state: State):
             collide_obj = jnp.where(hit, e, collide_obj)
 
     # cell claims: winner = lowest slot (reference buffer order = slot order)
-    claim = jnp.full((H + 1, W + 1), A, jnp.int32)
-    for i in range(MB):
-        for j in range(MB):
-            ok = blank & (i < bw) & (j < bh)
-            cx = jnp.where(ok, nx + i, W)
-            cy = jnp.where(ok, ny + j, H)
-            claim = claim.at[cy, cx].min(slots)
-    wins = blank
-    lose_to = jnp.full(A, -1, jnp.int32)
-    for i in range(MB):
-        for j in range(MB):
-            ok = blank & (i < bw) & (j < bh)
-            cx = jnp.clip(nx + i, 0, W)
-            cy = jnp.clip(ny + j, 0, H)
-            winner = claim[cy, cx]
-            lost = ok & (winner != slots)
-            wins = wins & ~lost
-            lose_to = jnp.where(lost & (lose_to < 0), winner, lose_to)
+    if MB == 1:
+        # sort contenders by (target cell, slot): the segment head wins the
+        # cell, losers record the head's slot — replaces a claims grid
+        # scatter-min + 32k-index gather (~0.6ms/step) with one small sort,
+        # a log-depth segment-head scan and a single packed scatter-back
+        tcell = jnp.where(blank, ny * W + nx, H * W)
+        s_cell, s_slot2 = jax.lax.sort((tcell, slots), num_keys=2)
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), s_cell[1:] != s_cell[:-1]])
+
+        def _carry_head(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, jnp.where(bf, bv, av)
+
+        _, head_slot = jax.lax.associative_scan(
+            _carry_head, (seg_start, s_slot2))
+        back = jnp.zeros((A, 2), jnp.int32).at[s_slot2].set(
+            jnp.stack([seg_start.astype(jnp.int32), head_slot], axis=1))
+        wins = blank & (back[:, 0] > 0)
+        lose_to = jnp.where(blank & ~wins, back[:, 1], -1)
+    else:
+        claim = jnp.full((H + 1, W + 1), A, jnp.int32)
+        for i in range(MB):
+            for j in range(MB):
+                ok = blank & (i < bw) & (j < bh)
+                cx = jnp.where(ok, nx + i, W)
+                cy = jnp.where(ok, ny + j, H)
+                claim = claim.at[cy, cx].min(slots)
+        wins = blank
+        lose_to = jnp.full(A, -1, jnp.int32)
+        for i in range(MB):
+            for j in range(MB):
+                ok = blank & (i < bw) & (j < bh)
+                cx = jnp.clip(nx + i, 0, W)
+                cy = jnp.clip(ny + j, 0, H)
+                winner = claim[cy, cx]
+                lost = ok & (winner != slots)
+                wins = wins & ~lost
+                lose_to = jnp.where(lost & (lose_to < 0), winner, lose_to)
 
     success = blank & wins
 
