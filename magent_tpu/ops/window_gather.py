@@ -61,6 +61,12 @@ def padded_geometry(H: int, W: int, C: int, vh: int, vw: int):
     vwc = vw * C
     lanes_load = _ceil_to(vwc + _LANE - 1, _LANE)
     lanes = _ceil_to(Wp * C, _LANE) + lanes_load
+    # widen Wp so Wp * C == lanes exactly: the channel image is then built
+    # at its final lane width by the compare-table expansion and the
+    # 120MB-per-step jnp.pad to `lanes` disappears (physical VMEM tiles are
+    # identical either way)
+    Wp = -(-lanes // C)
+    lanes = Wp * C
     return Hp, Wp, lanes, pad_y, pad_x
 
 
