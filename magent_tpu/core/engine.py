@@ -181,11 +181,16 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     is_killer = kill_here & ~prev_kill
     acted = s_valid & ~(kill_here & ~is_killer)  # attackers after the kill are no-ops
 
-    # per-target effects: packed scatter-add of (damage-until-kill, died)
+    # per-target effects: the segment-end row knows the full (damage, died)
+    # totals from the cumsums, so ONE masked scatter-SET replaces a
+    # scatter-ADD (sets are ~40% cheaper than adds at this index count)
     applied = jnp.where(acted, s_dmg, 0.0)
-    tgt_fx = jnp.zeros((A + 1, 2), dtype=state.hp.dtype).at[s_tgt].add(
-        jnp.stack([applied, is_killer.astype(state.hp.dtype)], axis=1)
-    )[:A]
+    cum_applied = _segment_cumsum(applied, seg_start)
+    cum_kill = _segment_cumsum(is_killer.astype(state.hp.dtype), seg_start)
+    seg_end = jnp.concatenate([seg_start[1:], jnp.ones((1,), bool)])
+    tgt_fx = jnp.zeros((A + 1, 2), dtype=state.hp.dtype).at[
+        jnp.where(seg_end, s_tgt, A)
+    ].set(jnp.stack([cum_applied, cum_kill], axis=1))[:A]
     hp = state.hp - tgt_fx[:, 0]
     died = (tgt_fx[:, 1] > 0) & state.active & ~state.dead
 

@@ -58,11 +58,25 @@ def _channel_tables(spec: speclib.GameSpec, group: int):
     return inv_has, inv_hp
 
 
+# packed cell encoding: channel code in the high bits, normalized hp as a
+# 24-bit fixed-point fraction in the low bits — ONE scatter renders both
+# (scatter cost is index-count dominated; the decode fuses into the
+# compare-table expansion for free)
+_HP_SHIFT = 24
+_HP_MASK = (1 << _HP_SHIFT) - 1
+# fixed-point "one" is 2**23 so a full-hp agent decodes to exactly 1.0,
+# with headroom to 2.0 (can_absorb doubles hp past hp_max)
+_HP_SCALE = float(1 << (_HP_SHIFT - 1))
+
+
 def make_grids(spec: speclib.GameSpec):
-    """state -> (ch_grid [B, Hp, Wp] int32, hp_grid [B, Hp, Wp] f32).
+    """state -> packed grid [B, Hp, Wp] int32.
 
     Shared across observer groups; geometry is padded for the largest view.
-    ``ch_grid`` holds the canonical channel per cell (C = empty sentinel).
+    Each cell holds ``code << 24 | round(hp / hp_max * 2**24)`` where code is
+    the canonical channel (C = empty sentinel, 0 = wall, 1 = food); the
+    quantization error (< 6e-8, clipped at hp/hp_max < 2 for can_absorb's
+    doubled hp) is far below the reference's f32 observation noise floor.
     """
     H, W, C = spec.height, spec.width, spec.n_channel
     max_vh = max(g.type.view_range.height for g in spec.groups)
@@ -74,28 +88,30 @@ def make_grids(spec: speclib.GameSpec):
     agent_ch = (spec.channel_base + spec.group_of_slot * spec.channel_scale).astype(
         np.int32
     )
+    assert int(agent_ch.max()) < 64 and C < 64, "channel codes must fit 6 bits"
     hp_max = spec.g_hp_max[spec.group_of_slot].astype(np.float32)
 
     def grids_one(state: State):
-        base = jnp.full((Hp, Wp), C, jnp.int32)
+        base = jnp.full((Hp, Wp), C << _HP_SHIFT, jnp.int32)
         base = base.at[pad_y : pad_y + H, pad_x : pad_x + W].set(
-            jnp.where(state.cell_wall, 0, C)
+            jnp.where(state.cell_wall, 0, C << _HP_SHIFT)
         )
         if spec.food_mode:
             base = base.at[pad_y : pad_y + H, pad_x : pad_x + W].min(
-                jnp.where(state.cell_food > 0.0, 1, C)
+                jnp.where(state.cell_food > 0.0, 1 << _HP_SHIFT, C << _HP_SHIFT)
             )
-        hp_img = jnp.zeros((Hp, Wp), jnp.float32)
 
         ok_agent = state.active & ~state.dead
         g = gof
         w = jnp.asarray(spec.g_width)[g]
         l = jnp.asarray(spec.g_length)[g]
         bw, bh = geo.size_for_dir(state.dir, w, l)
-        chs = jnp.asarray(agent_ch)
-        hps = state.hp / jnp.asarray(hp_max)
-        flat_base = base.reshape(-1)
-        flat_hp = hp_img.reshape(-1)
+        q = jnp.clip(
+            jnp.round(state.hp / jnp.asarray(hp_max) * _HP_SCALE).astype(jnp.int32),
+            0, _HP_MASK,
+        )
+        vals = (jnp.asarray(agent_ch) << _HP_SHIFT) | q
+        flat = base.reshape(-1)
         for i in range(MB):
             for j in range(MB):
                 ok = ok_agent & (i < bw) & (j < bh)
@@ -103,27 +119,27 @@ def make_grids(spec: speclib.GameSpec):
                 # the mode="drop" check, so -1 would hit the last cell
                 cell = jnp.where(ok, (state.y + j + pad_y) * Wp
                                  + (state.x + i + pad_x), Hp * Wp)
-                flat_base = flat_base.at[cell].set(chs, mode="drop")
-                flat_hp = flat_hp.at[cell].set(hps, mode="drop")
-        return flat_base.reshape(Hp, Wp), flat_hp.reshape(Hp, Wp)
+                flat = flat.at[cell].set(vals, mode="drop")
+        return flat.reshape(Hp, Wp)
 
     def grids(state: State):
         if _batched(state):
             return jax.vmap(grids_one)(state)
-        ch, hp = grids_one(state)
-        return ch, hp
+        return grids_one(state)
 
     grids.geometry = (Hp, Wp, lanes, pad_y, pad_x)
     return grids
 
 
-def _render_image(spec, group, ch_grid, hp_grid, lanes):
-    """(ch, hp) grids -> observer-group padded channel image [B, Hp, lanes]."""
+def _render_image(spec, group, packed, lanes):
+    """packed grid -> observer-group padded channel image [B, Hp, lanes]."""
     C = spec.n_channel
     inv_has, inv_hp = _channel_tables(spec, group)
-    B, Hp, Wp = ch_grid.shape
-    has = (ch_grid[..., None] == jnp.asarray(inv_has)).astype(jnp.float32)
-    hp = (ch_grid[..., None] == jnp.asarray(inv_hp)).astype(jnp.float32) * hp_grid[
+    B, Hp, Wp = packed.shape
+    code = packed >> _HP_SHIFT
+    hpv = (packed & _HP_MASK).astype(jnp.float32) * (1.0 / _HP_SCALE)
+    has = (code[..., None] == jnp.asarray(inv_has)).astype(jnp.float32)
+    hp = (code[..., None] == jnp.asarray(inv_hp)).astype(jnp.float32) * hpv[
         ..., None
     ]
     img = (has + hp).reshape(B, Hp, Wp * C)
@@ -181,8 +197,8 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
         B = state.x.shape[0]
         if grids is None:
             grids = grids_fn(state)
-        ch_grid, hp_grid = grids
-        img = _render_image(spec, group, ch_grid, hp_grid, lanes)
+        packed = grids
+        img = _render_image(spec, group, packed, lanes)
 
         sl = slice(gs.offset, gs.offset + gs.cap)
         x = state.x[:, sl]
@@ -214,15 +230,15 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
                 # matmuls (MXU work) instead of a per-agent scatter: every
                 # alive agent occupies exactly one cell marked with its
                 # group's channel code, so bin counts are Py @ ind @ Px^T
-                Py = np.zeros((vh, ch_grid.shape[1]), np.float32)
-                Px = np.zeros((ch_grid.shape[2], vw), np.float32)
+                Py = np.zeros((vh, packed.shape[1]), np.float32)
+                Px = np.zeros((packed.shape[2], vw), np.float32)
                 for yy in range(H):
                     Py[min(yy // scale_h, vh - 1), pad_y + yy] = 1.0
                 for xx in range(W):
                     Px[pad_x + xx, min(xx // scale_w, vw - 1)] = 1.0
                 code = spec.channel_base + np.arange(G) * spec.channel_scale
-                ind = (ch_grid[..., None] == jnp.asarray(code)).astype(
-                    jnp.float32)  # [B, Hp, Wp, G]
+                ind = ((packed >> _HP_SHIFT)[..., None] == jnp.asarray(code)
+                       ).astype(jnp.float32)  # [B, Hp, Wp, G]
                 pooled = jnp.einsum(
                     "rh,bhwg,wc->bgrc", jnp.asarray(Py), ind, jnp.asarray(Px)
                 )
