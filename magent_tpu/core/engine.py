@@ -425,11 +425,24 @@ def _move_phase(spec: speclib.GameSpec, state: State):
     last_op = jnp.where(set_op, OP_COLLIDE, last_op)
     op_obj = jnp.where(set_op, coll_obj, op_obj)
 
-    # commit moves: clear all old rects, then fill new rects
-    cell_slot = _clear_body(cell_slot, success, state.x, state.y, bw, bh, MB)
-    cell_slot = _fill_body(cell_slot, success, nx, ny, bw, bh, slots, MB)
+    # commit moves
     x = jnp.where(success, nx, state.x)
     y = jnp.where(success, ny, state.y)
+    if MB == 1:
+        # rebuild the grid from final positions: one scatter + a cheap
+        # memset replaces the clear-old + fill-new scatter pair (the next
+        # reader is the following step's attack phase)
+        alive_now = state.active & ~dead
+        cell = jnp.where(alive_now, y * W + x, H * W)
+        cell_slot = (
+            jnp.full(H * W, -1, jnp.int32)
+            .at[cell]
+            .set(slots, mode="drop")
+            .reshape(H, W)
+        )
+    else:
+        cell_slot = _clear_body(cell_slot, success, state.x, state.y, bw, bh, MB)
+        cell_slot = _fill_body(cell_slot, success, nx, ny, bw, bh, slots, MB)
 
     return state.replace(
         x=x, y=y, dead=dead, hp=hp, absorbed=absorbed,
