@@ -24,7 +24,7 @@ import optax
 import magent_tpu as magent
 from magent_tpu.builtin.config import battle
 from magent_tpu.builtin.jax_model.dqn import DQNNet
-from magent_tpu.parallel import (VecGridWorld, make_dqn_train_step, make_mesh,
+from magent_tpu.parallel import (VecGridWorld, make_dqn_train_loop, make_mesh,
                                  param_sharding, state_sharding)
 
 
@@ -36,7 +36,12 @@ def main():
     parser.add_argument("--agents_per_side", type=int, default=64)
     parser.add_argument("--n_envs", type=int, default=16)
     parser.add_argument("--rollout_len", type=int, default=8)
+    parser.add_argument("--train_minibatch", type=int, default=16384,
+                        help="sampled transitions per gradient step "
+                             "(0 = train on the full rollout)")
     parser.add_argument("--target_update", type=int, default=40)
+    parser.add_argument("--steps_per_call", type=int, default=10,
+                        help="train steps fused per device call (lax.scan)")
     parser.add_argument("--name", type=str, default="battle-fused")
     args = parser.parse_args()
 
@@ -65,8 +70,12 @@ def main():
     opt_states = tuple(tx.init(p) for p in params)
     target_params = jax.tree.map(lambda x: x, params)
 
-    train_step = make_dqn_train_step(venv, nets, tx,
-                                     rollout_len=args.rollout_len)
+    train_loop = make_dqn_train_loop(
+        venv, nets, tx,
+        steps_per_call=args.steps_per_call,
+        target_update=args.target_update,
+        rollout_len=args.rollout_len,
+        train_minibatch=args.train_minibatch or None)
 
     mesh = make_mesh()
     env_state = venv.reset(jax.random.PRNGKey(1))
@@ -76,25 +85,25 @@ def main():
                                    param_sharding(mesh, target_params))
     opt_states = jax.device_put(opt_states, param_sharding(mesh, opt_states))
 
-    jitted = jax.jit(train_step)
+    jitted = jax.jit(train_loop)
     step_key = jax.random.PRNGKey(2)
 
     print("devices:", len(jax.devices()), " envs:", args.n_envs,
           " agents/env:", 2 * args.agents_per_side)
     start = time.time()
     env_steps = 0
-    for k in range(args.n_round):
+    n_calls = -(-args.n_round // args.steps_per_call)
+    for c in range(n_calls):
+        k = c * args.steps_per_call
         eps = magent.utility.piecewise_decay(
             k, [0, args.n_round // 3, args.n_round], [1, 0.2, 0.05])
-        params, opt_states, env_state, metrics = jitted(
+        params, target_params, opt_states, env_state, metrics = jitted(
             params, target_params, opt_states, env_state,
-            jax.random.fold_in(step_key, k), eps)
-        if (k + 1) % args.target_update == 0:
-            target_params = jax.tree.map(lambda x: x, params)
-        env_steps += args.rollout_len * args.n_envs
-        if k % 20 == 0 or k == args.n_round - 1:
-            loss = np.asarray(metrics["loss"])
-            rew = np.asarray(metrics["mean_reward"])
+            jax.random.fold_in(step_key, c), eps, jnp.asarray(k))
+        env_steps += args.rollout_len * args.n_envs * args.steps_per_call
+        if c % 2 == 0 or c == n_calls - 1:
+            loss = np.asarray(metrics["loss"])[-1]
+            rew = np.asarray(metrics["mean_reward"])[-1]
             dt = time.time() - start
             log.info("round %d\t loss: %s\t reward: %s\t env_steps/s: %.1f"
                      % (k, np.round(loss, 4).tolist(),

@@ -18,7 +18,7 @@ are TPU-native instead:
 
 from .vec_env import VecGridWorld
 from .sharding import make_mesh, state_sharding, param_sharding
-from .train import make_dqn_train_step
+from .train import make_dqn_train_step, make_dqn_train_loop
 
 __all__ = [
     "VecGridWorld",

@@ -24,6 +24,7 @@ def make_dqn_train_step(
     gamma: float = 0.99,
     rollout_len: int = 8,
     use_double: bool = True,
+    train_minibatch: int | None = None,
 ):
     """Build ``train_step(params, target_params, opt_states, env_state, key,
     eps) -> (params, opt_states, env_state, metrics)``.
@@ -36,6 +37,11 @@ def make_dqn_train_step(
     (TD(0) over consecutive rollout steps, masked by per-agent liveness —
     equivalent to the reference's replay of fresh samples with
     ``train_freq`` = 1, reference: builtin/tf_model/dqn.py:277-346).
+
+    ``train_minibatch``: if set, the gradient step uses that many uniformly
+    sampled transitions instead of all ``rollout_len * n_envs * cap`` of
+    them — the reference's sampled-batch semantics
+    (builtin/tf_model/dqn.py:300-320), and ~T/K-fold cheaper on the MXU.
     """
     spec = venv.spec
     G = spec.n_groups
@@ -94,6 +100,50 @@ def make_dqn_train_step(
         )
         return env_state, traj
 
+    def group_loss_sampled(p, tp, g, traj, alive0, skey):
+        """Double-DQN TD loss on ``train_minibatch`` sampled transitions."""
+        n_act = spec.groups[g].type.n_action
+        cap = caps[g]
+        view = traj["views"][g]  # [T, B, cap, vh, vw, C]
+        feat = traj["feats"][g]
+        T = view.shape[0]
+        flat_v = view.reshape((-1,) + view.shape[3:])
+        flat_f = feat.reshape((-1,) + feat.shape[3:])
+        act_fl = traj["actions"][g].reshape(-1)
+        rew_fl = traj["rewards"][g].reshape(-1)
+        alive = traj["alive"][g]
+        prev_alive = jnp.concatenate([alive0[None], alive[:-1]], axis=0)
+        done_b = jnp.broadcast_to(
+            traj["done"][:, :, None], (T, B, cap)
+        )
+        term_fl = ((~alive) | done_b).reshape(-1)
+        prev_fl = prev_alive.reshape(-1)
+
+        K = train_minibatch
+        kidx = jax.random.randint(skey, (K,), 0, (T - 1) * B * cap)
+        cur = kidx
+        nxt = kidx + B * cap  # same (env, agent) one step later
+
+        q_cur = nets[g].apply({"params": p}, flat_v[cur], flat_f[cur])
+        q_t = jnp.take_along_axis(q_cur, act_fl[cur][:, None], axis=-1)[:, 0]
+        nv = flat_v[nxt]
+        nf = flat_f[nxt]
+        tq_nxt = nets[g].apply({"params": tp}, nv, nf)
+        if use_double:
+            q_nxt = nets[g].apply({"params": p}, nv, nf)
+            sel = jnp.argmax(q_nxt, axis=-1, keepdims=True)
+            next_v = jnp.take_along_axis(tq_nxt, sel, axis=-1)[:, 0]
+        else:
+            next_v = jnp.max(tq_nxt, axis=-1)
+
+        target = jnp.where(
+            term_fl[cur], rew_fl[cur],
+            rew_fl[cur] + gamma * jax.lax.stop_gradient(next_v),
+        )
+        mask = prev_fl[cur].astype(jnp.float32)
+        td = jnp.square(jax.lax.stop_gradient(target) - q_t)
+        return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
     def group_loss(p, tp, g, traj, alive0):
         """Masked double-DQN TD loss for group ``g`` over the rollout."""
         n_act = spec.groups[g].type.n_action
@@ -145,9 +195,15 @@ def make_dqn_train_step(
         new_params, new_opts, losses = [], [], []
         for g in range(G):
             alive0 = alive_in[:, offs[g] : offs[g] + caps[g]]
-            loss, grads = jax.value_and_grad(group_loss)(
-                params[g], target_params[g], g, traj, alive0
-            )
+            if train_minibatch is not None:
+                loss, grads = jax.value_and_grad(group_loss_sampled)(
+                    params[g], target_params[g], g, traj, alive0,
+                    jax.random.fold_in(key, 1000 + g),
+                )
+            else:
+                loss, grads = jax.value_and_grad(group_loss)(
+                    params[g], target_params[g], g, traj, alive0
+                )
             updates, opt_g = tx.update(grads, opt_states[g], params[g])
             new_params.append(optax.apply_updates(params[g], updates))
             new_opts.append(opt_g)
@@ -160,3 +216,49 @@ def make_dqn_train_step(
         return tuple(new_params), tuple(new_opts), env_state, metrics
 
     return train_step
+
+
+def make_dqn_train_loop(
+    venv: VecGridWorld,
+    nets,
+    tx: optax.GradientTransformation,
+    steps_per_call: int,
+    target_update: int,
+    **kwargs,
+):
+    """``steps_per_call`` train steps fused into one ``lax.scan`` program.
+
+    Per-step host dispatch costs dozens of device round-trips for the
+    parameter/optimizer pytrees; scanning keeps everything resident on the
+    device mesh and refreshes the target network inside the scan every
+    ``target_update`` steps (replacing the host-side copy the reference does
+    between training batches, reference: builtin/tf_model/dqn.py:361-365).
+
+    Returns ``loop(params, target_params, opt_states, env_state, key, eps,
+    step0) -> (params, target_params, opt_states, env_state, metrics)`` where
+    metrics are stacked over the call's steps and ``step0`` is the global
+    step count (drives the target-update phase).
+    """
+    train_step = make_dqn_train_step(venv, nets, tx, **kwargs)
+
+    def loop(params, target_params, opt_states, env_state, key, eps, step0):
+        def body(carry, t):
+            params, target_params, opt_states, env_state, key = carry
+            key, skey = jax.random.split(key)
+            params, opt_states, env_state, metrics = train_step(
+                params, target_params, opt_states, env_state, skey, eps
+            )
+            refresh = (step0 + t + 1) % target_update == 0
+            target_params = jax.tree.map(
+                lambda tp, p: jnp.where(refresh, p, tp), target_params, params
+            )
+            return (params, target_params, opt_states, env_state, key), metrics
+
+        (params, target_params, opt_states, env_state, _), metrics = jax.lax.scan(
+            body,
+            (params, target_params, opt_states, env_state, key),
+            jnp.arange(steps_per_call),
+        )
+        return params, target_params, opt_states, env_state, metrics
+
+    return loop

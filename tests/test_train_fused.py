@@ -10,7 +10,7 @@ from magent_tpu.builtin.jax_model.dqn import DQNNet
 from magent_tpu.parallel import VecGridWorld, make_dqn_train_step
 
 
-def _setup(n_envs=4, cap=6):
+def _setup(n_envs=4, cap=6, train_minibatch=None):
     venv = VecGridWorld(battle.get_config(20), [cap, cap], n_envs=n_envs)
     spec = venv.spec
     nets = [DQNNet(num_actions=spec.groups[g].type.n_action) for g in range(2)]
@@ -26,8 +26,20 @@ def _setup(n_envs=4, cap=6):
     tx = optax.adam(1e-3)
     opts = tuple(tx.init(p) for p in params)
     tgt = jax.tree.map(lambda x: x, params)
-    step = jax.jit(make_dqn_train_step(venv, nets, tx, rollout_len=3))
+    step = jax.jit(make_dqn_train_step(venv, nets, tx, rollout_len=3,
+                                       train_minibatch=train_minibatch))
     return venv, params, tgt, opts, step
+
+
+def test_train_step_minibatch_sampling():
+    venv, params, tgt, opts, step = _setup(train_minibatch=32)
+    state = venv.reset(jax.random.PRNGKey(0))
+    p1, o1, s1, m1 = step(params, tgt, opts, state, jax.random.PRNGKey(1), 0.5)
+    loss = np.asarray(m1["loss"])
+    assert np.all(np.isfinite(loss))
+    moved = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), params, p1))
+    assert max(moved) > 0.0
 
 
 def test_train_step_with_dead_agents():
