@@ -124,9 +124,18 @@ def make_dqn_train_step(
         cur = kidx
         nxt = kidx + B * cap  # same (env, agent) one step later
 
-        q_cur = nets[g].apply({"params": p}, flat_v[cur], flat_f[cur])
+        # the scan-stacked views inherit a cap-minor layout from the
+        # observation kernel's consumers; row-gathering 16k samples from
+        # that layout is fully strided (~8ms per gather).  Collapse the
+        # sample rows to a 2-D matrix (natural row-major) so the gathers
+        # read contiguous rows, and restore the window shape after.
+        vshape = flat_v.shape[1:]
+        flat_v = flat_v.reshape(flat_v.shape[0], -1)
+        gather_v = lambda ix: flat_v[ix].reshape((ix.shape[0],) + vshape)
+
+        q_cur = nets[g].apply({"params": p}, gather_v(cur), flat_f[cur])
         q_t = jnp.take_along_axis(q_cur, act_fl[cur][:, None], axis=-1)[:, 0]
-        nv = flat_v[nxt]
+        nv = gather_v(nxt)
         nf = flat_f[nxt]
         tq_nxt = nets[g].apply({"params": tp}, nv, nf)
         if use_double:
