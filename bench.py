@@ -62,7 +62,9 @@ def main():
         )
         return state, key, jnp.sum(sink)
 
-    state = venv.reset(jax.random.PRNGKey(0))
+    # jit the reset: run eagerly it dispatches every primitive through the
+    # device tunnel (~minutes of round-trips); jitted it is one program
+    state = jax.jit(venv.reset)(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
 
     # warm-up (compile); fetch the value to force real completion — through

@@ -1,134 +1,49 @@
-"""Train battle: two DQN armies (parity with reference examples/train_battle.py).
+"""Train battle: two parameter-sharing DQN armies on the builtin battle game
+(capability parity with reference examples/train_battle.py).
 
-Both groups' models are hosted in-process; JAX's async dispatch overlaps their
-inference on the accelerator (the reference needed one subprocess per group).
+Both models live in-process; JAX's async dispatch overlaps their inference on
+the accelerator (the reference needed one subprocess per group).  The episode
+loop itself is the shared :class:`rollout.EpisodeRunner`.
 """
 
-import argparse
-import logging as log
+import logging
 import math
 import os
 import sys
 import time
 
-import numpy as np
-
+sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import magent_tpu as magent
+from rollout import (EpisodeRunner, Side, build_alg, load_checkpoints,
+                     save_checkpoints, standard_cli)
 
-leftID, rightID = 0, 1
+# armies alternate sides of the map every round
+_flip = [False]
 
 
 def generate_map(env, map_size, handles):
-    """two squares of agents facing each other"""
-    width = height = map_size
-    init_num = map_size * map_size * 0.04
+    """Two facing squares of agents, mirrored each round."""
+    n_init = int(map_size * map_size * 0.04)
+    side_len = int(math.sqrt(n_init)) * 2
     gap = 3
+    y0 = (map_size - side_len) // 2
 
-    global leftID, rightID
-    leftID, rightID = rightID, leftID
+    def square(x0):
+        return [[x, y, 0]
+                for x in range(x0, x0 + side_len, 2)
+                for y in range(y0, y0 + side_len, 2)]
 
-    side = int(math.sqrt(init_num)) * 2
-    pos = []
-    for x in range(width // 2 - gap - side, width // 2 - gap - side + side, 2):
-        for y in range((height - side) // 2, (height - side) // 2 + side, 2):
-            pos.append([x, y, 0])
-    env.add_agents(handles[leftID], method="custom", pos=pos)
-
-    pos = []
-    for x in range(width // 2 + gap, width // 2 + gap + side, 2):
-        for y in range((height - side) // 2, (height - side) // 2 + side, 2):
-            pos.append([x, y, 0])
-    env.add_agents(handles[rightID], method="custom", pos=pos)
-
-
-def play_a_round(env, map_size, handles, models, print_every, train=True,
-                 render=False, eps=None):
-    env.reset()
-    generate_map(env, map_size, handles)
-
-    step_ct = 0
-    done = False
-
-    n = len(handles)
-    obs = [[] for _ in range(n)]
-    ids = [[] for _ in range(n)]
-    acts = [[] for _ in range(n)]
-    nums = [env.get_num(handle) for handle in handles]
-    total_reward = [0 for _ in range(n)]
-
-    print("===== sample =====")
-    print("eps %.2f number %s" % (eps, nums))
-    start_time = time.time()
-    while not done:
-        for i in range(n):
-            obs[i] = env.get_observation(handles[i])
-            ids[i] = env.get_agent_id(handles[i])
-            models[i].infer_action(obs[i], ids[i], 'e_greedy', eps, block=False)
-
-        for i in range(n):
-            acts[i] = models[i].fetch_action()
-            env.set_action(handles[i], acts[i])
-
-        done = env.step()
-
-        step_reward = []
-        for i in range(n):
-            rewards = env.get_reward(handles[i])
-            if train:
-                alives = env.get_alive(handles[i])
-                models[i].sample_step(rewards, alives, block=False)
-            s = sum(rewards)
-            step_reward.append(s)
-            total_reward[i] += s
-
-        if render:
-            env.render()
-
-        nums = [env.get_num(handle) for handle in handles]
-        env.clear_dead()
-
-        if step_ct % print_every == 0:
-            print("step %3d,  nums: %s reward: %s,  total_reward: %s " %
-                  (step_ct, nums, np.around(step_reward, 2), np.around(total_reward, 2)))
-        step_ct += 1
-        if step_ct > 550:
-            break
-
-    sample_time = time.time() - start_time
-    print("steps: %d,  total time: %.2f,  step average %.2f" %
-          (step_ct, sample_time, sample_time / step_ct))
-
-    total_loss, value = [0 for _ in range(n)], [0 for _ in range(n)]
-    if train:
-        print("===== train =====")
-        start_time = time.time()
-        for i in range(n):
-            models[i].train(print_every=1000, block=False)
-        for i in range(n):
-            total_loss[i], value[i] = models[i].fetch_train()
-        print("train_time %.2f" % (time.time() - start_time))
-
-    # a2c reports a [pg, vf, ent] loss list per model; round recursively
-    return (magent.round(total_loss), nums, magent.round(total_reward),
-            magent.round(value))
+    left = square(map_size // 2 - gap - side_len)
+    right = square(map_size // 2 + gap)
+    _flip[0] = not _flip[0]
+    first, second = (right, left) if _flip[0] else (left, right)
+    env.add_agents(handles[0], method="custom", pos=first)
+    env.add_agents(handles[1], method="custom", pos=second)
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--save_every", type=int, default=5)
-    parser.add_argument("--render_every", type=int, default=10)
-    parser.add_argument("--n_round", type=int, default=2000)
-    parser.add_argument("--render", action="store_true")
-    parser.add_argument("--load_from", type=int)
-    parser.add_argument("--train", action="store_true")
-    parser.add_argument("--map_size", type=int, default=125)
-    parser.add_argument("--greedy", action="store_true")
-    parser.add_argument("--name", type=str, default="battle")
-    parser.add_argument("--eval", action="store_true")
-    parser.add_argument("--alg", default="dqn", choices=["dqn", "drqn", "a2c"])
-    args = parser.parse_args()
-
+    args = standard_cli("battle", n_round=2000, map_size=125).parse_args()
     magent.utility.init_logger(args.name)
 
     env = magent.GridWorld("battle", map_size=args.map_size)
@@ -137,76 +52,54 @@ def main():
 
     eval_obs = [None, None]
     if args.eval:
-        print("sample eval set...")
+        print("building eval observation set")
         env.reset()
         generate_map(env, args.map_size, handles)
         eval_obs = magent.utility.sample_observation(env, handles, 2048, 500)
 
-    batch_size = 256
-    unroll_step = 8
-    target_update = 1200
-    train_freq = 5
+    RLModel, hyper = build_alg(args.alg)
+    models = [
+        magent.ProcessingModel(env, handles[i], f"{args.name}-{tag}",
+                               20000 + i, 1000, RLModel,
+                               eval_obs=eval_obs[i], **hyper)
+        for i, tag in enumerate(("l", "r"))
+    ]
 
-    if args.alg == 'dqn':
-        from magent_tpu.builtin.jax_model import DeepQNetwork
-        RLModel = DeepQNetwork
-        base_args = {'batch_size': batch_size,
-                     'memory_size': 2 ** 20, 'learning_rate': 1e-4,
-                     'target_update': target_update, 'train_freq': train_freq}
-    elif args.alg == 'drqn':
-        from magent_tpu.builtin.jax_model import DeepRecurrentQNetwork
-        RLModel = DeepRecurrentQNetwork
-        base_args = {'batch_size': batch_size // unroll_step, 'unroll_step': unroll_step,
-                     'memory_size': 8 * 625, 'learning_rate': 1e-4,
-                     'target_update': target_update, 'train_freq': train_freq}
-    else:
-        from magent_tpu.builtin.jax_model import AdvantageActorCritic
-        RLModel = AdvantageActorCritic
-        base_args = {'batch_size': batch_size, 'learning_rate': 1e-3}
-
-    names = [args.name + "-l", args.name + "-r"]
-    models = []
-    for i in range(len(names)):
-        model_args = {'eval_obs': eval_obs[i]}
-        model_args.update(base_args)
-        models.append(magent.ProcessingModel(
-            env, handles[i], names[i], 20000 + i, 1000, RLModel, **model_args))
-
-    savedir = 'save_model'
-    if args.load_from is not None:
-        start_from = args.load_from
-        print("load ... %d" % start_from)
-        for model in models:
-            model.load(savedir, start_from)
-    else:
-        start_from = 0
+    savedir = "save_model"
+    start_from = load_checkpoints(models, savedir, args.load_from)
 
     print(args)
     print("view_space", env.get_view_space(handles[0]))
     print("feature_space", env.get_feature_space(handles[0]))
 
-    start = time.time()
+    runner = EpisodeRunner(
+        env,
+        [Side(h, m, train=args.train) for h, m in zip(handles, models)],
+        max_steps=550, print_every=50, train_print_every=1000,
+    )
+
+    began = time.time()
     for k in range(start_from, start_from + args.n_round):
         tic = time.time()
-        eps = magent.utility.piecewise_decay(k, [0, 700, 1400], [1, 0.2, 0.05]) \
-            if not args.greedy else 0
-        loss, num, reward, value = play_a_round(
-            env, args.map_size, handles, models,
-            train=args.train, print_every=50,
-            render=args.render or (k + 1) % args.render_every == 0,
-            eps=eps)
+        eps = 0 if args.greedy else magent.utility.piecewise_decay(
+            k, [0, 700, 1400], [1, 0.2, 0.05])
 
-        log.info("round %d\t loss: %s\t num: %s\t reward: %s\t value: %s"
-                 % (k, loss, num, reward, value))
-        print("round time %.2f  total time %.2f\n" % (time.time() - tic, time.time() - start))
+        env.reset()
+        generate_map(env, args.map_size, handles)
+        loss, num, reward, value = runner.play(
+            eps, train=args.train,
+            render=args.render or (k + 1) % args.render_every == 0)
+
+        logging.info("round %d\t loss: %s\t num: %s\t reward: %s\t value: %s"
+                     % (k, loss, num, reward, value))
+        print(f"round {k} took {time.time() - tic:.2f}s "
+              f"(total {time.time() - began:.2f}s)\n")
 
         if (k + 1) % args.save_every == 0 and args.train:
-            print("save model... ")
-            for model in models:
-                model.save(savedir, k)
+            save_checkpoints(models, savedir, k)
 
-    for model in models:
-        model.quit()
+    for m in models:
+        m.quit()
 
 
 if __name__ == "__main__":

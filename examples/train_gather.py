@@ -1,16 +1,18 @@
-"""Train agents to gather food (parity with reference
-examples/train_gather.py): agents eat static high-hp food; attack shaping via
-a reward rule; minimap navigation."""
+"""Train gather: DQN agents race to eat high-hp static food, with minimap
+navigation and attack shaping (capability parity with reference
+examples/train_gather.py)."""
 
-import argparse
-import logging as log
+import logging
 import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import magent_tpu as magent
-from magent_tpu.builtin.jax_model import DeepQNetwork as RLModel
+from magent_tpu.builtin.jax_model import DeepQNetwork
+from rollout import (EpisodeRunner, Side, load_checkpoints, save_checkpoints,
+                     standard_cli)
 
 
 def load_config(size):
@@ -45,188 +47,104 @@ def load_config(size):
     return cfg
 
 
-def generate_map(env, map_size, food_handle, handles):
-    center_x, center_y = map_size // 2, map_size // 2
+def generate_map(env, map_size, food_handle, player_handle):
+    """Agents ring the rim; food rings concentrate toward the center."""
+    cx = cy = map_size // 2
 
-    def add_square(pos, side, gap):
-        side = int(side)
-        for x in range(center_x - side // 2, center_x + side // 2 + 1, gap):
-            pos.append([x, center_y - side // 2])
-            pos.append([x, center_y + side // 2])
-        for y in range(center_y - side // 2, center_y + side // 2 + 1, gap):
-            pos.append([center_x - side // 2, y])
-            pos.append([center_x + side // 2, y])
+    def ring(out, frac, gap):
+        half = int(map_size * frac) // 2
+        for x in range(cx - half, cx + half + 1, gap):
+            out += [[x, cy - half], [x, cy + half]]
+        for y in range(cy - half, cy + half + 1, gap):
+            out += [[cx - half, y], [cx + half, y]]
 
-    # agents ring the outside
-    pos = []
-    add_square(pos, map_size * 0.9, 3)
-    add_square(pos, map_size * 0.8, 4)
-    add_square(pos, map_size * 0.7, 6)
-    env.add_agents(handles[0], method="custom", pos=pos)
+    players = []
+    for frac, gap in [(0.9, 3), (0.8, 4), (0.7, 6)]:
+        ring(players, frac, gap)
+    env.add_agents(player_handle, method="custom", pos=players)
 
-    # food rings toward the center
-    pos = []
-    add_square(pos, map_size * 0.65, 10)
-    add_square(pos, map_size * 0.6, 10)
-    add_square(pos, map_size * 0.55, 10)
-    add_square(pos, map_size * 0.5, 4)
-    add_square(pos, map_size * 0.45, 3)
-    add_square(pos, map_size * 0.4, 1)
-    add_square(pos, map_size * 0.3, 1)
-    add_square(pos, map_size * 0.3 - 2, 1)
-    add_square(pos, map_size * 0.3 - 4, 1)
-    add_square(pos, map_size * 0.3 - 6, 1)
-    env.add_agents(food_handle, method="custom", pos=pos)
-
-
-def play_a_round(env, map_size, food_handle, handles, models, train_id=-1,
-                 print_every=100, record=False, render=False, eps=None):
-    env.reset()
-    generate_map(env, map_size, food_handle, handles)
-
-    step_ct = 0
-    total_reward = 0
-    done = False
-
-    pos_reward_ct = set()
-
-    n = len(handles)
-    obs = [None for _ in range(n)]
-    ids = [None for _ in range(n)]
-    acts = [None for _ in range(n)]
-    nums = [env.get_num(handle) for handle in handles]
-    sample_buffer = magent.utility.EpisodesBuffer(capacity=5000)
-
-    print("===== sample =====")
-    print("eps %s number %s" % (eps, nums))
-    start_time = time.time()
-    while not done:
-        for i in range(n):
-            obs[i] = env.get_observation(handles[i])
-            ids[i] = env.get_agent_id(handles[i])
-            acts[i] = models[i].infer_action(obs[i], ids[i],
-                                             policy='e_greedy', eps=eps)
-            env.set_action(handles[i], acts[i])
-
-        done = env.step()
-
-        rewards = env.get_reward(handles[0])
-        step_reward = 0
-        if train_id != -1:
-            alives = env.get_alive(handles[train_id])
-            total_reward += sum(rewards)
-            sample_buffer.record_step(ids[train_id], obs[train_id],
-                                      acts[train_id], rewards, alives)
-            step_reward = sum(rewards)
-
-        if render:
-            env.render()
-
-        for agent_id, r in zip(ids[0], rewards):
-            if r > 0.05 and agent_id not in pos_reward_ct:
-                pos_reward_ct.add(agent_id)
-
-        env.clear_dead()
-
-        for i in range(n):
-            nums[i] = env.get_num(handles[i])
-        food_num = env.get_num(food_handle)
-
-        if step_ct % print_every == 0:
-            print("step %3d,  train %d,  num %s,  reward %.2f,  "
-                  "total_reward: %.2f, non_zero: %d" %
-                  (step_ct, train_id, [food_num] + nums, step_reward,
-                   total_reward, len(pos_reward_ct)))
-        step_ct += 1
-
-        if step_ct > 350:
-            break
-
-    sample_time = time.time() - start_time
-    print("steps: %d,  total time: %.2f,  step average %.2f" %
-          (step_ct, sample_time, sample_time / step_ct))
-
-    if record:
-        with open("reward-hunger.txt", "a") as fout:
-            fout.write(str(nums[0]) + "\n")
-
-    total_loss = value = 0
-    if train_id != -1:
-        print("===== train =====")
-        start_time = time.time()
-        total_loss, value = models[train_id].train(sample_buffer, print_every=250)
-        print("train_time %.2f" % (time.time() - start_time))
-
-    return total_loss, total_reward, value, len(pos_reward_ct)
+    food = []
+    for frac, gap in [(0.65, 10), (0.6, 10), (0.55, 10), (0.5, 4),
+                      (0.45, 3), (0.4, 1), (0.3, 1)]:
+        ring(food, frac, gap)
+    for shrink in (2, 4, 6):
+        half_frac = (map_size * 0.3 - shrink) / map_size
+        ring(food, half_frac, 1)
+    env.add_agents(food_handle, method="custom", pos=food)
 
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--save_every", type=int, default=2)
-    parser.add_argument("--render_every", type=int, default=10)
-    parser.add_argument("--n_round", type=int, default=1500)
-    parser.add_argument("--render", action='store_true')
-    parser.add_argument("--load_from", type=int)
-    parser.add_argument("--train", action="store_true")
-    parser.add_argument("--print_every", type=int, default=100)
-    parser.add_argument("--map_size", type=int, default=200)
-    parser.add_argument("--greedy", action="store_true")
-    parser.add_argument("--name", type=str, default="gather")
-    parser.add_argument("--record", action="store_true")
-    parser.add_argument("--eval", action="store_true")
-    args = parser.parse_args()
-
+    args = standard_cli("gather", n_round=1500, map_size=200,
+                        save_every=2, algs=None)
+    args.add_argument("--print_every", type=int, default=100)
+    args.add_argument("--record", action="store_true")
+    args = args.parse_args()
     magent.utility.init_logger(args.name)
 
     env = magent.GridWorld(load_config(size=args.map_size))
     env.set_render_dir("build/render")
-
-    handles = env.get_handles()
-    food_handle = handles[0]
-    player_handles = handles[1:]
+    food_handle, player_handle = env.get_handles()
 
     eval_obs = None
     if args.eval:
-        print("sample eval set...")
+        print("building eval observation set")
         env.reset()
-        generate_map(env, args.map_size, food_handle, player_handles)
-        eval_obs = magent.utility.sample_observation(env, player_handles, 2048, 500)[0]
+        generate_map(env, args.map_size, food_handle, player_handle)
+        eval_obs = magent.utility.sample_observation(
+            env, [player_handle], 2048, 500)[0]
 
-    models = [RLModel(env, player_handles[0], args.name,
-                      batch_size=512, memory_size=2 ** 19,
-                      target_update=1000, train_freq=4, eval_obs=eval_obs)]
+    model = DeepQNetwork(env, player_handle, args.name,
+                         batch_size=512, memory_size=2 ** 19,
+                         target_update=1000, train_freq=4, eval_obs=eval_obs)
 
-    savedir = 'save_model'
-    if args.load_from is not None:
-        start_from = args.load_from
-        print("load ... %d" % start_from)
-        models[0].load(savedir, start_from)
-    else:
-        start_from = 0
+    savedir = "save_model"
+    start_from = load_checkpoints([model], savedir, args.load_from)
 
     print(args)
-    print("view_size", env.get_view_space(player_handles[0]))
+    print("view_space", env.get_view_space(player_handle))
 
-    start = time.time()
-    train_id = 0 if args.train else -1
+    # count distinct agents that ever earned a positive reward this episode
+    rewarded = set()
+
+    def track_positive(runner, step, per_step):
+        side = runner.sides[0]
+        rewards = env.get_reward(side.handle)
+        for agent_id, r in zip(side.ids, rewards):
+            if r > 0.05:
+                rewarded.add(int(agent_id))
+
+    runner = EpisodeRunner(
+        env,
+        [Side(player_handle, model, train=args.train, buffer_capacity=5000)],
+        max_steps=350, print_every=args.print_every,
+        train_print_every=250, step_hook=track_positive,
+    )
+
+    began = time.time()
     for k in range(start_from, start_from + args.n_round):
         tic = time.time()
-        eps = magent.utility.piecewise_decay(k, [0, 400, 1000], [1, 0.2, 0.05]) \
-            if not args.greedy else 0
-        loss, reward, value, pos_reward_ct = play_a_round(
-            env, args.map_size, food_handle, player_handles, models,
-            train_id, record=False,
-            render=args.render or (k + 1) % args.render_every == 0,
-            print_every=args.print_every, eps=eps)
-        log.info("round %d\t loss: %s\t reward: %s\t value: %s\t pos_reward_ct: %s"
-                 % (k, loss, reward, value, pos_reward_ct))
-        print("round time %.2f  total time %.2f\n" %
-              (time.time() - tic, time.time() - start))
+        eps = 0 if args.greedy else magent.utility.piecewise_decay(
+            k, [0, 400, 1000], [1, 0.2, 0.05])
+
+        rewarded.clear()
+        env.reset()
+        generate_map(env, args.map_size, food_handle, player_handle)
+        loss, num, reward, value = runner.play(
+            eps, train=args.train,
+            render=args.render or (k + 1) % args.render_every == 0)
+
+        logging.info(
+            "round %d\t loss: %s\t reward: %s\t value: %s\t pos_reward_ct: %s"
+            % (k, loss[0], reward[0], value[0], len(rewarded)))
+        print(f"round {k} took {time.time() - tic:.2f}s "
+              f"(total {time.time() - began:.2f}s)\n")
+
+        if args.record:
+            with open("reward-hunger.txt", "a") as fout:
+                fout.write(str(num[0]) + "\n")
 
         if (k + 1) % args.save_every == 0 and args.train:
-            print("save model... ")
-            for model in models:
-                model.save(savedir, k)
+            save_checkpoints([model], savedir, k)
 
 
 if __name__ == "__main__":

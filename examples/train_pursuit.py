@@ -1,104 +1,29 @@
-"""Pursuit: predators get reward when they attack prey
-(parity with reference examples/train_pursuit.py)."""
+"""Train pursuit: DQN predators chase DQN prey on the builtin pursuit game
+(capability parity with reference examples/train_pursuit.py)."""
 
-import argparse
-import logging as log
+import logging
 import os
 import sys
 import time
 
-import numpy as np
-
+sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import magent_tpu as magent
 from magent_tpu.builtin.jax_model import DeepQNetwork
+from rollout import (EpisodeRunner, Side, load_checkpoints, save_checkpoints,
+                     standard_cli)
 
 
-def play_a_round(env, map_size, handles, models, print_every, train=True,
-                 render=False, eps=None):
-    env.reset()
-
+def generate_map(env, map_size, handles):
+    """Random walls, then random predators and twice as many prey."""
     env.add_walls(method="random", n=map_size * map_size * 0.03)
     env.add_agents(handles[0], method="random", n=map_size * map_size * 0.0125)
     env.add_agents(handles[1], method="random", n=map_size * map_size * 0.025)
 
-    step_ct = 0
-    done = False
-
-    n = len(handles)
-    obs = [[] for _ in range(n)]
-    ids = [[] for _ in range(n)]
-    acts = [[] for _ in range(n)]
-    nums = [env.get_num(handle) for handle in handles]
-    total_reward = [0 for _ in range(n)]
-
-    print("===== sample =====")
-    print("eps %s number %s" % (eps, nums))
-    start_time = time.time()
-    while not done:
-        for i in range(n):
-            obs[i] = env.get_observation(handles[i])
-            ids[i] = env.get_agent_id(handles[i])
-            models[i].infer_action(obs[i], ids[i], 'e_greedy', eps, block=False)
-        for i in range(n):
-            acts[i] = models[i].fetch_action()
-            env.set_action(handles[i], acts[i])
-
-        done = env.step()
-
-        step_reward = []
-        for i in range(n):
-            rewards = env.get_reward(handles[i])
-            if train:
-                alives = env.get_alive(handles[i])
-                models[i].sample_step(rewards, alives, block=False)
-            s = sum(rewards)
-            step_reward.append(s)
-            total_reward[i] += s
-
-        if render:
-            env.render()
-
-        env.clear_dead()
-
-        if step_ct % print_every == 0:
-            print("step %3d,  reward: %s,  total_reward: %s " %
-                  (step_ct, np.around(step_reward, 2), np.around(total_reward, 2)))
-        step_ct += 1
-        if step_ct > 250:
-            break
-
-    sample_time = time.time() - start_time
-    print("steps: %d,  total time: %.2f,  step average %.2f" %
-          (step_ct, sample_time, sample_time / step_ct))
-
-    total_loss, value = [0 for _ in range(n)], [0 for _ in range(n)]
-    if train:
-        print("===== train =====")
-        start_time = time.time()
-        for i in range(n):
-            models[i].train(print_every=2000, block=False)
-        for i in range(n):
-            total_loss[i], value[i] = models[i].fetch_train()
-        print("train_time %.2f" % (time.time() - start_time))
-
-    return magent.round(total_loss), magent.round(total_reward), magent.round(value)
-
 
 def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--save_every", type=int, default=2)
-    parser.add_argument("--render_every", type=int, default=10)
-    parser.add_argument("--n_round", type=int, default=500)
-    parser.add_argument("--render", action="store_true")
-    parser.add_argument("--load_from", type=int)
-    parser.add_argument("--train", action="store_true")
-    parser.add_argument("--map_size", type=int, default=1000)
-    parser.add_argument("--greedy", action="store_true")
-    parser.add_argument("--eval", action="store_true")
-    parser.add_argument("--name", type=str, default="pursuit")
-    args = parser.parse_args()
-
+    args = standard_cli("pursuit", n_round=500, map_size=1000,
+                        save_every=2, algs=None).parse_args()
     magent.utility.init_logger(args.name)
 
     env = magent.GridWorld("pursuit", map_size=args.map_size)
@@ -107,56 +32,55 @@ def main():
 
     eval_obs = [None, None]
     if args.eval:
-        print("sample eval set...")
+        print("building eval observation set")
         env.reset()
-        env.add_walls(method="random", n=args.map_size * args.map_size * 0.03)
-        env.add_agents(handles[0], method="random", n=args.map_size * args.map_size * 0.0125)
-        env.add_agents(handles[1], method="random", n=args.map_size * args.map_size * 0.025)
+        generate_map(env, args.map_size, handles)
         eval_obs = magent.utility.sample_observation(env, handles, 2048, 500)
 
-    names = [args.name + "-predator", args.name + "-prey"]
-    models = []
-    for i in range(len(names)):
-        models.append(magent.ProcessingModel(
-            env, handles[i], names[i], 20001 + i, 1000, DeepQNetwork,
-            eval_obs=eval_obs[i], batch_size=512,
-            memory_size=2 ** 22, target_update=1000, train_freq=4))
+    models = [
+        magent.ProcessingModel(env, handles[i], f"{args.name}-{tag}",
+                               20001 + i, 1000, DeepQNetwork,
+                               eval_obs=eval_obs[i], batch_size=512,
+                               memory_size=2 ** 22, target_update=1000,
+                               train_freq=4)
+        for i, tag in enumerate(("predator", "prey"))
+    ]
 
-    savedir = 'save_model'
-    if args.load_from is not None:
-        start_from = args.load_from
-        print("load ... %d" % start_from)
-        for model in models:
-            model.load(savedir, start_from)
-    else:
-        start_from = 0
+    savedir = "save_model"
+    start_from = load_checkpoints(models, savedir, args.load_from)
 
     print(args)
     print("view_space", env.get_view_space(handles[0]))
     print("feature_space", env.get_feature_space(handles[0]))
 
-    start = time.time()
+    runner = EpisodeRunner(
+        env,
+        [Side(h, m, train=args.train) for h, m in zip(handles, models)],
+        max_steps=250, print_every=50, train_print_every=2000,
+    )
+
+    began = time.time()
     for k in range(start_from, start_from + args.n_round):
         tic = time.time()
-        eps = magent.utility.piecewise_decay(k, [0, 200, 400], [1, 0.2, 0.05]) \
-            if not args.greedy else 0
-        loss, reward, value = play_a_round(
-            env, args.map_size, handles, models,
-            train=args.train, print_every=50,
-            render=args.render or (k + 1) % args.render_every == 0,
-            eps=eps)
-        log.info("round %d\t loss: %s\t reward: %s\t value: %s"
-                 % (k, loss, reward, value))
-        print("round time %.2f  total time %.2f\n" %
-              (time.time() - tic, time.time() - start))
+        eps = 0 if args.greedy else magent.utility.piecewise_decay(
+            k, [0, 200, 400], [1, 0.2, 0.05])
+
+        env.reset()
+        generate_map(env, args.map_size, handles)
+        loss, _, reward, value = runner.play(
+            eps, train=args.train,
+            render=args.render or (k + 1) % args.render_every == 0)
+
+        logging.info("round %d\t loss: %s\t reward: %s\t value: %s"
+                     % (k, loss, reward, value))
+        print(f"round {k} took {time.time() - tic:.2f}s "
+              f"(total {time.time() - began:.2f}s)\n")
 
         if (k + 1) % args.save_every == 0 and args.train:
-            print("save model... ")
-            for model in models:
-                model.save(savedir, k)
+            save_checkpoints(models, savedir, k)
 
-    for model in models:
-        model.quit()
+    for m in models:
+        m.quit()
 
 
 if __name__ == "__main__":

@@ -26,10 +26,13 @@ over env batches.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .. import spec as speclib
+from ..ops import attack_prefix as ap
 from ..spec import OP_ATTACK, OP_COLLIDE, OP_KILL, OP_NULL
 from . import geometry as geo
 from .state import State
@@ -147,9 +150,6 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
         is_attack, jnp.asarray(spec.s_attack_penalty), 0.0
     )
 
-    # ---- order-aware damage: ONE multi-operand sort by (target, priority)
-    # carries every per-attacker value along, replacing a lexsort plus a
-    # fan of post-sort gathers (gathers are the slow path on TPU)
     SENT = A  # sentinel segment for non-attacks
     tgt_key = jnp.where(valid, tgt, SENT).astype(jnp.int32)
     dmg_slot = jnp.where(valid, jnp.asarray(spec.s_damage), 0.0)
@@ -165,58 +165,104 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     hp_t = jnp.where(valid, row_t[:, 0], jnp.inf)
     slot_iota = jnp.arange(A, dtype=jnp.int32)
 
-    s_tgt, _, s_slot, s_dmg, s_kill_reward, s_kill_supply, s_tgt_hp, s_valid = (
-        jax.lax.sort(
-            (tgt_key, rank, slot_iota, dmg_slot, kr_t, ks_t, hp_t,
-             valid.astype(jnp.int32)),
-            num_keys=2,
+    path = os.environ.get("MAGENT_ATTACK_PATH", "auto")
+    if path == "auto":
+        # the O(A^2) pairwise kernel wins below QUAD_MAX_AGENTS on TPU; the
+        # XLA einsum fallback materializes [A, A] so cap it harder on CPU
+        use_quad = A <= ap.QUAD_MAX_AGENTS and (ap.supports_pallas() or A <= 1024)
+    else:
+        use_quad = path == "quad"
+
+    if use_quad:
+        # ---- order-aware damage via the pairwise prefix kernel: every
+        # attacker-side quantity becomes elementwise (no sort, no
+        # permutation scatter-back); per-target damage is ONE scatter-max
+        rank_key = ap.pack_rank(rank, A)
+        P = ap.rank_prefix(tgt_key, rank_key, dmg_slot)
+        cum = P + dmg_slot
+        not_yet_dead = hp_t - P >= 0.0  # target still alive when I strike
+        acted = valid & not_yet_dead
+        is_killer = acted & (hp_t - cum < 0.0)  # be_attack: hp < 0 (GridWorld.h:203-208)
+
+        # applied damage per target = max cumulative among acted attackers
+        # (the killer's overshoot counts, attacks after the kill do not)
+        dmg_t = jnp.zeros(A + 1, state.hp.dtype).at[
+            jnp.where(acted, tgt_key, A)
+        ].max(jnp.where(acted, cum, 0.0))[:A]
+        hp = state.hp - dmg_t
+        died = (dmg_t > 0.0) & (hp < 0.0) & state.active & ~state.dead
+
+        op_new = jnp.where(
+            is_killer, OP_KILL, jnp.where(acted, OP_ATTACK, OP_NULL)
         )
-    )
-    s_valid = s_valid.astype(bool)
-    seg_start = _segment_starts(s_tgt)
-    s_cum = _segment_cumsum(s_dmg, seg_start)
-
-    kill_here = s_valid & (s_tgt_hp - s_cum < 0.0)  # be_attack: hp < 0 (GridWorld.h:203-208)
-    prev_kill = jnp.concatenate([jnp.zeros((1,), bool), kill_here[:-1]]) & ~seg_start
-    is_killer = kill_here & ~prev_kill
-    acted = s_valid & ~(kill_here & ~is_killer)  # attackers after the kill are no-ops
-
-    # per-target effects: the segment-end row knows the full (damage, died)
-    # totals from the cumsums, so ONE masked scatter-SET replaces a
-    # scatter-ADD (sets are ~40% cheaper than adds at this index count)
-    applied = jnp.where(acted, s_dmg, 0.0)
-    cum_applied = _segment_cumsum(applied, seg_start)
-    cum_kill = _segment_cumsum(is_killer.astype(state.hp.dtype), seg_start)
-    seg_end = jnp.concatenate([seg_start[1:], jnp.ones((1,), bool)])
-    tgt_fx = jnp.zeros((A + 1, 2), dtype=state.hp.dtype).at[
-        jnp.where(seg_end, s_tgt, A)
-    ].set(jnp.stack([cum_applied, cum_kill], axis=1))[:A]
-    hp = state.hp - tgt_fx[:, 0]
-    died = (tgt_fx[:, 1] > 0) & state.active & ~state.dead
-
-    # ---- attacker effects: packed scatters back through the permutation
-    # one 4-wide f32 scatter (op, obj, kill_reward, kill_supply): s_slot is a
-    # full permutation so every row is written; op/obj are small ints, exact
-    # in f32.  Index count dominates scatter cost on TPU, width is ~free.
-    atk_pack = jnp.zeros((A, 4), jnp.float32).at[s_slot].set(
-        jnp.stack(
-            [
-                jnp.where(is_killer, OP_KILL, jnp.where(acted, OP_ATTACK, OP_NULL)
-                          ).astype(jnp.float32),
-                jnp.where(acted, s_tgt, -1).astype(jnp.float32),
-                jnp.where(is_killer, s_kill_reward, 0.0),
-                jnp.where(is_killer, s_kill_supply, 0.0),
-            ],
-            axis=1,
+        obj_new = jnp.where(acted, tgt_key, -1)
+        kr_gain = jnp.where(is_killer, kr_t, 0.0)
+        supply_per_slot = jnp.where(is_killer, ks_t, 0.0)
+        killer_slot = is_killer  # for the food corpse drop below
+    else:
+        # ---- order-aware damage: ONE multi-operand sort by (target,
+        # priority) carries every per-attacker value along, replacing a
+        # lexsort plus a fan of post-sort gathers
+        s_tgt, _, s_slot, s_dmg, s_kill_reward, s_kill_supply, s_tgt_hp, s_valid = (
+            jax.lax.sort(
+                (tgt_key, rank, slot_iota, dmg_slot, kr_t, ks_t, hp_t,
+                 valid.astype(jnp.int32)),
+                num_keys=2,
+            )
         )
-    )
-    op_new = atk_pack[:, 0].astype(jnp.int32)
-    obj_new = atk_pack[:, 1].astype(jnp.int32)
+        s_valid = s_valid.astype(bool)
+        seg_start = _segment_starts(s_tgt)
+        s_cum = _segment_cumsum(s_dmg, seg_start)
+
+        kill_here = s_valid & (s_tgt_hp - s_cum < 0.0)  # be_attack: hp < 0 (GridWorld.h:203-208)
+        prev_kill = jnp.concatenate([jnp.zeros((1,), bool), kill_here[:-1]]) & ~seg_start
+        is_killer = kill_here & ~prev_kill
+        acted = s_valid & ~(kill_here & ~is_killer)  # attackers after the kill are no-ops
+
+        # per-target effects: the segment-end row knows the full
+        # (damage, died) totals from the cumsums, so ONE masked scatter-SET
+        # replaces a scatter-ADD
+        applied = jnp.where(acted, s_dmg, 0.0)
+        cum_applied = _segment_cumsum(applied, seg_start)
+        cum_kill = _segment_cumsum(is_killer.astype(state.hp.dtype), seg_start)
+        seg_end = jnp.concatenate([seg_start[1:], jnp.ones((1,), bool)])
+        tgt_fx = jnp.zeros((A + 1, 2), dtype=state.hp.dtype).at[
+            jnp.where(seg_end, s_tgt, A)
+        ].set(jnp.stack([cum_applied, cum_kill], axis=1))[:A]
+        hp = state.hp - tgt_fx[:, 0]
+        died = (tgt_fx[:, 1] > 0) & state.active & ~state.dead
+
+        # attacker effects: ONE packed 4-wide scatter back through the
+        # permutation (op, obj, kill_reward, kill_supply); op/obj are small
+        # ints, exact in f32
+        atk_pack = jnp.zeros((A, 4), jnp.float32).at[s_slot].set(
+            jnp.stack(
+                [
+                    jnp.where(is_killer, OP_KILL, jnp.where(acted, OP_ATTACK, OP_NULL)
+                              ).astype(jnp.float32),
+                    jnp.where(acted, s_tgt, -1).astype(jnp.float32),
+                    jnp.where(is_killer, s_kill_reward, 0.0),
+                    jnp.where(is_killer, s_kill_supply, 0.0),
+                ],
+                axis=1,
+            )
+        )
+        op_new = atk_pack[:, 0].astype(jnp.int32)
+        obj_new = atk_pack[:, 1].astype(jnp.int32)
+        kr_gain = atk_pack[:, 2]
+        supply_per_slot = atk_pack[:, 3]
+        if spec.food_mode:
+            kill_pack = jnp.zeros((A, 1), jnp.int32).at[s_slot].set(
+                is_killer.astype(jnp.int32)[:, None]
+            )
+            killer_slot = kill_pack[:, 0] > 0  # per-slot: this agent killed
+        else:
+            killer_slot = None
+
     last_op = jnp.where(op_new != OP_NULL, op_new, state.last_op)
     op_obj = jnp.where(op_new != OP_NULL, obj_new, state.op_obj)
 
-    next_reward = next_reward + atk_pack[:, 2]
-    supply_per_slot = atk_pack[:, 3]
+    next_reward = next_reward + kr_gain
     hp_max = jnp.asarray(spec.s_hp_max)
     hp = jnp.where(supply_per_slot > 0, jnp.minimum(hp_max, hp + supply_per_slot), hp)
 
@@ -236,10 +282,6 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     # unique per target, so slot order suffices — no sorted order needed)
     cell_food = state.cell_food
     if spec.food_mode:
-        kill_pack = jnp.zeros((A, 1), jnp.int32).at[s_slot].set(
-            is_killer.astype(jnp.int32)[:, None]
-        )
-        killer_slot = kill_pack[:, 0] > 0  # per-slot: this agent killed
         fs_t = jnp.asarray(spec.g_food_supply)[tgt_group]
         fx = jnp.where(killer_slot, txc, W)
         fy = jnp.where(killer_slot, tyc, H)

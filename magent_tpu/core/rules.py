@@ -23,11 +23,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import AgentSymbol, EventNode
-from ..spec import (OP_AND, OP_AT, OP_ATTACK, OP_COLLIDE, OP_DIE, OP_IN,
-                    OP_IN_A_LINE, OP_KILL, OP_NOT, OP_OR)
+from ..spec import (OP_ALIGN, OP_AND, OP_AT, OP_ATTACK, OP_COLLIDE, OP_DIE,
+                    OP_IN, OP_IN_A_LINE, OP_KILL, OP_NOT, OP_OR)
 
 BINARY_OPS = (OP_KILL, OP_COLLIDE, OP_ATTACK)
-UNARY_OPS = (OP_AT, OP_IN, OP_DIE, OP_IN_A_LINE)
+UNARY_OPS = (OP_AT, OP_IN, OP_DIE, OP_IN_A_LINE, OP_ALIGN)
 LOGIC_OPS = (OP_AND, OP_OR, OP_NOT)
 
 
@@ -284,19 +284,369 @@ class PairSharedObjectRule(_BaseRule):
         return next_reward, group_reward, total_pairs > 0
 
 
+def _symbol_order(reward_rules):
+    """Reference symbol numbering: first-visit order over all rules'
+    event trees then receivers (reference:
+    python/magent/gridworld.py:_serialize_event_exp; the C++ side's
+    ``related_symbols`` std::set then iterates in that number order because
+    symbol pointers live in one contiguous vector)."""
+    order: list[AgentSymbol] = []
+
+    def visit(node):
+        for item in node.inputs:
+            if isinstance(item, EventNode):
+                visit(item)
+            elif isinstance(item, AgentSymbol):
+                if item not in order:
+                    order.append(item)
+
+    for on, receivers, _values, _terminal in reward_rules:
+        visit(on)
+        for r in receivers:
+            if r not in order:
+                order.append(r)
+    return order
+
+
+def _related_and_infer(node, sym_index):
+    """(related symbols sorted by registration number, infer map sub->obj)
+    — reference: RewardEngine.cc collect_related_symbol (:71-100)."""
+    related = set()
+    infer: dict[AgentSymbol, AgentSymbol] = {}
+
+    def walk(n):
+        if n.op in (OP_AND, OP_OR):
+            walk(n.inputs[0])
+            walk(n.inputs[1])
+        elif n.op == OP_NOT:
+            walk(n.inputs[0])
+        elif n.op in BINARY_OPS:
+            related.add(n.inputs[0])
+            related.add(n.inputs[1])
+            infer.setdefault(n.inputs[0], n.inputs[1])  # std::map keeps first
+        else:
+            related.add(n.inputs[0])
+
+    walk(node)
+    return sorted(related, key=sym_index), infer
+
+
+class GeneralRule(_BaseRule):
+    """Exact vectorized lowering of the reference's binding DFS for an
+    arbitrary event AST (reference: RewardEngine.cc:373-443, :216-371).
+
+    The DFS enumerates *input symbols* in registration order: symbols that
+    can infer an object bind it from their ``op_obj`` (re-binding on every
+    level, so a shared object's leaf-time value comes from its LAST
+    inferring subject), 'any' symbols iterate their group with
+    involved-agent exclusivity, and receivers are paid once per triggering
+    binding tuple.  Here each 'any' input symbol becomes a dense tensor
+    axis (<= 3), object bindings become per-axis slot expressions, and the
+    AST evaluates to a boolean trigger tensor whose reductions give every
+    per-receiver multiplicity.
+
+    Reference quirks replicated exactly:
+
+    - a fixed-index input symbol with no inferable object never recurses, so
+      the rule never fires (RewardEngine.cc:432-441);
+    - an 'all' symbol as an inferred *object* can never bind
+      (``bind_with_check`` index test, RewardEngine.cc:14-23);
+    - an 'any' subject with an infer pair requires ``op_obj`` non-null even
+      when the leaf could be satisfied otherwise (OR branches);
+    - binary leaves with an 'all' subject are vacuously true on empty
+      groups (RewardEngine.cc:223-234).
+    """
+
+    MAX_AXES = 3
+    MAX_TENSOR = 1 << 24
+
+    def __init__(self, spec, on, receivers, values, is_terminal, sym_index):
+        super().__init__(receivers, values, is_terminal)
+        self.on = on
+        related, infer = _related_and_infer(on, sym_index)
+        input_symbols, infer_obj = [], []
+        added = set()
+        for sym in related:  # first pass: infer pairs (RewardEngine.cc:163-176)
+            if sym in added:
+                continue
+            if sym in infer:
+                input_symbols.append(sym)
+                infer_obj.append(infer[sym])
+                added.add(sym)
+                added.add(infer[sym])
+        for sym in related:  # second pass: remaining symbols become free
+            if sym not in added:
+                input_symbols.append(sym)
+                infer_obj.append(None)
+        self.input_symbols = input_symbols
+        self.infer_obj = infer_obj
+
+        self.axes = [s for s in input_symbols if s.is_any()]
+        if len(self.axes) > self.MAX_AXES:
+            raise NotImplementedError(
+                "reward rule with %d 'any' symbols exceeds the vectorized "
+                "join limit (%d); use engine_mode='sequential'"
+                % (len(self.axes), self.MAX_AXES))
+        caps = [spec.groups[s.group].cap for s in self.axes]
+        size = 1
+        for c in caps:
+            size *= c
+        if size > self.MAX_TENSOR:
+            raise NotImplementedError(
+                "reward rule join tensor %s too large; use "
+                "engine_mode='sequential'" % (caps,))
+
+        # the reference asserts binary-leaf objects are never groups
+        # (RewardEngine.cc:223); fail at compile instead of at runtime
+        leaves: list[EventNode] = []
+        _collect_leaves(on, leaves)
+        for lf in leaves:
+            if lf.op in BINARY_OPS and lf.inputs[1].is_all():
+                raise ValueError(
+                    "the object of attack/kill/collide cannot be a group "
+                    "(reference asserts this)")
+
+        # dead-rule quirks (see class docstring)
+        self.never_fires = any(
+            (not s.is_any()) and (not s.is_all())
+            and (o is None or int(s.index) >= spec.groups[s.group].cap)
+            for s, o in zip(input_symbols, infer_obj)
+        ) or any(o is not None and o.is_all() for o in infer_obj)
+
+        # leaf-time binding source for each inferred object = LAST inferrer
+        self.last_inferrer: dict[AgentSymbol, AgentSymbol] = {}
+        for s, o in zip(input_symbols, infer_obj):
+            if o is not None:
+                self.last_inferrer[o] = s
+
+        for sym in receivers:
+            bound = (sym in self.axes or sym.is_all()
+                     or sym in self.last_inferrer
+                     or (sym in input_symbols and not sym.is_any()))
+            if not bound:
+                raise NotImplementedError(
+                    "receiver symbol not involved in the triggering event")
+
+    # ------------------------------------------------------------ evaluation
+    def apply(self, spec, state, next_reward, group_reward):
+        A = spec.n_agents_cap
+        if self.never_fires:
+            return next_reward, group_reward, jnp.asarray(False)
+
+        axes = self.axes
+        shape = tuple(spec.groups[s.group].cap for s in axes)
+        offs = [spec.groups[s.group].offset for s in axes]
+
+        def bcast(vec, axis):
+            """Lift a per-axis vector (or a scalar for axis None) onto the
+            full tensor shape."""
+            if axis is None:
+                return jnp.broadcast_to(vec, shape) if shape else vec
+            view = [1] * len(shape)
+            view[axis] = shape[axis]
+            return jnp.broadcast_to(vec.reshape(view), shape)
+
+        def axis_slots(i):
+            return offs[i] + jnp.arange(shape[i], dtype=jnp.int32)
+
+        def first_member_slot(group):
+            """Slot of groups[g].get_agents()[0] (first active slot)."""
+            off, cap = _group_slice(spec, group)
+            act = state.active[off : off + cap]
+            return off + jnp.argmax(act), jnp.any(act)
+
+        def binding(sym):
+            """(axis_or_None, slot-values) for a bound (non-'all') symbol."""
+            if sym in axes:
+                i = axes.index(sym)
+                return i, axis_slots(i)
+            t = self.last_inferrer.get(sym)
+            if t is not None:
+                if t.is_any():
+                    i = axes.index(t)
+                    return i, state.op_obj[offs[i] : offs[i] + shape[i]]
+                if t.is_all():
+                    first, _ = first_member_slot(t.group)
+                    return None, state.op_obj[first]
+                toff, _ = _group_slice(spec, t.group)
+                return None, state.op_obj[toff + int(t.index)]
+            # fixed input symbol bound to its own slot
+            soff, _ = _group_slice(spec, sym.group)
+            return None, jnp.asarray(soff + int(sym.index), jnp.int32)
+
+        def take(per_slot, sym):
+            """Gather a per-slot array at a symbol's bound slots -> tensor."""
+            i, slots = binding(sym)
+            safe = jnp.clip(slots, 0, A - 1)
+            return bcast(per_slot[safe], i)
+
+        def members_of(group):
+            g = jnp.asarray(spec.group_of_slot)
+            return (g == group) & state.active
+
+        # ---- per-slot unary predicates, shared by leaves
+        def unary_vec(leaf):
+            if leaf.op == OP_ALIGN:
+                # same-column + same-row group-mate counts of the subject
+                # (the reference's counters are dead code; this matches the
+                # sequential engine's documented-intent implementation)
+                sym = leaf.inputs[0]
+                mem = members_of(sym.group)
+                cnt_col = jnp.zeros(spec.width, jnp.int32).at[
+                    jnp.where(mem, state.x, spec.width)
+                ].add(1, mode="drop")
+                cnt_row = jnp.zeros(spec.height, jnp.int32).at[
+                    jnp.where(mem, state.y, spec.height)
+                ].add(1, mode="drop")
+                align = cnt_col[jnp.clip(state.x, 0, spec.width - 1)] + \
+                    cnt_row[jnp.clip(state.y, 0, spec.height - 1)]
+                return align > 1
+            return _unary_pred(spec, state, leaf, None)
+
+        def eval_node(node):
+            if node.op == OP_AND:
+                return eval_node(node.inputs[0]) & eval_node(node.inputs[1])
+            if node.op == OP_OR:
+                return eval_node(node.inputs[0]) | eval_node(node.inputs[1])
+            if node.op == OP_NOT:
+                return ~eval_node(node.inputs[0])
+            if node.op in BINARY_OPS:
+                sub, obj = node.inputs[0], node.inputs[1]
+                oi, ovals = binding(obj)
+                obj_t = bcast(ovals, oi)
+                if sub.is_all():
+                    # forall members: last_op==op and op_obj==obj
+                    mem = members_of(sub.group)
+                    n_mem = jnp.sum(mem.astype(jnp.int32))
+                    hit = mem & (state.last_op == node.op)
+                    cnt_at = jnp.zeros(A + 1, jnp.int32).at[
+                        jnp.where(hit & (state.op_obj >= 0), state.op_obj, A)
+                    ].add(1)[:A]
+                    padded = jnp.concatenate([cnt_at, jnp.zeros(1, jnp.int32)])
+                    safe = jnp.where((obj_t >= 0) & (obj_t < A), obj_t, A)
+                    return padded[safe] == n_mem  # vacuous True when empty
+                sub_op = take(state.last_op, sub) == node.op
+                sub_obj = take(state.op_obj, sub)
+                return sub_op & (sub_obj == obj_t)
+            # unary leaf
+            sym = node.inputs[0]
+            if node.op == OP_IN_A_LINE or sym.is_all():
+                pred = _unary_pred(spec, state, node, None) \
+                    if node.op == OP_IN_A_LINE else unary_vec(node)
+                if node.op == OP_IN_A_LINE:
+                    verdict = pred[_group_slice(spec, sym.group)[0]]
+                else:  # forall members (vacuous True when empty)
+                    mem = members_of(sym.group)
+                    verdict = jnp.all(~mem | pred)
+                return bcast(verdict, None)
+            return take(unary_vec(node), sym)
+
+        T = eval_node(self.on)
+        if shape:
+            T = jnp.broadcast_to(T, shape)
+
+        # ---- binding masks (DFS-level pruning, applied to every branch)
+        def bind_mask(sub, obj):
+            """op_obj of `sub` binds `obj`: non-null + group/index check
+            (bind_with_check, RewardEngine.cc:14-23)."""
+            if sub.is_any():
+                i = axes.index(sub)
+                oo = state.op_obj[offs[i] : offs[i] + shape[i]]
+                ax = i
+            elif sub.is_all():
+                first, nonempty = first_member_slot(sub.group)
+                oo = state.op_obj[first]
+                ax = None
+            else:
+                soff, _ = _group_slice(spec, sub.group)
+                oo = state.op_obj[soff + int(sub.index)]
+                ax = None
+            ok = oo >= 0
+            og, oidx = _group_slot_of(spec, jnp.clip(oo, 0, A - 1))
+            ok = ok & (og == obj.group)
+            if obj.index >= 0:
+                ok = ok & (oidx == obj.index)
+            if sub.is_all():
+                ok = ok & nonempty
+            return bcast(ok, ax)
+
+        for sub, obj in zip(self.input_symbols, self.infer_obj):
+            if obj is not None:
+                T = T & bind_mask(sub, obj)
+            if sub.is_any():
+                i = axes.index(sub)
+                T = T & bcast(state.active[offs[i] : offs[i] + shape[i]], i)
+            elif not sub.is_all():  # fixed: index must be within group size
+                soff, cap = _group_slice(spec, sub.group)
+                k = int(sub.index)
+                in_size = (k < cap) and jnp.asarray(True)
+                n_g = jnp.sum(members_of(sub.group).astype(jnp.int32))
+                T = T & bcast((k < n_g) & in_size, None)
+
+        # involved-agent exclusivity between same-group 'any' axes
+        for i in range(len(axes)):
+            for j in range(i + 1, len(axes)):
+                if axes[i].group == axes[j].group:
+                    T = T & (bcast(axis_slots(i), i) != bcast(axis_slots(j), j))
+
+        Tf = T.astype(jnp.float32)
+        n_trig = jnp.sum(Tf)
+
+        def axis_multiplicity(i):
+            other = tuple(k for k in range(len(axes)) if k != i)
+            return jnp.sum(Tf, axis=other) if other else Tf
+
+        for sym, val in zip(self.receivers, self.values):
+            if sym.is_all():
+                group_reward = group_reward.at[sym.group].add(val * n_trig)
+            elif sym in axes:
+                i = axes.index(sym)
+                m = axis_multiplicity(i)
+                next_reward = next_reward.at[
+                    offs[i] : offs[i] + shape[i]
+                ].add(val * m)
+            elif sym in self.last_inferrer:
+                t = self.last_inferrer[sym]
+                if t.is_any():
+                    i = axes.index(t)
+                    m = axis_multiplicity(i)
+                    oo = state.op_obj[offs[i] : offs[i] + shape[i]]
+                    next_reward = next_reward.at[
+                        jnp.where(m > 0, jnp.clip(oo, 0, A - 1), A)
+                    ].add(val * m, mode="drop")
+                else:
+                    _, v = binding(sym)
+                    next_reward = next_reward.at[
+                        jnp.where(n_trig > 0, jnp.clip(v, 0, A - 1), A)
+                    ].add(val * n_trig, mode="drop")
+            else:  # fixed input symbol bound to its own slot
+                soff, _ = _group_slice(spec, sym.group)
+                next_reward = next_reward.at[soff + int(sym.index)].add(
+                    val * n_trig)
+
+        return next_reward, group_reward, n_trig > 0
+
+
 def compile_rules(spec):
     """Compile all config reward rules into vectorized plans."""
+    order = _symbol_order(spec.reward_rules)
     plans = []
     for on, receivers, values, terminal in spec.reward_rules:
-        plans.append(_compile_one(spec, on, receivers, values, terminal))
+        plans.append(
+            _compile_one(spec, on, receivers, values, terminal, order.index)
+        )
     return plans
 
 
-def _compile_one(spec, on, receivers, values, terminal):
+def _compile_one(spec, on, receivers, values, terminal, sym_index):
+    import os
+
     symbols: list[AgentSymbol] = []
     _collect_symbols(on, symbols)
     leaves: list[EventNode] = []
     _collect_leaves(on, leaves)
+
+    force_general = os.environ.get("MAGENT_RULES") == "general"
 
     binary = [lf for lf in leaves if lf.op in BINARY_OPS]
     subjects = []
@@ -307,15 +657,22 @@ def _compile_one(spec, on, receivers, values, terminal):
         if lf.inputs[1] not in objects:
             objects.append(lf.inputs[1])
 
-    # pair pattern: two distinct 'any' subjects, one shared object, AND root
+    # pair pattern: two distinct 'any' subjects, one shared 'any' object,
+    # AND root — the cooperative double_attack shape, lowered to degree
+    # counting instead of a dense pair join
     if (
-        len(binary) == 2
+        not force_general
+        and len(binary) == 2
         and len(subjects) == 2
         and len(objects) == 1
         and on.op == OP_AND
         and len(leaves) == 2
         and subjects[0].is_any()
         and subjects[1].is_any()
+        and objects[0].is_any()
+        and objects[0] not in subjects
+        and all(r in subjects or r is objects[0] or r.is_all()
+                for r in receivers)
     ):
         return PairSharedObjectRule(
             spec, binary[0].op, binary[1].op,
@@ -323,18 +680,37 @@ def _compile_one(spec, on, receivers, values, terminal):
             receivers, values, terminal,
         )
 
-    # single-subject pattern (with optional inferred object)
-    if len(subjects) <= 1 and len(objects) <= 1:
+    # single-subject pattern (with optional inferred object): per-slot masks
+    if not force_general and len(symbols) <= 2 and len(subjects) <= 1 and (
+        len(objects) <= 1
+    ):
+        ok_unary = all(
+            lf.inputs[0] is (subjects[0] if subjects else symbols[0])
+            or (binary and lf.inputs[0] is objects[0])
+            for lf in leaves if lf.op in UNARY_OPS
+        )
+        no_align = all(lf.op != OP_ALIGN for lf in leaves)
         if binary:
             subject = subjects[0]
             obj = objects[0]
+            shape_ok = (obj not in subjects and len(symbols) == 2
+                        and not obj.is_all())
         else:
-            # unary-only rule: the single symbol is the subject
-            syms = symbols
-            if len(syms) != 1:
-                raise NotImplementedError("multi-symbol unary rule not supported yet")
-            subject = syms[0]
+            subject = symbols[0]
             obj = None
-        return SingleSubjectRule(spec, on, subject, obj, receivers, values, terminal)
+            shape_ok = len(symbols) == 1
+        recv_ok = all(
+            r is subject or (obj is not None and r is obj) or r.is_all()
+            or r.index >= 0
+            for r in receivers
+        )
+        # 'all' subjects need group-level logic evaluation (NOT/OR over the
+        # forall verdict) — the general join handles them; the per-slot plan
+        # only serves 'any' subjects
+        if shape_ok and ok_unary and no_align and recv_ok \
+                and subject.is_any():
+            return SingleSubjectRule(
+                spec, on, subject, obj, receivers, values, terminal)
 
-    raise NotImplementedError("unsupported reward rule shape")
+    # everything else: the exact general join
+    return GeneralRule(spec, on, receivers, values, terminal, sym_index)

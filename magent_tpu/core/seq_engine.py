@@ -468,9 +468,10 @@ class SequentialEngine:
                     if obj >= 0 and self._bind_check(S, infer, obj, binding):
                         triggered |= self._calc_rule(S, rule, now + 1,
                                                      binding, involved)
-                else:
-                    triggered |= self._calc_rule(S, rule, now + 1, binding,
-                                                 involved)
+                # reference quirk: a fixed-index symbol with NO inferable
+                # object never recurses, so the rule can never fire
+                # (RewardEngine.cc calc_rule deterministic branch has no
+                # infer==null path, :432-441)
         return triggered
 
     def _bind_check(self, S, sym, obj_slot, binding):

@@ -214,6 +214,38 @@ def _grid(x0, y0, nx, ny, stride=2):
             for i in range(nx) for j in range(ny)]
 
 
+def duel_cfg(gw, map_size):
+    """Static duel pairs: hunters one-shot nothing, marks deal zero damage.
+
+    Designed so the FAST engine must be bit-exact with the reference:
+    speed 0 removes all move contention and chain moves; one hunter per
+    mark means single-attacker targets (no order-dependent kill credit);
+    marks deal 0 damage with 0 attack penalty, so the reference's
+    dead-attacker skip (GridWorld.cc:479-480) has no observable effect.
+    """
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"embedding_size": 4})
+    hunter = cfg.register_agent_type(
+        "hunter",
+        {'width': 1, 'length': 1, 'hp': 10, 'speed': 0,
+         'view_range': gw.CircleRange(3), 'attack_range': gw.CircleRange(2),
+         'damage': 2, 'step_recover': 0,
+         'step_reward': -0.01, 'kill_reward': 4, 'attack_penalty': -0.1})
+    mark = cfg.register_agent_type(
+        "mark",
+        {'width': 1, 'length': 1, 'hp': 6, 'speed': 0,
+         'view_range': gw.CircleRange(3), 'attack_range': gw.CircleRange(2),
+         'damage': 0, 'step_recover': 0, 'dead_penalty': -0.5})
+    g0 = cfg.add_group(hunter)
+    g1 = cfg.add_group(mark)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=a, value=0.3)
+    cfg.add_reward_rule(gw.Event(a, 'kill', b), receiver=b, value=-1)
+    return cfg
+
+
 SCENARIOS = {
     # LCG-driven random placement + random walls (Map::get_random_blank
     # stream replication) on the battle config with a non-zero seed
@@ -274,6 +306,28 @@ SCENARIOS = {
     "pursuit": dict(
         cfg=pursuit_cfg, map_size=24, steps=40, action_seed=13,
         placements=[_grid(4, 4, 3, 3, 4), _grid(6, 6, 5, 5, 2)],
+    ),
+    # ---- contention-free scenarios: the FAST engine must be bit-exact ----
+    # agents spaced so far apart they can never interact within the step
+    # budget: pure movement/starve/step phases
+    "sparse_wander": dict(
+        cfg=battle_cfg, map_size=140, steps=10, action_seed=37,
+        placements=[
+            [[15, 15, 0], [65, 15, 0], [115, 15, 0], [15, 65, 0]],
+            [[65, 65, 0], [115, 65, 0], [15, 115, 0], [65, 115, 0]],
+        ],
+        skip_views=True,
+        fast_exact=True,
+    ),
+    # immobile duel pairs: single-attacker targets, zero-damage victims
+    # (see duel_cfg docstring for why this is order-independent)
+    "static_duel": dict(
+        cfg=duel_cfg, map_size=40, steps=40, action_seed=41,
+        placements=[
+            [[8, 8, 0], [24, 8, 0], [8, 24, 0], [24, 24, 0]],
+            [[10, 8, 0], [26, 8, 0], [10, 24, 0], [26, 24, 0]],
+        ],
+        fast_exact=True,
     ),
 }
 
