@@ -23,8 +23,12 @@ import optax
 
 import magent_tpu as magent
 from magent_tpu.builtin.config import battle
+from magent_tpu.builtin.jax_model.a2c import A2CNet
 from magent_tpu.builtin.jax_model.dqn import DQNNet
-from magent_tpu.parallel import (VecGridWorld, make_dqn_train_loop, make_mesh,
+from magent_tpu.builtin.jax_model.drqn import DRQNNet
+from magent_tpu.parallel import (VecGridWorld, init_drqn_hiddens,
+                                 make_a2c_train_loop, make_dqn_train_loop,
+                                 make_drqn_train_loop, make_mesh,
                                  param_sharding, state_sharding)
 
 
@@ -32,13 +36,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n_round", type=int, default=200,
                         help="train-step calls (each = rollout_len env steps)")
+    parser.add_argument("--alg", default="dqn", choices=["dqn", "drqn", "a2c"])
     parser.add_argument("--map_size", type=int, default=64)
     parser.add_argument("--agents_per_side", type=int, default=64)
     parser.add_argument("--n_envs", type=int, default=16)
     parser.add_argument("--rollout_len", type=int, default=8)
     parser.add_argument("--train_minibatch", type=int, default=16384,
                         help="sampled transitions per gradient step "
-                             "(0 = train on the full rollout)")
+                             "(0 = train on the full rollout; dqn only)")
     parser.add_argument("--target_update", type=int, default=40)
     parser.add_argument("--steps_per_call", type=int, default=10,
                         help="train steps fused per device call (lax.scan)")
@@ -53,43 +58,59 @@ def main():
     spec = venv.spec
     G = spec.n_groups
 
-    nets = [DQNNet(num_actions=spec.groups[g].type.n_action) for g in range(G)]
+    net_cls = {"dqn": DQNNet, "drqn": DRQNNet, "a2c": A2CNet}[args.alg]
+    nets = [net_cls(num_actions=spec.groups[g].type.n_action)
+            for g in range(G)]
     key = jax.random.PRNGKey(0)
     params = []
     for g in range(G):
         vh, vw, C = spec.view_space(g)
         F = spec.feature_size(g)
-        p = nets[g].init(
-            jax.random.fold_in(key, g),
-            jnp.zeros((1, vh, vw, C), jnp.float32),
-            jnp.zeros((1, F), jnp.float32),
-        )["params"]
+        dummy = [jnp.zeros((1, vh, vw, C), jnp.float32),
+                 jnp.zeros((1, F), jnp.float32)]
+        if args.alg == "drqn":
+            dummy.insert(0, jnp.zeros((1, nets[g].state_size), jnp.float32))
+        p = nets[g].init(jax.random.fold_in(key, g), *dummy)["params"]
         params.append(p)
     params = tuple(params)
-    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-4))
+    lr = 1e-3 if args.alg == "a2c" else 1e-4
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
     opt_states = tuple(tx.init(p) for p in params)
     target_params = jax.tree.map(lambda x: x, params)
 
-    train_loop = make_dqn_train_loop(
-        venv, nets, tx,
-        steps_per_call=args.steps_per_call,
-        target_update=args.target_update,
-        rollout_len=args.rollout_len,
-        train_minibatch=args.train_minibatch or None)
+    if args.alg == "dqn":
+        train_loop = make_dqn_train_loop(
+            venv, nets, tx,
+            steps_per_call=args.steps_per_call,
+            target_update=args.target_update,
+            rollout_len=args.rollout_len,
+            train_minibatch=args.train_minibatch or None)
+    elif args.alg == "drqn":
+        train_loop = make_drqn_train_loop(
+            venv, nets, tx,
+            steps_per_call=args.steps_per_call,
+            target_update=args.target_update,
+            rollout_len=args.rollout_len)
+    else:
+        train_loop = make_a2c_train_loop(
+            venv, nets, tx,
+            steps_per_call=args.steps_per_call,
+            rollout_len=args.rollout_len)
 
     mesh = make_mesh()
-    env_state = venv.reset(jax.random.PRNGKey(1))
+    env_state = jax.jit(venv.reset)(jax.random.PRNGKey(1))
     env_state = jax.device_put(env_state, state_sharding(mesh, env_state))
     params = jax.device_put(params, param_sharding(mesh, params))
     target_params = jax.device_put(target_params,
                                    param_sharding(mesh, target_params))
     opt_states = jax.device_put(opt_states, param_sharding(mesh, opt_states))
+    hiddens = init_drqn_hiddens(venv, nets) if args.alg == "drqn" else None
 
     jitted = jax.jit(train_loop)
     step_key = jax.random.PRNGKey(2)
 
-    print("devices:", len(jax.devices()), " envs:", args.n_envs,
-          " agents/env:", 2 * args.agents_per_side)
+    print("alg:", args.alg, " devices:", len(jax.devices()),
+          " envs:", args.n_envs, " agents/env:", 2 * args.agents_per_side)
     start = time.time()
     env_steps = 0
     n_calls = -(-args.n_round // args.steps_per_call)
@@ -97,9 +118,18 @@ def main():
         k = c * args.steps_per_call
         eps = magent.utility.piecewise_decay(
             k, [0, args.n_round // 3, args.n_round], [1, 0.2, 0.05])
-        params, target_params, opt_states, env_state, metrics = jitted(
-            params, target_params, opt_states, env_state,
-            jax.random.fold_in(step_key, c), eps, jnp.asarray(k))
+        ck = jax.random.fold_in(step_key, c)
+        if args.alg == "dqn":
+            params, target_params, opt_states, env_state, metrics = jitted(
+                params, target_params, opt_states, env_state, ck, eps,
+                jnp.asarray(k))
+        elif args.alg == "drqn":
+            (params, target_params, opt_states, env_state, hiddens,
+             metrics) = jitted(params, target_params, opt_states, env_state,
+                               hiddens, ck, eps, jnp.asarray(k))
+        else:
+            params, opt_states, env_state, metrics = jitted(
+                params, opt_states, env_state, ck)
         env_steps += args.rollout_len * args.n_envs * args.steps_per_call
         if c % 2 == 0 or c == n_calls - 1:
             loss = np.asarray(metrics["loss"])[-1]
@@ -115,13 +145,14 @@ def main():
           "agent-steps/s" % (env_steps, env_steps * total_agents / 1e6, dt,
                              env_steps * total_agents / dt))
 
-    # checkpoints compatible with the hosted DQN loader
+    # checkpoints compatible with the hosted model loaders
     from magent_tpu.builtin.jax_model.base import _flatten_pytree
 
+    subclass = {"dqn": "tfdqn", "drqn": "tfdrqn", "a2c": "tfa2c"}[args.alg]
     for g, suffix in enumerate(["l", "r"]):
         savedir = os.path.join("save_model", "%s-%s" % (args.name, suffix))
         os.makedirs(savedir, exist_ok=True)
-        path = os.path.join(savedir, "tfdqn_0.npz")
+        path = os.path.join(savedir, "%s_0.npz" % subclass)
         np.savez(path, **_flatten_pytree(jax.device_get(params[g])))
         print("saved", path)
 

@@ -389,7 +389,20 @@ def _move_phase(spec: speclib.GameSpec, state: State):
             collide_obj = jnp.where(hit, e, collide_obj)
 
     # cell claims: winner = lowest slot (reference buffer order = slot order)
-    if MB == 1:
+    path = os.environ.get("MAGENT_ATTACK_PATH", "auto")
+    if path == "auto":
+        use_quad = A <= ap.QUAD_MAX_AGENTS and (ap.supports_pallas() or A <= 1024)
+    else:
+        use_quad = path == "quad"
+    if MB == 1 and use_quad:
+        # pairwise claims kernel: count-of-lower-slot-contenders + head slot
+        # per mover, replacing the (cell, slot) sort + segment-head scan +
+        # packed scatter-back
+        tcell = jnp.where(blank, ny * W + nx, H * W)
+        cnt, head = ap.move_claims(tcell)
+        wins = blank & (cnt == 0)
+        lose_to = jnp.where(blank & ~wins, head, -1)
+    elif MB == 1:
         # sort contenders by (target cell, slot): the segment head wins the
         # cell, losers record the head's slot — replaces a claims grid
         # scatter-min + 32k-index gather (~0.6ms/step) with one small sort,

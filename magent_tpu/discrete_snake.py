@@ -494,10 +494,21 @@ class DiscreteSnake:
         return int(np.sum(np.asarray(self.state.cell_food) > 0))
 
     def set_render_dir(self, name):
-        import os
+        from .render.generator import SnakeRenderGenerator
 
-        os.makedirs(name, exist_ok=True)
         self._render_dir = name
+        self._render_gen = SnakeRenderGenerator(name)
+        self._render_gen.gen_config(self)
 
     def render(self):
-        pass  # snake render dumps are not supported (deprecated game)
+        """Append one replay frame (reference:
+        src/discrete_snake/RenderGenerator.cc:146-203)."""
+        gen = getattr(self, "_render_gen", None)
+        if gen is not None:
+            gen.render_a_frame(self)
+
+    def render_next_file(self):
+        gen = getattr(self, "_render_gen", None)
+        if gen is not None:
+            gen.file_ct += 1
+            gen.frame_ct = 0

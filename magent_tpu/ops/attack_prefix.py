@@ -138,3 +138,103 @@ def rank_prefix(tgt, rank, dmg, *, interpret=False):
     if supports_pallas() or interpret:
         return rank_prefix_tpu(tgt, rank, dmg, interpret=interpret)
     return rank_prefix_xla(tgt, rank, dmg)
+
+
+# --------------------------------------------------------- move-claim kernel
+def move_claims_xla(tcell):
+    """Pairwise fallback: (count of lower-slot same-cell movers, min slot
+    with the same cell).  O(A^2) memory — test scales only."""
+    A = tcell.shape[-1]
+    slots = jnp.arange(A, dtype=jnp.int32)
+    same = tcell[..., :, None] == tcell[..., None, :]
+    lower = slots[:, None] < slots[None, :]
+    cnt = jnp.sum((same & lower).astype(jnp.int32), axis=-2)
+    head = jnp.min(jnp.where(same, slots[:, None], A), axis=-2)
+    return cnt, head
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def move_claims_tpu(tcell, *, interpret=False):
+    """Move-contention arbitration without a sort (single env; vmap for
+    batches).
+
+    The reference executes moves in buffer order, so the first mover into a
+    contested cell wins (reference: GridWorld.cc:573-613); the fast engine's
+    deterministic equivalent is lowest-slot-wins.  For every slot j this
+    kernel returns:
+
+    - ``cnt[j]``: number of lower-slot movers targeting the same cell
+      (0 = j wins its claim);
+    - ``head[j]``: the lowest slot targeting the same cell (the winner a
+      loser collides with).
+
+    ``tcell`` is the flat target cell per slot with one shared sentinel for
+    non-movers (callers mask non-mover outputs).
+    """
+    from jax.experimental import pallas as pl
+
+    (A,) = tcell.shape
+    Ap = _ceil_to(A, max(_TI, _TJ))
+    if Ap != A:
+        tcell = jnp.pad(tcell, (0, Ap - A), constant_values=jnp.int32(2**30))
+    n_i = Ap // _TI
+
+    tc_col = tcell[:, None]
+    tc_row = tcell[None, :]
+
+    def kernel(tc_col_ref, tc_row_ref, cnt_ref, head_ref):
+        tr = tc_row_ref[...]  # [1, TJ]
+        j0 = pl.program_id(0) * _TJ
+        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j0
+
+        def body(i, carry):
+            cnt, head = carry
+            sl = pl.ds(i * _TI, _TI)
+            tc = tc_col_ref[sl, :]  # [TI, 1]
+            slot_col = (
+                jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
+            )
+            same = tc == tr  # [TI, TJ]
+            cnt = cnt + jnp.sum(
+                (same & (slot_col < slot_row)).astype(jnp.int32),
+                axis=0, keepdims=True)
+            head = jnp.minimum(
+                head,
+                jnp.min(jnp.where(same, slot_col, 2**30), axis=0,
+                        keepdims=True))
+            return cnt, head
+
+        cnt, head = jax.lax.fori_loop(
+            0, n_i, body,
+            (jnp.zeros((1, _TJ), jnp.int32),
+             jnp.full((1, _TJ), 2**30, jnp.int32)),
+            unroll=n_i,
+        )
+        cnt_ref[...] = cnt
+        head_ref[...] = head
+
+    cnt, head = pl.pallas_call(
+        kernel,
+        grid=(Ap // _TJ,),
+        in_specs=[
+            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
+            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
+            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
+            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tc_col, tc_row)
+    return cnt[0, :A], head[0, :A]
+
+
+def move_claims(tcell, *, interpret=False):
+    """Dispatch: Pallas on TPU, pairwise XLA elsewhere."""
+    if supports_pallas() or interpret:
+        return move_claims_tpu(tcell, interpret=interpret)
+    return move_claims_xla(tcell)

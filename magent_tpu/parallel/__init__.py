@@ -18,7 +18,10 @@ are TPU-native instead:
 
 from .vec_env import VecGridWorld
 from .sharding import make_mesh, state_sharding, param_sharding
-from .train import make_dqn_train_step, make_dqn_train_loop
+from .train import (make_a2c_train_loop, make_a2c_train_step,
+                    make_dqn_train_loop, make_dqn_train_step,
+                    make_drqn_train_loop, make_drqn_train_step,
+                    init_drqn_hiddens)
 
 __all__ = [
     "VecGridWorld",
@@ -26,4 +29,10 @@ __all__ = [
     "state_sharding",
     "param_sharding",
     "make_dqn_train_step",
+    "make_dqn_train_loop",
+    "make_a2c_train_step",
+    "make_a2c_train_loop",
+    "make_drqn_train_step",
+    "make_drqn_train_loop",
+    "init_drqn_hiddens",
 ]

@@ -227,6 +227,380 @@ def make_dqn_train_step(
     return train_step
 
 
+def make_a2c_train_step(
+    venv: VecGridWorld,
+    nets,
+    tx: optax.GradientTransformation,
+    gamma: float = 0.99,
+    rollout_len: int = 16,
+    value_coef: float = 0.1,
+    ent_coef: float = 0.08,
+):
+    """Fused advantage actor-critic: sample ``rollout_len`` steps with the
+    current policies, then one policy-gradient step per group on n-step
+    returns bootstrapped from V(s_T) (the reference flattens whole episodes
+    and bootstraps the tail the same way, reference:
+    builtin/tf_model/a2c.py:253-283).
+
+    ``nets[g]`` are :class:`magent_tpu.builtin.jax_model.a2c.A2CNet`
+    modules.  Returns ``train_step(params, opt_states, env_state, key) ->
+    (params, opt_states, env_state, metrics)``.
+    """
+    spec = venv.spec
+    G = spec.n_groups
+    B = venv.n_envs
+    A = spec.n_agents_cap
+    offs = [g.offset for g in spec.groups]
+    caps = [g.cap for g in spec.groups]
+
+    def apply_net(g, p, view, feat, mask):
+        """[B, cap, ...] -> (policy [B, cap, n], value [B, cap])."""
+        n_act = spec.groups[g].type.n_action
+        if nets[g].use_comm:
+            # CommNet pools messages within one env's group
+            def one(v, f, m):
+                return nets[g].apply({"params": p}, v, f, m)
+            pol, val = jax.vmap(one)(view, feat, mask)
+        else:
+            pol, val = nets[g].apply(
+                {"params": p},
+                view.reshape((-1,) + view.shape[2:]),
+                feat.reshape((-1,) + feat.shape[2:]),
+            )
+            pol = pol.reshape(B, caps[g], n_act)
+            val = val.reshape(B, caps[g])
+        return pol, val
+
+    def rollout(params, env_state, key):
+        def body(carry, t):
+            state, key = carry
+            key, akey = jax.random.split(key)
+            alive_now = state.active & ~state.dead
+            actions = jnp.zeros((B, A), jnp.int32)
+            out_views, out_feats, out_acts = [], [], []
+            all_obs = venv.observe_all(state)
+            for g in range(G):
+                view, feat = all_obs[g]
+                m = alive_now[:, offs[g] : offs[g] + caps[g]].astype(
+                    jnp.float32)
+                pol, _ = apply_net(g, params[g], view, feat, m)
+                act = jax.random.categorical(
+                    jax.random.fold_in(akey, g), jnp.log(pol), axis=-1
+                ).astype(jnp.int32)
+                actions = actions.at[:, offs[g] : offs[g] + caps[g]].set(act)
+                out_views.append(view)
+                out_feats.append(feat)
+                out_acts.append(act)
+            next_state, rewards, alive, done = venv.transition(state, actions)
+            out = dict(
+                views=tuple(out_views),
+                feats=tuple(out_feats),
+                actions=tuple(out_acts),
+                rewards=tuple(
+                    rewards[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                alive=tuple(
+                    alive[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                done=done,
+            )
+            return (next_state, key), out
+
+        (env_state, _), traj = jax.lax.scan(
+            body, (env_state, key), jnp.arange(rollout_len)
+        )
+        return env_state, traj
+
+    def group_loss(p, g, traj, alive0, boot_v):
+        """pg + value + entropy loss over the rollout window."""
+        view = traj["views"][g]  # [T, B, cap, ...]
+        feat = traj["feats"][g]
+        act = traj["actions"][g]
+        rew = traj["rewards"][g]
+        alive = traj["alive"][g]
+        done_b = traj["done"][:, :, None]  # [T, B, 1]
+        T = view.shape[0]
+
+        prev_alive = jnp.concatenate([alive0[None], alive[:-1]], axis=0)
+        terminal = (~alive) | done_b
+
+        # backward n-step returns, cut at terminals, bootstrapped from the
+        # post-rollout value (reference a2c.py:253-265)
+        def scan_back(R_next, xs):
+            r, term = xs
+            R = r + gamma * jnp.where(term, 0.0, R_next)
+            return R, R
+
+        _, rets = jax.lax.scan(
+            scan_back, jax.lax.stop_gradient(boot_v),
+            (rew, terminal), reverse=True,
+        )
+
+        mask3 = prev_alive.astype(jnp.float32)  # [T, B, cap]
+        pol, val = jax.vmap(lambda v, f, m: apply_net(g, p, v, f, m))(
+            view, feat, mask3)
+        logp = jnp.log(pol + 1e-6)
+        lp_a = jnp.take_along_axis(logp, act[..., None], axis=-1)[..., 0]
+        adv = jax.lax.stop_gradient(rets - val)
+        msum = jnp.maximum(jnp.sum(mask3), 1.0)
+        pg = -jnp.sum(adv * lp_a * mask3) / msum
+        vf = value_coef * jnp.sum(jnp.square(rets - val) * mask3) / msum
+        neg_ent = ent_coef * jnp.sum(
+            jnp.sum(pol * logp, axis=-1) * mask3) / msum
+        return pg + vf + neg_ent, jnp.sum(val * mask3) / msum
+
+    def train_step(params, opt_states, env_state, key):
+        key, rkey = jax.random.split(key)
+        alive_in = env_state.active & ~env_state.dead
+        env_state, traj = rollout(params, env_state, rkey)
+
+        # bootstrap values of the post-rollout state
+        final_obs = venv.observe_all(env_state)
+        alive_fin = env_state.active & ~env_state.dead
+
+        new_params, new_opts, losses, values = [], [], [], []
+        for g in range(G):
+            sl = slice(offs[g], offs[g] + caps[g])
+            m_fin = alive_fin[:, sl].astype(jnp.float32)
+            _, boot_v = apply_net(
+                g, params[g], final_obs[g][0], final_obs[g][1], m_fin)
+            boot_v = boot_v * m_fin  # dead agents bootstrap 0
+            (loss, mean_v), grads = jax.value_and_grad(group_loss, has_aux=True)(
+                params[g], g, traj, alive_in[:, sl], boot_v
+            )
+            updates, opt_g = tx.update(grads, opt_states[g], params[g])
+            new_params.append(optax.apply_updates(params[g], updates))
+            new_opts.append(opt_g)
+            losses.append(loss)
+            values.append(mean_v)
+
+        metrics = dict(
+            loss=jnp.stack(losses),
+            mean_value=jnp.stack(values),
+            mean_reward=jnp.stack(
+                [jnp.mean(traj["rewards"][g]) for g in range(G)]),
+        )
+        return tuple(new_params), tuple(new_opts), env_state, metrics
+
+    return train_step
+
+
+def make_drqn_train_step(
+    venv: VecGridWorld,
+    nets,
+    tx: optax.GradientTransformation,
+    gamma: float = 0.99,
+    rollout_len: int = 8,
+    use_double: bool = True,
+):
+    """Fused recurrent-Q training: the GRU hidden state is carried per agent
+    slot across calls ([B, cap, H] per group, reset on death/episode end),
+    and each call BPTTs through the ``rollout_len`` window from the window's
+    true initial hidden state (the reference unrolls stored windows from
+    zeros, reference: builtin/tf_model/drqn.py:128-137, 301+; carrying the
+    real state is the natural fused equivalent).
+
+    Returns ``train_step(params, target_params, opt_states, env_state,
+    hiddens, key, eps) -> (params, opt_states, env_state, hiddens,
+    metrics)``.
+    """
+    spec = venv.spec
+    G = spec.n_groups
+    B = venv.n_envs
+    A = spec.n_agents_cap
+    offs = [g.offset for g in spec.groups]
+    caps = [g.cap for g in spec.groups]
+    H = [nets[g].state_size for g in range(G)]
+
+    def net_step(g, p, h, view, feat):
+        """One GRU step over [B, cap, ...]."""
+        n_act = spec.groups[g].type.n_action
+        h2, q = nets[g].apply(
+            {"params": p},
+            h.reshape(-1, H[g]),
+            view.reshape((-1,) + view.shape[2:]),
+            feat.reshape((-1,) + feat.shape[2:]),
+        )
+        return h2.reshape(B, caps[g], H[g]), q.reshape(B, caps[g], n_act)
+
+    def rollout(params, env_state, hiddens, key, eps):
+        def body(carry, t):
+            state, hiddens, key = carry
+            key, akey = jax.random.split(key)
+            actions = jnp.zeros((B, A), jnp.int32)
+            outs = {"views": [], "feats": [], "actions": [], "h0": hiddens}
+            all_obs = venv.observe_all(state)
+            new_h = []
+            for g in range(G):
+                view, feat = all_obs[g]
+                n_act = spec.groups[g].type.n_action
+                h2, q = net_step(g, params[g], hiddens[g], view, feat)
+                kg, kr = jax.random.split(jax.random.fold_in(akey, g))
+                greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+                rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
+                act = jnp.where(
+                    jax.random.uniform(kr, greedy.shape) < eps, rand, greedy)
+                actions = actions.at[:, offs[g] : offs[g] + caps[g]].set(act)
+                outs["views"].append(view)
+                outs["feats"].append(feat)
+                outs["actions"].append(act)
+                new_h.append(h2)
+            next_state, rewards, alive, done = venv.transition(state, actions)
+            # hidden resets on death and on episode end (auto-reset)
+            kept = []
+            for g in range(G):
+                keep = (alive[:, offs[g] : offs[g] + caps[g]]
+                        & ~done[:, None])[..., None]
+                kept.append(jnp.where(keep, new_h[g], 0.0))
+            out = dict(
+                views=tuple(outs["views"]),
+                feats=tuple(outs["feats"]),
+                actions=tuple(outs["actions"]),
+                rewards=tuple(
+                    rewards[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                alive=tuple(
+                    alive[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                done=done,
+            )
+            return (next_state, tuple(kept), key), out
+
+        (env_state, hiddens, _), traj = jax.lax.scan(
+            body, (env_state, hiddens, key), jnp.arange(rollout_len)
+        )
+        return env_state, hiddens, traj
+
+    def unroll_q(g, p, h0, traj):
+        """Re-run the GRU over the stored window (resetting at boundaries)
+        -> q [T, B, cap, n_act]."""
+        def body(h, xs):
+            view, feat, alive, done = xs
+            h2, q = net_step(g, p, h, view, feat)
+            keep = (alive & ~done[:, None])[..., None]
+            return jnp.where(keep, h2, 0.0), q
+
+        _, qs = jax.lax.scan(
+            body, h0,
+            (traj["views"][g], traj["feats"][g], traj["alive"][g],
+             traj["done"]),
+        )
+        return qs
+
+    def group_loss(p, tp, g, h0, traj, alive0):
+        act = traj["actions"][g]
+        rew = traj["rewards"][g]
+        alive = traj["alive"][g]
+        done_b = traj["done"][:, :, None]
+
+        qs = unroll_q(g, p, h0, traj)
+        tqs = jax.lax.stop_gradient(unroll_q(g, tp, h0, traj))
+
+        q_t = jnp.take_along_axis(qs[:-1], act[:-1][..., None], axis=-1)[..., 0]
+        if use_double:
+            sel = jnp.argmax(jax.lax.stop_gradient(qs[1:]), axis=-1,
+                             keepdims=True)
+            next_v = jnp.take_along_axis(tqs[1:], sel, axis=-1)[..., 0]
+        else:
+            next_v = jnp.max(tqs[1:], axis=-1)
+
+        terminal = (~alive[:-1]) | done_b[:-1]
+        target = jnp.where(terminal, rew[:-1], rew[:-1] + gamma * next_v)
+        prev_alive = jnp.concatenate([alive0[None], alive[:-2]], axis=0)
+        mask = prev_alive.astype(jnp.float32)
+        td = jnp.square(jax.lax.stop_gradient(target) - q_t)
+        return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def train_step(params, target_params, opt_states, env_state, hiddens,
+                   key, eps):
+        key, rkey = jax.random.split(key)
+        alive_in = env_state.active & ~env_state.dead
+        h0 = hiddens
+        env_state, hiddens, traj = rollout(params, env_state, hiddens, rkey, eps)
+
+        new_params, new_opts, losses = [], [], []
+        for g in range(G):
+            sl = slice(offs[g], offs[g] + caps[g])
+            loss, grads = jax.value_and_grad(group_loss)(
+                params[g], target_params[g], g, h0[g], traj, alive_in[:, sl]
+            )
+            updates, opt_g = tx.update(grads, opt_states[g], params[g])
+            new_params.append(optax.apply_updates(params[g], updates))
+            new_opts.append(opt_g)
+            losses.append(loss)
+
+        metrics = dict(
+            loss=jnp.stack(losses),
+            mean_reward=jnp.stack(
+                [jnp.mean(traj["rewards"][g]) for g in range(G)]),
+        )
+        return (tuple(new_params), tuple(new_opts), env_state, hiddens,
+                metrics)
+
+    return train_step
+
+
+def init_drqn_hiddens(venv: VecGridWorld, nets):
+    """Zero per-agent GRU states, one [B, cap, H] array per group."""
+    spec = venv.spec
+    return tuple(
+        jnp.zeros((venv.n_envs, spec.groups[g].cap, nets[g].state_size),
+                  jnp.float32)
+        for g in range(spec.n_groups)
+    )
+
+
+def make_a2c_train_loop(venv, nets, tx, steps_per_call: int, **kwargs):
+    """``steps_per_call`` fused A2C steps under one ``lax.scan``."""
+    train_step = make_a2c_train_step(venv, nets, tx, **kwargs)
+
+    def loop(params, opt_states, env_state, key):
+        def body(carry, t):
+            params, opt_states, env_state, key = carry
+            key, skey = jax.random.split(key)
+            params, opt_states, env_state, metrics = train_step(
+                params, opt_states, env_state, skey)
+            return (params, opt_states, env_state, key), metrics
+
+        (params, opt_states, env_state, _), metrics = jax.lax.scan(
+            body, (params, opt_states, env_state, key),
+            jnp.arange(steps_per_call))
+        return params, opt_states, env_state, metrics
+
+    return loop
+
+
+def make_drqn_train_loop(venv, nets, tx, steps_per_call: int,
+                         target_update: int, **kwargs):
+    """``steps_per_call`` fused DRQN steps under one ``lax.scan`` with
+    in-scan target refresh (cf. :func:`make_dqn_train_loop`)."""
+    train_step = make_drqn_train_step(venv, nets, tx, **kwargs)
+
+    def loop(params, target_params, opt_states, env_state, hiddens, key,
+             eps, step0):
+        def body(carry, t):
+            params, target_params, opt_states, env_state, hiddens, key = carry
+            key, skey = jax.random.split(key)
+            params, opt_states, env_state, hiddens, metrics = train_step(
+                params, target_params, opt_states, env_state, hiddens, skey,
+                eps)
+            refresh = (step0 + t + 1) % target_update == 0
+            target_params = jax.tree.map(
+                lambda tp, p: jnp.where(refresh, p, tp), target_params, params
+            )
+            return (params, target_params, opt_states, env_state, hiddens,
+                    key), metrics
+
+        (params, target_params, opt_states, env_state, hiddens, _), metrics = (
+            jax.lax.scan(
+                body,
+                (params, target_params, opt_states, env_state, hiddens, key),
+                jnp.arange(steps_per_call)))
+        return params, target_params, opt_states, env_state, hiddens, metrics
+
+    return loop
+
+
 def make_dqn_train_loop(
     venv: VecGridWorld,
     nets,

@@ -192,3 +192,111 @@ class RenderGenerator:
         if self.frame_ct > self.frame_per_file:
             self.frame_ct = 0
             self.file_ct += 1
+
+
+class SnakeRenderGenerator:
+    """Replay dumper for DiscreteSnake in the reference snake format
+    (reference: src/discrete_snake/RenderGenerator.cc:53-206):
+
+    - ``config.json`` + ``static.map`` (wall list) at setup;
+    - per frame ``F n 0 0`` then one line per food cell (group 1) and per
+      snake body segment tail->head (body group 2, head group 0), each
+      ``id hp dir x y group`` with hp=100 and dir=270 like the reference.
+    """
+
+    def __init__(self, save_dir: str, frame_per_file: int = 10000):
+        self.save_dir = save_dir
+        self.frame_per_file = frame_per_file
+        self.file_ct = 0
+        self.frame_ct = 0
+        self.id_ct = 0
+        os.makedirs(save_dir, exist_ok=True)
+
+    def gen_config(self, env):
+        """reference: RenderGenerator::gen_config (snake,
+        RenderGenerator.cc:53-144)"""
+        lines = ["{"]
+
+        def kv(key, value, last=False):
+            lines.append('"%s": %s%s' % (key, value, "" if last else ","))
+
+        kv("width", env.width)
+        kv("height", env.height)
+        kv("static-file", '"static.map"')
+        kv("obstacle-style", _rgba(127, 127, 127, 1))
+        kv("dynamic-file-directory", '"."')
+        kv("attack-style", _rgba(63, 63, 63, 0.8))
+        kv("minimap-width", 300)
+        kv("minimap-height", 250)
+        lines.append('"group" : [')
+        # groups: food, snake head, snake body (reference color table)
+        for n, (c, alpha) in enumerate([((64, 64, 192), 1),
+                                        ((192, 64, 64), 1),
+                                        ((64, 192, 64), 0.9)]):
+            lines.append("{")
+            kv("height", 1)
+            kv("width", 1)
+            kv("style", _rgba(c[0], c[1], c[2], alpha))
+            kv("anchor", "[0, 0]")
+            kv("max-speed", 0)
+            kv("speed-style", _rgba(c[0], c[1], c[2], 0.01))
+            kv("vision-radius", 0)
+            kv("vision-angle", 0)
+            kv("vision-style", _rgba(c[0], c[1], c[2], 0.2))
+            kv("attack-radius", 0)
+            kv("attack-angle", 0)
+            kv("attack-style", _rgba(c[0], c[1], c[2], 0.1))
+            kv("broadcast-radius", 1, last=True)
+            lines.append("}," if n < 2 else "}")
+        lines.append("]")
+        lines.append("}")
+        with open(os.path.join(self.save_dir, "config.json"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        wall = np.asarray(env.state.cell_wall)
+        ys, xs = np.nonzero(wall)
+        with open(os.path.join(self.save_dir, "static.map"), "w") as f:
+            f.write("%d\n" % len(xs))
+            for i in range(len(xs)):
+                f.write("%d %d\n" % (xs[i], ys[i]))
+
+    def render_a_frame(self, env):
+        """reference: RenderGenerator::render_a_frame (snake,
+        RenderGenerator.cc:146-203)"""
+        st = env.state
+        path = os.path.join(self.save_dir, "video_%d.txt" % self.file_ct)
+        mode = "w" if self.frame_ct == 0 else "a"
+
+        alive = np.asarray(st.active & st.alive)
+        length = np.asarray(st.length)
+        head = np.asarray(st.head)
+        body_x = np.asarray(st.body_x)
+        body_y = np.asarray(st.body_y)
+        food = np.asarray(st.cell_food)
+        L = body_x.shape[1]
+
+        fys, fxs = np.nonzero(food > 0)
+        n_snake = int(np.sum(length[alive]))
+        out = ["F %d 0 0" % (n_snake + len(fxs))]
+
+        hp, angle = 100, 270
+        for fx, fy in zip(fxs, fys):
+            out.append("%d %d %d %d %d 1" % (self.id_ct, hp, angle, fx, fy))
+            self.id_ct += 1
+        for s in np.nonzero(alive)[0]:
+            n = int(length[s])
+            for k in range(n - 1, -1, -1):  # tail -> head
+                ring = (int(head[s]) - k) % L
+                group = 0 if k == 0 else 2
+                out.append("%d %d %d %d %d %d" % (
+                    self.id_ct, hp, angle,
+                    int(body_x[s, ring]), int(body_y[s, ring]), group))
+                self.id_ct += 1
+
+        with open(path, mode) as f:
+            f.write("\n".join(out) + "\n")
+
+        self.frame_ct += 1
+        if self.frame_ct > self.frame_per_file:
+            self.frame_ct = 0
+            self.file_ct += 1

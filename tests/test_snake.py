@@ -80,3 +80,40 @@ def test_snake_wall_death():
     assert env.get_reward()[0] == 10.0  # -max_dead_penalty
     env.clear_dead()
     assert env.get_num() == 0
+
+
+def test_snake_render_dump(tmp_path):
+    """Snake replay dump in the reference format (reference:
+    src/discrete_snake/RenderGenerator.cc:53-206)."""
+    import os
+
+    env = make_env()
+    env.add_food(method="random", n=10)
+    env.add_agent(method="random", n=4)
+    env.set_render_dir(str(tmp_path))
+
+    for _ in range(3):
+        n = env.get_num()
+        env.set_action(0, np.zeros(n, np.int32) + ACT_NOOP)
+        env.step()
+        env.render()
+        env.clear_dead()
+
+    cfg = os.path.join(str(tmp_path), "config.json")
+    video = os.path.join(str(tmp_path), "video_0.txt")
+    static = os.path.join(str(tmp_path), "static.map")
+    assert os.path.exists(cfg) and os.path.exists(video) and os.path.exists(static)
+    import json
+    parsed = json.loads(open(cfg).read())
+    assert parsed["width"] == env.width and len(parsed["group"]) == 3
+
+    lines = open(video).read().strip().splitlines()
+    frames = [l for l in lines if l.startswith("F ")]
+    assert len(frames) == 3
+    # each frame: F count 0 0 followed by `count` entity lines
+    n0 = int(frames[0].split()[1])
+    i0 = lines.index(frames[0])
+    body = lines[i0 + 1 : i0 + 1 + n0]
+    assert len(body) == n0
+    groups = {int(l.split()[-1]) for l in body}
+    assert groups <= {0, 1, 2} and 0 in groups  # heads present

@@ -68,3 +68,83 @@ def test_train_step_chains():
         params, opts, state, metrics = step(
             params, tgt, opts, state, jax.random.fold_in(key, k), 0.5)
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+
+
+# ------------------------------------------------------------- fused A2C/DRQN
+from magent_tpu.builtin.jax_model.a2c import A2CNet
+from magent_tpu.builtin.jax_model.drqn import DRQNNet
+from magent_tpu.parallel import (init_drqn_hiddens, make_a2c_train_step,
+                                 make_drqn_train_step)
+
+
+def _setup_a2c(n_envs=4, cap=6, use_comm=False):
+    venv = VecGridWorld(battle.get_config(20), [cap, cap], n_envs=n_envs)
+    spec = venv.spec
+    nets = [A2CNet(num_actions=spec.groups[g].type.n_action,
+                   use_comm=use_comm) for g in range(2)]
+    params = []
+    for g in range(2):
+        vh, vw, C = spec.view_space(g)
+        F = spec.feature_size(g)
+        p = nets[g].init(jax.random.PRNGKey(g),
+                         jnp.zeros((1, vh, vw, C), jnp.float32),
+                         jnp.zeros((1, F), jnp.float32))["params"]
+        params.append(p)
+    params = tuple(params)
+    tx = optax.adam(1e-3)
+    opts = tuple(tx.init(p) for p in params)
+    step = jax.jit(make_a2c_train_step(venv, nets, tx, rollout_len=3))
+    return venv, params, opts, step
+
+
+def test_a2c_train_step_moves_params():
+    venv, params, opts, step = _setup_a2c()
+    state = venv.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for k in range(2):
+        params, opts, state, metrics = step(
+            params, opts, state, jax.random.fold_in(key, k))
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    assert np.all(np.isfinite(np.asarray(metrics["mean_value"])))
+
+
+def test_a2c_commnet_fused():
+    venv, params, opts, step = _setup_a2c(use_comm=True)
+    state = venv.reset(jax.random.PRNGKey(0))
+    params, opts, state, metrics = step(params, opts, state,
+                                        jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+
+
+def test_drqn_train_step_carries_hidden():
+    venv = VecGridWorld(battle.get_config(20), [6, 6], n_envs=4)
+    spec = venv.spec
+    nets = [DRQNNet(num_actions=spec.groups[g].type.n_action)
+            for g in range(2)]
+    params = []
+    for g in range(2):
+        vh, vw, C = spec.view_space(g)
+        F = spec.feature_size(g)
+        p = nets[g].init(jax.random.PRNGKey(g),
+                         jnp.zeros((1, nets[g].state_size), jnp.float32),
+                         jnp.zeros((1, vh, vw, C), jnp.float32),
+                         jnp.zeros((1, F), jnp.float32))["params"]
+        params.append(p)
+    params = tuple(params)
+    tx = optax.adam(1e-3)
+    opts = tuple(tx.init(p) for p in params)
+    tgt = jax.tree.map(lambda x: x, params)
+    hiddens = init_drqn_hiddens(venv, nets)
+    step = jax.jit(make_drqn_train_step(venv, nets, tx, rollout_len=3))
+
+    state = venv.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for k in range(2):
+        params, opts, state, hiddens, metrics = step(
+            params, tgt, opts, state, hiddens, jax.random.fold_in(key, k),
+            0.3)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    # hidden state is being carried (nonzero for alive agents)
+    h0 = np.asarray(hiddens[0])
+    alive = np.asarray(state.active & ~state.dead)[:, :6]
+    assert np.any(np.abs(h0[alive]) > 0)
