@@ -96,9 +96,34 @@ def _row_lookup(table_2d, idx, count):
         out = jnp.where(idx == k, table_2d[:, k], out)
     return out
 
-def _attack_phase(spec: speclib.GameSpec, state: State, rank):
+
+def _use_quad(A: int) -> bool:
+    """Route conflict resolution to the O(A^2) pairwise kernels?  The XLA
+    fallback materializes [A, A], so cap it harder off-TPU."""
+    path = os.environ.get("MAGENT_ATTACK_PATH", "auto")
+    if path == "auto":
+        return A <= ap.QUAD_MAX_AGENTS and (ap.supports_pallas() or A <= 1024)
+    return path == "quad"
+
+
+def _gridless_capable(spec: speclib.GameSpec) -> bool:
+    """Config shapes whose occupancy questions are pairwise-answerable:
+    1x1 bodies, no food cells, no rotation footprints, no absorb demo."""
+    return (
+        spec.max_body_w == 1
+        and not spec.food_mode
+        and not spec.turn_mode
+        and not bool(spec.g_can_absorb.any())
+    )
+
+def _attack_phase(spec: speclib.GameSpec, state: State, rank,
+                  gridless: bool = False):
     """Resolve all attack actions (reference: GridWorld.cc:470-517,
-    Map.cc:209-310)."""
+    Map.cc:209-310).
+
+    ``gridless``: resolve target lookup pairwise (1x1 bodies, no food) and
+    never touch the occupancy grid — see :mod:`magent_tpu.ops.attack_prefix`.
+    """
     A = spec.n_agents_cap
     H, W = spec.height, spec.width
     act = state.last_action
@@ -123,23 +148,28 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     in_board = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H)
     txc = jnp.clip(tx, 0, W - 1)
     tyc = jnp.clip(ty, 0, H - 1)
-    tgt = jnp.where(is_attack & in_board, state.cell_slot[tyc, txc], -1)
+    if gridless:
+        # sentinels: queries use 2**30, dead agents' cells 2**29 — distinct
+        # so dead cells never satisfy a (sentinel) query
+        acell = jnp.where(is_attack & in_board, tyc * W + txc, 2**30)
+        own_cell = jnp.where(alive, state.y * W + state.x, 2**29)
+        tgt, hp_t_occ = ap.occupant(acell, own_cell, state.hp)
+    else:
+        tgt = jnp.where(is_attack & in_board, state.cell_slot[tyc, txc], -1)
     if spec.food_mode:
         food_amount = jnp.where(is_attack & in_board, state.cell_food[tyc, txc], 0.0)
         food_target = is_attack & (tgt < 0) & (food_amount > 0.0)
 
-    # ONE row-gather serves both target hp and target group: gathers are
-    # index-cost-dominated on this TPU, so fetching (hp, group) rows beats
-    # two separate [A]-gathers
+    # target group from boundary compares on the contiguous per-group slot
+    # ranges (free), never a gather
     g = jnp.asarray(spec.group_of_slot)
     G = spec.n_groups
-    hp_group = jnp.stack([state.hp, g.astype(state.hp.dtype)], axis=1)
-    hp_group = jnp.concatenate(
-        [hp_group, jnp.asarray([[jnp.inf, 0.0]], state.hp.dtype)], axis=0
-    )
-    safe_tgt = jnp.where((tgt >= 0) & (tgt < A), tgt, A)
-    row_t = hp_group[safe_tgt]
-    tgt_group = row_t[:, 1].astype(jnp.int32)
+    tgt_c = jnp.clip(tgt, 0, A - 1)
+    tgt_group = jnp.zeros(A, jnp.int32)
+    for gg in range(1, G):
+        tgt_group = tgt_group + (
+            tgt_c >= int(spec.group_offsets[gg])
+        ).astype(jnp.int32)
     valid = (
         (tgt >= 0)
         & (jnp.asarray(spec.s_attack_in_group) | (tgt_group != g))
@@ -162,23 +192,23 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
 
     kr_t = g_table(spec.g_kill_reward)
     ks_t = g_table(spec.g_kill_supply)
-    hp_t = jnp.where(valid, row_t[:, 0], jnp.inf)
     slot_iota = jnp.arange(A, dtype=jnp.int32)
 
-    path = os.environ.get("MAGENT_ATTACK_PATH", "auto")
-    if path == "auto":
-        # the O(A^2) pairwise kernel wins below QUAD_MAX_AGENTS on TPU; the
-        # XLA einsum fallback materializes [A, A] so cap it harder on CPU
-        use_quad = A <= ap.QUAD_MAX_AGENTS and (ap.supports_pallas() or A <= 1024)
-    else:
-        use_quad = path == "quad"
+    use_quad = _use_quad(A)
 
     if use_quad:
         # ---- order-aware damage via the pairwise prefix kernel: every
         # attacker-side quantity becomes elementwise (no sort, no
-        # permutation scatter-back); per-target damage is ONE scatter-max
+        # permutation scatter-back); per-target damage is ONE scatter-max.
+        # The kernel's pair sweep also picks up each target's hp, replacing
+        # the hp row-gather (gridless already got it from the occupant pass).
         rank_key = ap.pack_rank(rank, A)
-        P = ap.rank_prefix(tgt_key, rank_key, dmg_slot)
+        if gridless:
+            P = ap.rank_prefix(tgt_key, rank_key, dmg_slot)
+            hp_t = jnp.where(valid, hp_t_occ, jnp.inf)
+        else:
+            P, hp_t_raw = ap.rank_prefix(tgt_key, rank_key, dmg_slot, state.hp)
+            hp_t = jnp.where(valid, hp_t_raw, jnp.inf)
         cum = P + dmg_slot
         not_yet_dead = hp_t - P >= 0.0  # target still alive when I strike
         acted = valid & not_yet_dead
@@ -203,6 +233,7 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
         # ---- order-aware damage: ONE multi-operand sort by (target,
         # priority) carries every per-attacker value along, replacing a
         # lexsort plus a fan of post-sort gathers
+        hp_t = jnp.where(valid, _pad_gather(state.hp, tgt_c, jnp.inf), jnp.inf)
         s_tgt, _, s_slot, s_dmg, s_kill_reward, s_kill_supply, s_tgt_hp, s_valid = (
             jax.lax.sort(
                 (tgt_key, rank, slot_iota, dmg_slot, kr_t, ks_t, hp_t,
@@ -271,11 +302,15 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     dead = state.dead | died
 
     # remove dead bodies from the grid (scatter at the dead agents' rects;
-    # per-cell gathers are the slow path on TPU)
-    bw, bh = geo.size_for_dir(state.dir, w, l)
-    cell_slot = _clear_body(
-        state.cell_slot, died, state.x, state.y, bw, bh, spec.max_body_w
-    )
+    # per-cell gathers are the slow path on TPU); the gridless path keeps no
+    # grid — later phases resolve occupancy pairwise against `dead`
+    if gridless:
+        cell_slot = state.cell_slot
+    else:
+        bw, bh = geo.size_for_dir(state.dir, w, l)
+        cell_slot = _clear_body(
+            state.cell_slot, died, state.x, state.y, bw, bh, spec.max_body_w
+        )
 
     # corpse food drop at the attacked cell (food_mode, Map.cc:277-284):
     # scatter food_supply at each killer's target cell (kill cells are
@@ -317,7 +352,7 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank):
     )
 
 
-def _starve_phase(spec: speclib.GameSpec, state: State):
+def _starve_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
     """hp recovery / decay (reference: GridWorld.cc:519-542, Agent::starve
     GridWorld.h:194-201)."""
     alive = state.active & ~state.dead
@@ -335,19 +370,29 @@ def _starve_phase(spec: speclib.GameSpec, state: State):
     next_reward = jnp.where(starved, jnp.asarray(spec.s_dead_penalty), state.next_reward)
     dead = state.dead | starved
 
-    w = jnp.asarray(spec.s_width)
-    l = jnp.asarray(spec.s_length)
-    bw, bh = geo.size_for_dir(state.dir, w, l)
-    cell_slot = _clear_body(
-        state.cell_slot, starved, state.x, state.y, bw, bh, spec.max_body_w
-    )
+    if gridless:
+        cell_slot = state.cell_slot
+    else:
+        w = jnp.asarray(spec.s_width)
+        l = jnp.asarray(spec.s_length)
+        bw, bh = geo.size_for_dir(state.dir, w, l)
+        cell_slot = _clear_body(
+            state.cell_slot, starved, state.x, state.y, bw, bh, spec.max_body_w
+        )
 
     return state.replace(hp=hp, dead=dead, next_reward=next_reward, cell_slot=cell_slot)
 
 
-def _move_phase(spec: speclib.GameSpec, state: State):
+def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
     """Resolve all move actions (reference: GridWorld.cc:573-613,
-    Map::do_move Map.cc:313-358)."""
+    Map::do_move Map.cc:313-358).
+
+    ``gridless``: blocking occupants and cell claims resolve in one pairwise
+    kernel sweep (1x1 bodies, border-only walls) and the occupancy grid is
+    neither read nor rebuilt.  A blank mover's same-cell contenders are
+    necessarily blank too (occupancy/wall status is per-cell), so blocked
+    movers corrupting the claim counts cannot affect any winner.
+    """
     A = spec.n_agents_cap
     H, W = spec.height, spec.width
     MB = spec.max_body_w
@@ -367,6 +412,29 @@ def _move_phase(spec: speclib.GameSpec, state: State):
     l = jnp.asarray(spec.s_length)
     bw, bh = geo.size_for_dir(state.dir, w, l)
     in_bounds = (nx >= 0) & (ny >= 0) & (nx + bw < W) & (ny + bh < H)  # Map.cc:454-455
+
+    if gridless:
+        # border walls live at x==0 / y==0 (in_bounds already excludes the
+        # far edges for 1x1 bodies)
+        wall_blocked = (nx == 0) | (ny == 0)
+        ok = is_move & in_bounds & ~wall_blocked
+        tcell = jnp.where(ok, ny * W + nx, 2**30)
+        cell = jnp.where(alive, state.y * W + state.x, 2**29)
+        cnt, head, occ = ap.move_resolve(tcell, cell)
+        occupied = ok & (occ >= 0)
+        blank = ok & ~occupied
+        wins = blank & (cnt == 0)
+        success = wins
+        coll_obj = jnp.where(
+            blank & ~wins, head, jnp.where(occupied, occ, -1))
+        collide = is_move & ~success & in_bounds & (coll_obj >= 0)
+        last_op = jnp.where(collide, OP_COLLIDE, state.last_op)
+        op_obj = jnp.where(collide, coll_obj, state.op_obj)
+        return state.replace(
+            x=jnp.where(success, nx, state.x),
+            y=jnp.where(success, ny, state.y),
+            last_op=last_op, op_obj=op_obj,
+        )
 
     # scan target rect: blank check + first colliding agent (x-major order,
     # Map::get_collide Map.cc:486-501)
@@ -389,12 +457,7 @@ def _move_phase(spec: speclib.GameSpec, state: State):
             collide_obj = jnp.where(hit, e, collide_obj)
 
     # cell claims: winner = lowest slot (reference buffer order = slot order)
-    path = os.environ.get("MAGENT_ATTACK_PATH", "auto")
-    if path == "auto":
-        use_quad = A <= ap.QUAD_MAX_AGENTS and (ap.supports_pallas() or A <= 1024)
-    else:
-        use_quad = path == "quad"
-    if MB == 1 and use_quad:
+    if MB == 1 and _use_quad(A):
         # pairwise claims kernel: count-of-lower-slot-contenders + head slot
         # per mover, replacing the (cell, slot) sort + segment-head scan +
         # packed scatter-back
@@ -582,35 +645,58 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
     )
 
 
-def make_step(spec: speclib.GameSpec):
-    """Build the jittable full-step function for a spec."""
+def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True):
+    """Build the jittable full-step function for a spec.
+
+    ``maintain_grid=False`` (vectorized lockstep path): when the config is
+    :func:`_gridless_capable` — 1x1 bodies, no food, no turn mode, no
+    absorb — AND the caller guarantees border-only walls (the device-side
+    reset builds exactly those), the step resolves every occupancy question
+    pairwise in the VPU kernels and never reads or rebuilds
+    ``state.cell_slot`` (which then goes stale; observations render from
+    positions, so nothing in the lockstep loop reads it).  Eliminates four
+    ~0.3 ms grid scatters/gathers per step at battle scale.
+    ``MAGENT_GRIDLESS=0`` forces the grid path for differential testing.
+    """
     rules = spec.compiled_rules()
     G = spec.n_groups
+    gridless = (
+        not maintain_grid
+        and _gridless_capable(spec)
+        and _use_quad(spec.n_agents_cap)
+        and os.environ.get("MAGENT_GRIDLESS", "auto") != "0"
+    )
 
     def step(state: State, actions=None) -> State:
         if actions is not None:
             state = state.replace(last_action=jnp.asarray(actions, jnp.int32))
 
         # attack priority = random keys (the reference shuffles its attack
-        # buffer with the engine rng, GridWorld.cc:464-468; random sort keys
-        # give an equivalent uniform order without paying for a permutation
-        # sort — ties fall back to slot order via the stable lexsort)
+        # buffer with the engine rng, GridWorld.cc:464-468; random keys give
+        # an equivalent uniform order).  The keys come from a SplitMix-style
+        # integer mix of (fresh subkey scalar, slot): counter-quality
+        # randomness is all a shuffle priority needs, and threefry bits for
+        # [A] lanes cost ~0.16ms/step at battle scale.
         key, sub = jax.random.split(state.key)
-        rank = jax.random.bits(sub, (spec.n_agents_cap,))
+        slot_u = jnp.arange(spec.n_agents_cap, dtype=jnp.uint32)
+        z = sub[0].astype(jnp.uint32) + slot_u * jnp.uint32(0x9E3779B9)
+        z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
+        z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
+        rank = z ^ (z >> 16)
         state = state.replace(key=key)
 
         # named scopes label the phases in jax.profiler / xprof traces
         # (the reference's compile-gated LOG(TRACE) equivalents,
         # reference: GridWorld.cc:460-618)
         with jax.named_scope("attack"):
-            state = _attack_phase(spec, state, rank)
+            state = _attack_phase(spec, state, rank, gridless=gridless)
         with jax.named_scope("starve"):
-            state = _starve_phase(spec, state)
+            state = _starve_phase(spec, state, gridless=gridless)
         if spec.turn_mode:
             with jax.named_scope("turn"):
                 state = _turn_phase(spec, state)
         with jax.named_scope("move"):
-            state = _move_phase(spec, state)
+            state = _move_phase(spec, state, gridless=gridless)
 
         # reward rules (reference: GridWorld::calc_reward, GridWorld.cc:681-692)
         next_reward, group_reward, terminal = state.next_reward, state.group_reward, False
@@ -624,12 +710,15 @@ def make_step(spec: speclib.GameSpec):
         # alive count is size - dead_ct, and absorb-collide deaths never bump
         # dead_ct (Map.cc:340-353) — a dead agent whose op is COLLIDE can
         # only have died that way, so it still counts until clear_dead.
-        gidx = jnp.asarray(spec.group_of_slot)
         counted_dead = state.dead
         if bool(spec.g_can_absorb.any()):
             counted_dead = counted_dead & ~(state.last_op == OP_COLLIDE)
         alive = (state.active & ~counted_dead).astype(jnp.int32)
-        alive_per_group = jnp.zeros(G, jnp.int32).at[gidx].add(alive)
+        # per-group counts over static slot ranges (a gidx-indexed
+        # scatter-add costs ~0.3ms/step at battle scale; slice sums are free)
+        alive_per_group = jnp.stack([
+            jnp.sum(alive[g.offset : g.offset + g.cap]) for g in spec.groups
+        ])
         done = jnp.any(alive_per_group == 0)
         done = jnp.logical_or(done, terminal)
 

@@ -22,6 +22,8 @@ rotation), using plain XLA gathers.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -192,6 +194,12 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     backend_ok = wg.supports_pallas() or interpret
     use_pallas = (not force_xla) and fits_vmem and backend_ok
     use_banded = (not force_xla) and not fits_vmem and band_fits and backend_ok
+    # replica variant: minimum-size loads, 4x image VMEM (see window_gather4)
+    use_replica = (
+        use_pallas and vh <= 13 and vw * C <= 65
+        and 4 * image_bytes <= 12 * 1024 * 1024
+        and os.environ.get("MAGENT_OBS_KERNEL", "auto") != "roll"
+    )
 
     def observe_batched(state: State, grids=None):
         B = state.x.shape[0]
@@ -268,7 +276,12 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             mm_mask2d = jnp.asarray(np.tile(mm_ch, (vh, vw)))  # [vh, vw*C]
             self_cell = py[:, sl] * vw + px[:, sl]
 
-        if use_pallas:
+        if use_replica:
+            view = wg.window_gather4(
+                img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+            )
+        elif use_pallas:
             # measured: XLA fuses the minimap epilogue into one cheap pass
             # over the views, while doing the adds inside the kernel costs
             # ~16 extra vector ops per agent — so the kernel only gathers

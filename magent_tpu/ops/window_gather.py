@@ -207,6 +207,105 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("vh", "vw", "C", "Wp", "chunk", "interpret")
+)
+def window_gather4(gfull, pos, mask, *, vh, vw, C, Wp, chunk=200,
+                   interpret=False):
+    """Window gather via shifted image replicas: minimum-size aligned loads.
+
+    :func:`window_gather` loads an aligned (vh+7→%8, vw*C+127→%128) superset
+    per agent and pays two full-size rolls — ~2x the data movement the
+    window needs.  This variant keeps FOUR copies of the image, shifted by
+    (0|4 rows, 0|64 lanes); picking the right replica caps the residual
+    offsets at (3, 63), so a (16, 128) load suffices for windows up to
+    (13, 65) and the rolls shrink to match.  ~2x fewer vector ops per agent
+    at battle geometry, for 4x the image VMEM (use only when it fits).
+
+    Same contract as :func:`window_gather` without the minimap path
+    (``pos`` is ``tl * 1024 + self_cell``; self_cell ignored here).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Hp, lanes = gfull.shape
+    N = pos.shape[1]
+    vwc = vw * C
+    # residuals cap at (3, 63) after replica selection, so the load covers
+    # windows up to (16-3, 128-63) = (13, 65)
+    assert vh <= 13 and vwc <= 65, (vh, vwc)
+    ROWS, LANES = 16, 128
+    minor = 64
+
+    n_pad = _ceil_to(N, chunk)
+    if n_pad != N:
+        pos = jnp.pad(pos, ((0, 0), (0, n_pad - N)))
+
+    # replicas shifted by (dr, dl): reading replica (dr, dl) at aligned
+    # (r, l) yields image rows r+dr.., lanes l+dl..
+    def shift(img, dr, dl):
+        out = img
+        if dr:
+            out = jnp.pad(out[:, dr:], ((0, 0), (0, dr), (0, 0)))
+        if dl:
+            out = jnp.pad(out[:, :, dl:], ((0, 0), (0, 0), (0, dl)))
+        return out
+
+    reps = jnp.stack(
+        [shift(gfull, 0, 0), shift(gfull, 0, minor),
+         shift(gfull, 4, 0), shift(gfull, 4, minor)], axis=0
+    )  # [4, B, Hp, lanes]
+
+    def kernel(pos_ref, g_ref, mask_ref, out_ref):
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+        base = b * n_pad + k * chunk
+        m = mask_ref[...]
+
+        def body(a, _):
+            p = pos_ref[base + a] // 1024
+            yy = p // Wp
+            lane = (p % Wp) * C
+            y8 = (yy // _SUBLANE) * _SUBLANE
+            l128 = (lane // _LANE) * _LANE
+            ry = yy - y8
+            rl = lane - l128
+            sel_r = (ry >= 4).astype(jnp.int32)
+            sel_l = (rl >= minor).astype(jnp.int32)
+            rep = sel_r * 2 + sel_l
+            win = g_ref[
+                rep, 0,
+                pl.ds(pl.multiple_of(y8, _SUBLANE), ROWS),
+                pl.ds(pl.multiple_of(l128, _LANE), LANES),
+            ]
+            ry = ry - sel_r * 4
+            rl = rl - sel_l * minor
+            win = pltpu.roll(win, (ROWS - ry) % ROWS, 0)
+            win = pltpu.roll(win, (LANES - rl) % LANES, 1)
+            out_ref[0, a] = win[:vh, :vwc] * m
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, n_pad // chunk),
+            in_specs=[
+                pl.BlockSpec((4, 1, Hp, lanes), lambda b, k, pos: (0, b, 0, 0)),
+                pl.BlockSpec((vh, vwc), lambda b, k, pos: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, chunk, vh, vwc), lambda b, k, pos: (b, k, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), jnp.float32),
+        interpret=interpret,
+    )(pos.reshape(-1), reps, mask)
+    return out[:, :N]
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("vh", "vw", "C", "Wp", "chunk", "band_rows", "interpret"),
 )

@@ -152,7 +152,9 @@ class VecGridWorld:
         self.spec = speclib.compile_spec(config, caps)
         self.n_envs = n_envs
         self._reset1 = _make_device_reset(self.spec, placements)
-        self._step1 = engine.make_step(self.spec)
+        # the device reset builds border-only walls, so the gridless fast
+        # path is sound here (see engine.make_step)
+        self._step1 = engine.make_step(self.spec, maintain_grid=False)
         self._observe1 = [
             observe.make_observe(self.spec, g) for g in range(self.spec.n_groups)
         ]

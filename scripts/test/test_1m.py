@@ -151,7 +151,7 @@ def run_vectorized(args):
                                           length=args.n_step)
         return state, key, jnp.sum(sink)
 
-    state = venv.reset(jax.random.PRNGKey(0))
+    state = jax.jit(venv.reset)(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
     state, key, sink = run(state, key)
     float(sink)  # compile + warm up

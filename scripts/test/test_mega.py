@@ -79,7 +79,7 @@ def main():
                                           length=args.steps)
         return state, key, jnp.sum(sink)
 
-    state = venv.reset(jax.random.PRNGKey(0))
+    state = jax.jit(venv.reset)(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     state, key, sink = run(state, key)
