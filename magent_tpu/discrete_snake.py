@@ -76,7 +76,17 @@ class DiscreteSnake:
     OBS_VIEW_INDEX = 0
     OBS_FEATURE_INDEX = 1
 
-    def __init__(self, config, caps: int = 256, max_length: int = 48, **kwargs):
+    def __new__(cls, config=None, *args, engine_mode: str = "fast", **kwargs):
+        if engine_mode == "sequential":
+            # reference-order host engine driven by the glibc random()
+            # stream — the bit-exact parity mode (core/seq_snake.py)
+            from .core.seq_snake import SequentialSnake
+
+            return SequentialSnake(config, **kwargs)
+        return super().__new__(cls)
+
+    def __init__(self, config, caps: int = 256, max_length: int = 48,
+                 engine_mode: str = "fast", **kwargs):
         cd = config.config_dict
         self.width = int(cd.get("map_width", 100))
         self.height = int(cd.get("map_height", 100))

@@ -19,7 +19,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-from scenarios import SCENARIOS, flatten_trace, run_scenario  # noqa: E402
+from scenarios import (SCENARIOS, SNAKE_SCENARIOS, flatten_snake_trace,  # noqa: E402
+                       flatten_trace, run_scenario, run_snake_scenario)
 
 
 def main():
@@ -36,6 +37,17 @@ def main():
 
     for name in args.scenarios:
         print("generating", name, "...")
+        if name in SNAKE_SCENARIOS:
+            # NOTE: snake scenarios consume the per-process glibc random()
+            # stream from its startup state — generate them in a FRESH
+            # process with ONLY snake scenarios listed (see scenarios.py)
+            trace = run_snake_scenario(magent, name)
+            flat = flatten_snake_trace(trace)
+            out = os.path.join(HERE, "golden_%s.npz" % name)
+            np.savez_compressed(out, **flat)
+            print("  %d steps -> %s (%.1f KB)" %
+                  (trace["steps"], out, os.path.getsize(out) / 1024))
+            continue
         trace = run_scenario(magent, name)
         flat = flatten_trace(trace, 2)
         out = os.path.join(HERE, "golden_%s.npz" % name)

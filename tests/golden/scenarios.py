@@ -413,3 +413,121 @@ def flatten_trace(trace, n_groups):
             out["view0_%d" % g] = trace["view0_%d" % g]
             out["feat0_%d" % g] = trace["feat0_%d" % g]
     return out
+
+
+# ---------------------------------------------------------------- snake
+# DiscreteSnake parity: the reference wrapper cannot set `seed`
+# (python/magent/discrete_snake.py:28-36 has no 'seed' key), so the stream
+# is glibc's startup state srandom(1) — snake goldens MUST be generated in
+# a FRESH process (generate_golden.py --scenarios snake_basic, nothing else)
+# because the reference gridworld's turn_mode placement consumes libc rand()
+# from the same per-process state.
+
+SNAKE_SCENARIOS = {
+    "snake_basic": dict(
+        map_width=24, map_height=24, view_width=11, view_height=11,
+        total_resource=40, n_food=25, n_agents=6, steps=40, action_seed=53,
+    ),
+}
+
+
+def run_snake_scenario(magent_module, name, engine_mode=None):
+    spec = SNAKE_SCENARIOS[name]
+    import importlib
+    ds = importlib.import_module(magent_module.__name__ + ".discrete_snake")
+    conf = {"map_width": spec["map_width"], "map_height": spec["map_height"],
+            "view_width": spec["view_width"], "view_height": spec["view_height"],
+            "total_resource": spec["total_resource"]}
+    if hasattr(ds, "_LIB"):
+        # the reference wrapper passes config keys as str to ctypes, which
+        # truncates them under Python 3 (discrete_snake.py:41-47); build the
+        # env with an empty config and push properly-encoded keys ourselves
+        import ctypes
+
+        cfg = ds.Config()
+        env = ds.DiscreteSnake(cfg)
+        for key, value in conf.items():
+            ds._LIB.env_config_game(
+                env.game, ctypes.c_char_p(key.encode("ascii")),
+                ctypes.byref(ctypes.c_int(int(value))))
+        import numpy as _np
+        buf = _np.empty((3,), dtype=_np.int32)
+        ds._LIB.env_get_info(env.game, 0, b"view_space",
+                             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        env.view_space = [int(buf[0]), int(buf[1]), int(buf[2])]
+        ds._LIB.env_get_info(env.game, 0, b"feature_space",
+                             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        env.feature_space = int(buf[0])
+
+        # two more Python-3 breakages in the reference wrapper: get_num /
+        # get_food_num pass the info name as str (truncated by ctypes) and
+        # get_alive allocates with the removed np.bool alias
+        import types
+
+        def _get_num(self, handle=0):
+            num = ctypes.c_int32()
+            ds._LIB.env_get_info(self.game, handle, b"num", ctypes.byref(num))
+            return num.value
+
+        def _get_food_num(self):
+            num = ctypes.c_int32()
+            ds._LIB.env_get_info(self.game, -2, b"num", ctypes.byref(num))
+            return num.value
+
+        def _get_alive(self, handle=0):
+            n = self.get_num(handle)
+            abuf = _np.empty((n,), dtype=_np.bool_)
+            ds._LIB.env_get_info(self.game, handle, b"alive",
+                                 abuf.ctypes.data_as(ctypes.POINTER(ctypes.c_bool)))
+            return abuf
+
+        env.get_num = types.MethodType(_get_num, env)
+        env.get_food_num = types.MethodType(_get_food_num, env)
+        env.get_alive = types.MethodType(_get_alive, env)
+    else:
+        cfg = ds.Config()
+        cfg.set(conf)
+        kwargs = {}
+        if engine_mode is not None:
+            kwargs["engine_mode"] = engine_mode
+        env = ds.DiscreteSnake(cfg, **kwargs)
+    env.reset()
+    env.add_food(method="random", n=spec["n_food"])
+    env.add_agent(method="random", n=spec["n_agents"])
+
+    trace = {"steps": 0, "num": [], "food_num": [], "ids": [], "head": [],
+             "length": [], "alive": [], "rew": [], "view0": None,
+             "feat0": None}
+    rng = np.random.RandomState(spec["action_seed"])
+    for step in range(spec["steps"]):
+        view, feat = env.get_observation(0)
+        if step == 0:
+            trace["view0"] = np.array(view, np.float32, copy=True)
+            trace["feat0"] = np.array(feat, np.float32, copy=True)
+        n = env.get_num()
+        acts = rng.randint(0, 5, n).astype(np.int32)
+        env.set_action(0, acts)
+        env.step()
+        trace["num"].append(env.get_num())
+        trace["food_num"].append(env.get_food_num())
+        trace["ids"].append(np.asarray(env.get_agent_id(), np.int32))
+        trace["head"].append(np.asarray(env.get_head(), np.int32))
+        trace["length"].append(np.asarray(env.get_length(), np.int32))
+        trace["alive"].append(np.asarray(env.get_alive(), bool))
+        trace["rew"].append(np.asarray(env.get_reward(), np.float32))
+        env.clear_dead()
+        trace["steps"] = step + 1
+    return trace
+
+
+def flatten_snake_trace(trace):
+    flat = {"steps": trace["steps"], "num": np.asarray(trace["num"]),
+            "food_num": np.asarray(trace["food_num"]),
+            "view0": trace["view0"], "feat0": trace["feat0"]}
+    for key in ("ids", "head", "length", "alive", "rew"):
+        flat[key + "_data"] = np.concatenate(
+            [np.asarray(v).reshape(len(v), -1).reshape(-1)
+             if np.asarray(v).size else np.asarray(v, np.float32).reshape(-1)
+             for v in trace[key]]
+        ) if trace[key] else np.zeros(0)
+    return flat

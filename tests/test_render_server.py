@@ -144,3 +144,58 @@ def test_render_server_roundtrip(replay_dir):
     finally:
         proc.terminate()
         proc.wait(timeout=5)
+
+
+@pytest.mark.skipif(not os.path.exists(RENDER_BIN),
+                    reason="native render server not built (cmake+ninja)")
+def test_frontend_frame_contract(replay_dir):
+    """Decode a frame exactly the way the frontend's layered UI does
+    (src/render/frontend/js/replay.js): minimap pixels, group counts, agent
+    hp/dir fields — the headless equivalent of a browser screenshot check."""
+    port = 9532
+    proc = subprocess.Popen([RENDER_BIN, "--port", str(port), "--quiet"])
+    try:
+        client = None
+        for _ in range(50):
+            try:
+                client = MiniWSClient(port)
+                break
+            except OSError:
+                time.sleep(0.1)
+        assert client is not None
+
+        client.send("l%s,%s" % (replay_dir / "config.json", "video_0.txt"))
+        info = client.recv()
+        import json
+        cfg = json.loads(info[info.index("|") + 1:])
+        mm_w = cfg.get("minimap-width", 300)
+        mm_h = cfg.get("minimap-height", 250)
+        styles = [g["style"] for g in cfg["group"]]
+        assert len(styles) == 2 and all(s.startswith("rgba(") for s in styles)
+
+        client.send("p0 0 0 16 16")
+        sections = client.recv()[1:].split(";")
+
+        # agents: "id x y group dir hp" with hp in [0, 100], dir in degrees
+        for rec in sections[1].split("|"):
+            _id, x, y, group, direction, hp = map(int, rec.split())
+            assert 0 <= x < 16 and 0 <= y < 16
+            assert group in (0, 1)
+            assert direction in (0, 90, 180, 270)
+            assert 0 <= hp <= 100
+
+        # minimap: mm_w * mm_h packed pixels R<<24|B<<16|G<<8|0xFF; agent
+        # cells must be non-white and mix the group styles
+        pix = [int(v) & 0xFFFFFFFF for v in sections[4].split()]
+        assert len(pix) == mm_w * mm_h
+        non_white = [v for v in pix if v != 0xFFFFFFFF]
+        assert len(non_white) == 4  # four live agents, distinct cells
+        reds = {(v >> 24) & 0xFF for v in non_white}
+        assert len(reds) >= 2  # both group colors appear
+
+        # counts line drives the population badges
+        assert sections[5].split() == ["2", "2"]
+        client.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=5)
