@@ -187,7 +187,10 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     # very large maps (the 1M-agent single-map scale) instead process the
     # image in horizontal bands with agents sorted by band
     image_bytes = Hp * lanes * 4
-    fits_vmem = image_bytes <= 12 * 1024 * 1024
+    # the kernel's image + output blocks double-buffer inside the ~16MB
+    # scoped VMEM limit, so cap the image at ~6MB (2*(img + chunk_out) must
+    # fit); larger images take the banded path
+    fits_vmem = image_bytes <= 6 * 1024 * 1024
     band_rows = 32
     rows_margin = wg._ceil_to(vh + 7, 8)
     band_fits = (band_rows + rows_margin) * lanes * 4 <= 8 * 1024 * 1024

@@ -1,4 +1,4 @@
-"""Rank-ordered prefix damage without a sort.
+"""Pairwise O(A^2) conflict-resolution kernels (no sorts, no grids).
 
 The attack phase needs, for every attacker i, the damage its target t has
 already received from attackers of t earlier in the (random) priority order
@@ -8,19 +8,25 @@ is a no-op, Map.cc:209-310).
 
 Round 1 computed this with an 8-operand ``lax.sort`` + segmented cumsums
 (~2.0 ms/step at battle scale: the bitonic network is stage-latency-bound).
-This kernel instead evaluates the O(A^2) pairwise formulation directly on the
-VPU::
+These kernels instead evaluate pairwise formulations directly on the VPU::
 
     P_j = sum_i [tgt_i == tgt_j and rank_i < rank_j] * dmg_i
 
-which is ~5 vector ops per pair — at A=2048, B=16 that is ~67M pairs,
-far less wall time than the sort's ~66 bitonic stages, and every downstream
-attacker-side quantity (killer identity, acted mask, kill rewards) becomes
-elementwise.  Per-target damage then needs only ONE 1-wide scatter-max
-(``D_t = max over acted attackers of cumulative damage``), replacing the
-sort path's segment-end scatters.
+~5 vector ops per pair — at A=2048, B=16 that is ~67M pairs, far less wall
+time than the sort's ~66 bitonic stages, and every downstream attacker-side
+quantity (killer identity, acted mask, kill rewards) becomes elementwise.
+The same pattern answers "who occupies cell c" (attack targets, move
+blocking) and "who claims cell c first" (move contention), which lets
+battle-class configs skip the occupancy grid entirely (engine.py gridless
+path).
 
-Quadratic cost bounds its use to ``A <= QUAD_MAX_AGENTS``; larger worlds
+Kernel structure: the pair sweep is a 2-D Pallas grid (j-tiles x i-chunks)
+with the i axis innermost, accumulating into the j-tile output block across
+grid steps — column operands are (TI, 1) blocks so VMEM holds only one
+chunk (a whole [A, 1] operand would tile-pad its lane dim 128x and blow the
+scoped VMEM limit at large A).
+
+Quadratic cost bounds their use to ``A <= QUAD_MAX_AGENTS``; larger worlds
 keep the sort path (see :mod:`magent_tpu.core.engine`).
 """
 
@@ -36,8 +42,8 @@ from .window_gather import supports_pallas  # noqa: F401  (re-export)
 # above this capacity the O(A^2) pair count loses to the O(A log^2 A) sort
 QUAD_MAX_AGENTS = 8192
 
-_TI = 256  # i-chunk (sublane axis, multiple of 8)
-_TJ = 512  # j-tile (lane axis, multiple of 128)
+_TI = 512  # i-chunk (sublane axis, multiple of 8)
+_TJ = 1024  # j-tile (lane axis, multiple of 128)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -56,6 +62,39 @@ def pack_rank(bits: jnp.ndarray, n_slots: int) -> jnp.ndarray:
     rand_bits = 31 - slot_bits
     slot = jnp.arange(n_slots, dtype=jnp.uint32)
     return (((bits >> (32 - rand_bits)) << slot_bits) | slot).astype(jnp.int32)
+
+
+def _pad_operands(A, pads):
+    """Sentinel-pad 1-D operands to a (TI, TJ)-aligned length."""
+    Ap = _ceil_to(A, max(_TI, _TJ))
+    out = []
+    for arr, fill in pads:
+        if Ap != A:
+            arr = jnp.pad(arr, (0, Ap - A), constant_values=fill)
+        out.append(arr)
+    return Ap, out
+
+
+def _pair_grid_call(kernel, col_ops, row_ops, n_out, out_dtypes, Ap,
+                    interpret):
+    """Run a pairwise sweep: grid (j-tiles, i-chunks), i innermost, output
+    blocks persistent across the i sweep (accumulation pattern)."""
+    from jax.experimental import pallas as pl
+
+    in_specs = (
+        [pl.BlockSpec((_TI, 1), lambda j, i: (i, 0)) for _ in col_ops]
+        + [pl.BlockSpec((1, _TJ), lambda j, i: (0, j)) for _ in row_ops]
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Ap // _TJ, Ap // _TI),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, _TJ), lambda j, i: (0, j))
+                   for _ in range(n_out)],
+        out_shape=[jax.ShapeDtypeStruct((1, Ap), dt) for dt in out_dtypes],
+        interpret=interpret,
+    )(*[c[:, None] for c in col_ops], *[r[None, :] for r in row_ops])
+    return out
 
 
 def rank_prefix_xla(tgt, rank, dmg, hp=None):
@@ -84,8 +123,7 @@ def rank_prefix_tpu(tgt, rank, dmg, hp=None, *, interpret=False):
     dmg:  [A] f32   — damage per attacker (0 where invalid).
     hp:   optional [A] f32 — when given, the same pair sweep also picks up
           each attacker's target hp (``hp[tgt_j]``), replacing a 32k-index
-          row gather (~0.3 ms/step at battle scale) with ~3 extra vector
-          ops per pair.
+          row gather (~0.3 ms/step at battle scale).
 
     Returns P [A] f32, or (P, hp_t) when ``hp`` is given (hp_t is 0 for
     sentinel targets — callers mask).
@@ -93,114 +131,61 @@ def rank_prefix_tpu(tgt, rank, dmg, hp=None, *, interpret=False):
     from jax.experimental import pallas as pl
 
     (A,) = tgt.shape
-    Ap = _ceil_to(A, max(_TI, _TJ))
     want_hp = hp is not None
-    if Ap != A:
-        # sentinel-pad: padded i-rows carry dmg 0 (no contribution); padded
-        # j-columns are sliced off
-        tgt = jnp.pad(tgt, (0, Ap - A), constant_values=jnp.int32(2**30))
-        rank = jnp.pad(rank, (0, Ap - A))
-        dmg = jnp.pad(dmg, (0, Ap - A))
-        if want_hp:
-            hp = jnp.pad(hp, (0, Ap - A))
-    n_i = Ap // _TI
-
-    # column (i) operands live with A on sublanes; row (j) operands with A
-    # on lanes — two layouts of the same tiny arrays, so the kernel never
-    # transposes
-    tgt_col = tgt[:, None]
-    rank_col = rank[:, None]
-    dmg_col = dmg[:, None]
-    tgt_row = tgt[None, :]
-    rank_row = rank[None, :]
+    pads = [(tgt, jnp.int32(2**30)), (rank, jnp.int32(0)),
+            (dmg, jnp.float32(0))]
+    if want_hp:
+        pads.append((hp, jnp.float32(0)))
+    Ap, padded = _pad_operands(A, pads)
 
     if want_hp:
+        tgt_p, rank_p, dmg_p, hp_p = padded
+
         def kernel(tc_ref, rc_ref, dc_ref, hc_ref, tr_ref, rr_ref,
                    p_ref, hpt_ref):
-            tr = tr_ref[...]  # [1, TJ]
+            i = pl.program_id(1)
+
+            @pl.when(i == 0)
+            def _init():
+                p_ref[...] = jnp.zeros_like(p_ref)
+                hpt_ref[...] = jnp.zeros_like(hpt_ref)
+
+            tr = tr_ref[...]
             rr = rr_ref[...]
-
-            def body(i, carry):
-                acc, hpt = carry
-                sl = pl.ds(i * _TI, _TI)
-                tc = tc_ref[sl, :]  # [TI, 1]
-                rc = rc_ref[sl, :]
-                dc = dc_ref[sl, :]
-                hc = hc_ref[sl, :]
-                slot_col = (
-                    jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
-                )
-                m = (tc == tr) & (rc < rr)  # [TI, TJ]
-                acc = acc + jnp.sum(jnp.where(m, dc, 0.0), axis=0,
-                                    keepdims=True)
-                hpt = hpt + jnp.sum(
-                    jnp.where(slot_col == tr, hc, 0.0), axis=0, keepdims=True)
-                return acc, hpt
-
-            acc, hpt = jax.lax.fori_loop(
-                0, n_i, body,
-                (jnp.zeros((1, _TJ), jnp.float32),
-                 jnp.zeros((1, _TJ), jnp.float32)),
-                unroll=n_i,
+            tc = tc_ref[...]  # [TI, 1]
+            rc = rc_ref[...]
+            dc = dc_ref[...]
+            hc = hc_ref[...]
+            slot_col = (
+                jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
             )
-            p_ref[...] = acc
-            hpt_ref[...] = hpt
+            m = (tc == tr) & (rc < rr)
+            p_ref[...] += jnp.sum(jnp.where(m, dc, 0.0), axis=0,
+                                  keepdims=True)
+            hpt_ref[...] += jnp.sum(
+                jnp.where(slot_col == tr, hc, 0.0), axis=0, keepdims=True)
 
-        P, hp_t = pl.pallas_call(
-            kernel,
-            grid=(Ap // _TJ,),
-            in_specs=[
-                pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-                pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-                pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-                pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-                pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-                pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-                pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((1, Ap), jnp.float32),
-                jax.ShapeDtypeStruct((1, Ap), jnp.float32),
-            ],
-            interpret=interpret,
-        )(tgt_col, rank_col, dmg_col, hp[:, None], tgt_row, rank_row)
+        P, hp_t = _pair_grid_call(
+            kernel, [tgt_p, rank_p, dmg_p, hp_p], [tgt_p, rank_p],
+            2, [jnp.float32, jnp.float32], Ap, interpret)
         return P[0, :A], hp_t[0, :A]
 
-    def kernel(tc_ref, rc_ref, dc_ref, tr_ref, rr_ref, out_ref):
-        tr = tr_ref[...]  # [1, TJ]
-        rr = rr_ref[...]
+    tgt_p, rank_p, dmg_p = padded
 
-        def body(i, acc):
-            sl = pl.ds(i * _TI, _TI)
-            tc = tc_ref[sl, :]  # [TI, 1]
-            rc = rc_ref[sl, :]
-            dc = dc_ref[sl, :]
-            m = (tc == tr) & (rc < rr)  # [TI, TJ]
-            return acc + jnp.sum(jnp.where(m, dc, 0.0), axis=0, keepdims=True)
+    def kernel(tc_ref, rc_ref, dc_ref, tr_ref, rr_ref, p_ref):
+        i = pl.program_id(1)
 
-        acc = jax.lax.fori_loop(
-            0, n_i, body, jnp.zeros((1, _TJ), jnp.float32), unroll=n_i
-        )
-        out_ref[...] = acc
+        @pl.when(i == 0)
+        def _init():
+            p_ref[...] = jnp.zeros_like(p_ref)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(Ap // _TJ,),
-        in_specs=[
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((1, Ap), jnp.float32),
-        interpret=interpret,
-    )(tgt_col, rank_col, dmg_col, tgt_row, rank_row)
-    return out[0, :A]
+        m = (tc_ref[...] == tr_ref[...]) & (rc_ref[...] < rr_ref[...])
+        p_ref[...] += jnp.sum(jnp.where(m, dc_ref[...], 0.0), axis=0,
+                              keepdims=True)
+
+    (P,) = _pair_grid_call(kernel, [tgt_p, rank_p, dmg_p], [tgt_p, rank_p],
+                           1, [jnp.float32], Ap, interpret)
+    return P[0, :A]
 
 
 def rank_prefix(tgt, rank, dmg, hp=None, *, interpret=False):
@@ -226,80 +211,37 @@ def move_claims_xla(tcell):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def move_claims_tpu(tcell, *, interpret=False):
     """Move-contention arbitration without a sort (single env; vmap for
-    batches).
-
-    The reference executes moves in buffer order, so the first mover into a
-    contested cell wins (reference: GridWorld.cc:573-613); the fast engine's
-    deterministic equivalent is lowest-slot-wins.  For every slot j this
-    kernel returns:
-
-    - ``cnt[j]``: number of lower-slot movers targeting the same cell
-      (0 = j wins its claim);
-    - ``head[j]``: the lowest slot targeting the same cell (the winner a
-      loser collides with).
-
-    ``tcell`` is the flat target cell per slot with one shared sentinel for
-    non-movers (callers mask non-mover outputs).
-    """
+    batches): per slot j, the number of lower-slot movers targeting the same
+    cell (0 = j wins) and the lowest such slot (the winner a loser collides
+    with).  ``tcell`` carries one shared sentinel for non-movers."""
     from jax.experimental import pallas as pl
 
     (A,) = tcell.shape
-    Ap = _ceil_to(A, max(_TI, _TJ))
-    if Ap != A:
-        tcell = jnp.pad(tcell, (0, Ap - A), constant_values=jnp.int32(2**30))
-    n_i = Ap // _TI
-
-    tc_col = tcell[:, None]
-    tc_row = tcell[None, :]
+    Ap, (tcell_p,) = _pad_operands(A, [(tcell, jnp.int32(2**30))])
 
     def kernel(tc_col_ref, tc_row_ref, cnt_ref, head_ref):
-        tr = tc_row_ref[...]  # [1, TJ]
-        j0 = pl.program_id(0) * _TJ
-        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j0
+        i = pl.program_id(1)
+        j = pl.program_id(0)
 
-        def body(i, carry):
-            cnt, head = carry
-            sl = pl.ds(i * _TI, _TI)
-            tc = tc_col_ref[sl, :]  # [TI, 1]
-            slot_col = (
-                jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
-            )
-            same = tc == tr  # [TI, TJ]
-            cnt = cnt + jnp.sum(
-                (same & (slot_col < slot_row)).astype(jnp.int32),
-                axis=0, keepdims=True)
-            head = jnp.minimum(
-                head,
-                jnp.min(jnp.where(same, slot_col, 2**30), axis=0,
-                        keepdims=True))
-            return cnt, head
+        @pl.when(i == 0)
+        def _init():
+            cnt_ref[...] = jnp.zeros_like(cnt_ref)
+            head_ref[...] = jnp.full_like(head_ref, 2**30)
 
-        cnt, head = jax.lax.fori_loop(
-            0, n_i, body,
-            (jnp.zeros((1, _TJ), jnp.int32),
-             jnp.full((1, _TJ), 2**30, jnp.int32)),
-            unroll=n_i,
-        )
-        cnt_ref[...] = cnt
-        head_ref[...] = head
+        tr = tc_row_ref[...]
+        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
+        tc = tc_col_ref[...]
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
+        same = tc == tr
+        cnt_ref[...] += jnp.sum(
+            (same & (slot_col < slot_row)).astype(jnp.int32),
+            axis=0, keepdims=True)
+        head_ref[...] = jnp.minimum(
+            head_ref[...],
+            jnp.min(jnp.where(same, slot_col, 2**30), axis=0, keepdims=True))
 
-    cnt, head = pl.pallas_call(
-        kernel,
-        grid=(Ap // _TJ,),
-        in_specs=[
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
-            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
-        ],
-        interpret=interpret,
-    )(tc_col, tc_row)
+    cnt, head = _pair_grid_call(kernel, [tcell_p], [tcell_p], 2,
+                                [jnp.int32, jnp.int32], Ap, interpret)
     return cnt[0, :A], head[0, :A]
 
 
@@ -340,59 +282,31 @@ def occupant_tpu(acell, cell, hp, *, interpret=False):
     from jax.experimental import pallas as pl
 
     (A,) = acell.shape
-    Ap = _ceil_to(A, max(_TI, _TJ))
-    if Ap != A:
-        acell = jnp.pad(acell, (0, Ap - A), constant_values=jnp.int32(2**30))
-        cell = jnp.pad(cell, (0, Ap - A), constant_values=jnp.int32(2**29))
-        hp = jnp.pad(hp, (0, Ap - A))
-    n_i = Ap // _TI
+    Ap, (acell_p, cell_p, hp_p) = _pad_operands(
+        A, [(acell, jnp.int32(2**30)), (cell, jnp.int32(2**29)),
+            (hp, jnp.float32(0))])
 
     def kernel(cc_ref, hc_ref, ar_ref, tgt_ref, hpt_ref):
-        ar = ar_ref[...]  # [1, TJ]
+        i = pl.program_id(1)
 
-        def body(i, carry):
-            cnt, ssum, hsum = carry
-            sl = pl.ds(i * _TI, _TI)
-            cc = cc_ref[sl, :]
-            hc = hc_ref[sl, :]
-            slot_col = (
-                jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
-            )
-            m = cc == ar  # [TI, TJ]
-            cnt = cnt + jnp.sum(m.astype(jnp.int32), axis=0, keepdims=True)
-            ssum = ssum + jnp.sum(jnp.where(m, slot_col, 0), axis=0,
-                                  keepdims=True)
-            hsum = hsum + jnp.sum(jnp.where(m, hc, 0.0), axis=0,
-                                  keepdims=True)
-            return cnt, ssum, hsum
+        @pl.when(i == 0)
+        def _init():
+            tgt_ref[...] = jnp.full_like(tgt_ref, -1)
+            hpt_ref[...] = jnp.zeros_like(hpt_ref)
 
-        cnt, ssum, hsum = jax.lax.fori_loop(
-            0, n_i, body,
-            (jnp.zeros((1, _TJ), jnp.int32), jnp.zeros((1, _TJ), jnp.int32),
-             jnp.zeros((1, _TJ), jnp.float32)),
-            unroll=n_i,
-        )
-        tgt_ref[...] = jnp.where(cnt > 0, ssum, -1)
-        hpt_ref[...] = hsum
+        ar = ar_ref[...]
+        cc = cc_ref[...]
+        hc = hc_ref[...]
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + \
+            pl.program_id(1) * _TI
+        m = cc == ar
+        hit = jnp.sum(m.astype(jnp.int32), axis=0, keepdims=True) > 0
+        ssum = jnp.sum(jnp.where(m, slot_col, 0), axis=0, keepdims=True)
+        tgt_ref[...] = jnp.where(hit, ssum, tgt_ref[...])
+        hpt_ref[...] += jnp.sum(jnp.where(m, hc, 0.0), axis=0, keepdims=True)
 
-    tgt, hp_t = pl.pallas_call(
-        kernel,
-        grid=(Ap // _TJ,),
-        in_specs=[
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
-            jax.ShapeDtypeStruct((1, Ap), jnp.float32),
-        ],
-        interpret=interpret,
-    )(cell[:, None], hp[:, None], acell[None, :])
+    tgt, hp_t = _pair_grid_call(kernel, [cell_p, hp_p], [acell_p], 2,
+                                [jnp.int32, jnp.float32], Ap, interpret)
     return tgt[0, :A], hp_t[0, :A]
 
 
@@ -423,7 +337,7 @@ def move_resolve_tpu(tcell, cell, *, interpret=False):
     """Gridless move arbitration: claims + blocking occupant in one pair
     sweep (single env; vmap for batches).
 
-    tcell: [A] int32 — target cell per mover (sentinel A for non-movers);
+    tcell: [A] int32 — target cell per mover (sentinel for non-movers);
     cell:  [A] int32 — each live agent's current cell (a different sentinel
            when dead).
     Returns (cnt [A] — lower-slot contenders, head [A] — lowest contender
@@ -432,71 +346,39 @@ def move_resolve_tpu(tcell, cell, *, interpret=False):
     from jax.experimental import pallas as pl
 
     (A,) = tcell.shape
-    Ap = _ceil_to(A, max(_TI, _TJ))
-    if Ap != A:
-        tcell = jnp.pad(tcell, (0, Ap - A), constant_values=jnp.int32(2**30))
-        cell = jnp.pad(cell, (0, Ap - A), constant_values=jnp.int32(2**29))
-    n_i = Ap // _TI
+    Ap, (tcell_p, cell_p) = _pad_operands(
+        A, [(tcell, jnp.int32(2**30)), (cell, jnp.int32(2**29))])
 
     def kernel(tc_col_ref, c_col_ref, tc_row_ref, cnt_ref, head_ref, occ_ref):
-        tr = tc_row_ref[...]  # [1, TJ]
-        j0 = pl.program_id(0) * _TJ
-        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j0
+        i = pl.program_id(1)
+        j = pl.program_id(0)
 
-        def body(i, carry):
-            cnt, head, ocnt, osum = carry
-            sl = pl.ds(i * _TI, _TI)
-            tc = tc_col_ref[sl, :]
-            cc = c_col_ref[sl, :]
-            slot_col = (
-                jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
-            )
-            same = tc == tr
-            cnt = cnt + jnp.sum(
-                (same & (slot_col < slot_row)).astype(jnp.int32),
-                axis=0, keepdims=True)
-            head = jnp.minimum(
-                head,
-                jnp.min(jnp.where(same, slot_col, 2**30), axis=0,
-                        keepdims=True))
-            om = (cc == tr) & (slot_col != slot_row)
-            ocnt = ocnt + jnp.sum(om.astype(jnp.int32), axis=0, keepdims=True)
-            osum = osum + jnp.sum(jnp.where(om, slot_col, 0), axis=0,
-                                  keepdims=True)
-            return cnt, head, ocnt, osum
+        @pl.when(i == 0)
+        def _init():
+            cnt_ref[...] = jnp.zeros_like(cnt_ref)
+            head_ref[...] = jnp.full_like(head_ref, 2**30)
+            occ_ref[...] = jnp.full_like(occ_ref, -1)
 
-        cnt, head, ocnt, osum = jax.lax.fori_loop(
-            0, n_i, body,
-            (jnp.zeros((1, _TJ), jnp.int32),
-             jnp.full((1, _TJ), 2**30, jnp.int32),
-             jnp.zeros((1, _TJ), jnp.int32),
-             jnp.zeros((1, _TJ), jnp.int32)),
-            unroll=n_i,
-        )
-        cnt_ref[...] = cnt
-        head_ref[...] = head
-        occ_ref[...] = jnp.where(ocnt > 0, osum, -1)
+        tr = tc_row_ref[...]
+        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
+        tc = tc_col_ref[...]
+        cc = c_col_ref[...]
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
+        same = tc == tr
+        cnt_ref[...] += jnp.sum(
+            (same & (slot_col < slot_row)).astype(jnp.int32),
+            axis=0, keepdims=True)
+        head_ref[...] = jnp.minimum(
+            head_ref[...],
+            jnp.min(jnp.where(same, slot_col, 2**30), axis=0, keepdims=True))
+        om = (cc == tr) & (slot_col != slot_row)
+        ohit = jnp.sum(om.astype(jnp.int32), axis=0, keepdims=True) > 0
+        osum = jnp.sum(jnp.where(om, slot_col, 0), axis=0, keepdims=True)
+        occ_ref[...] = jnp.where(ohit, osum, occ_ref[...])
 
-    cnt, head, occ = pl.pallas_call(
-        kernel,
-        grid=(Ap // _TJ,),
-        in_specs=[
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((Ap, 1), lambda j: (0, 0)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-            pl.BlockSpec((1, _TJ), lambda j: (0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
-            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
-            jax.ShapeDtypeStruct((1, Ap), jnp.int32),
-        ],
-        interpret=interpret,
-    )(tcell[:, None], cell[:, None], tcell[None, :])
+    cnt, head, occ = _pair_grid_call(
+        kernel, [tcell_p, cell_p], [tcell_p], 3,
+        [jnp.int32, jnp.int32, jnp.int32], Ap, interpret)
     return cnt[0, :A], head[0, :A], occ[0, :A]
 
 

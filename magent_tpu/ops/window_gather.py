@@ -398,9 +398,11 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
     ].set(s_slot)
 
     # the position table must fit SMEM (~1MB): split the launch over chunk
-    # ranges; the banded image operand is shared (no copies)
+    # ranges; the banded image operand is shared (no copies).  The prefetch
+    # operand holds B * k_count * chunk entries, so the env batch divides
+    # the budget too.
     smem_budget = 200_000  # int32 elements
-    k_sub = max(1, min(n_chunks, smem_budget // chunk))
+    k_sub = max(1, min(n_chunks, smem_budget // (chunk * max(B, 1))))
 
     def launch(pos_part, band_part, k_count):
         def kernel(pos_ref, band_ref, g_ref, mask_ref, out_ref):

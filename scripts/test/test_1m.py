@@ -127,13 +127,31 @@ def run_vectorized(args):
     import jax.numpy as jnp
     from magent_tpu.parallel import VecGridWorld
 
+    import numpy as np
+
     agent_number = args.agent_number
     n_envs = args.n_envs
-    per_env = max(agent_number // n_envs, 2)
+    per_env = max(agent_number // n_envs, 4)
     map_size = int(math.sqrt(per_env * 20))
     cfg = load_forest(map_size)
-    # prey only (2x2 predators need host placement); same agent count
-    venv = VecGridWorld(cfg, [2, per_env - 2], n_envs=n_envs)
+    # host-side placements: the 2x2 predators occupy spaced blocks along the
+    # top; prey fill random distinct interior cells (identical layout per
+    # lockstep env instance)
+    n_pred = 2
+    n_prey = per_env - n_pred
+    rng = np.random.RandomState(7)
+    preds = [[2 + 4 * i, 2, 0] for i in range(n_pred)]
+    taken = {(x + dx, y + dy) for x, y, _ in preds
+             for dx in range(2) for dy in range(2)}
+    prey = []
+    while len(prey) < n_prey:
+        x = int(rng.randint(1, map_size - 2))
+        y = int(rng.randint(6, map_size - 2))
+        if (x, y) not in taken:
+            taken.add((x, y))
+            prey.append([x, y, 0])
+    venv = VecGridWorld(cfg, [n_pred, n_prey], n_envs=n_envs,
+                        placements=[preds, prey])
 
     def body(carry, _):
         state, key = carry
