@@ -32,8 +32,8 @@ from magent_tpu.parallel import (VecGridWorld, init_drqn_hiddens,
 N_PER_GROUP = 1000
 MAP_SIZE = 200
 N_ENVS = int(os.environ.get("BENCH_N_ENVS", "16"))
-ROLLOUT = 8
-STEPS_PER_CALL = 4
+ROLLOUT = int(os.environ.get("BENCH_ROLLOUT", "8"))
+STEPS_PER_CALL = int(os.environ.get("BENCH_SPC", "4"))
 CALLS = 3
 
 
