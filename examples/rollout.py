@@ -154,10 +154,16 @@ class EpisodeRunner:
 
         print("--- training ---")
         began = time.time()
+        seen = set()  # self-play: sides sharing one model+buffer train once
         for idx, s in enumerate(self.sides):
             if not s.train:
                 continue
             if s.buffer is not None:  # unmanaged: direct train on the buffer
+                key = (id(s.model), id(s.buffer))
+                if key in seen:
+                    losses[idx], values[idx] = losses[idx - 1], values[idx - 1]
+                    continue
+                seen.add(key)
                 losses[idx], values[idx] = s.model.train(
                     s.buffer, print_every=self.train_print_every)
                 s.buffer.reset()

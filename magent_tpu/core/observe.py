@@ -279,7 +279,19 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             mm_mask2d = jnp.asarray(np.tile(mm_ch, (vh, vw)))  # [vh, vw*C]
             self_cell = py[:, sl] * vw + px[:, sl]
 
-        if use_replica:
+        act = state.active[:, sl]
+        # fused epilogue: minimap adds + self mark + liveness scaling happen
+        # inside the replica kernel (saves a separate XLA pass over the
+        # ~100MB of windows)
+        epilogue_fused = use_replica and spec.minimap_mode
+        if epilogue_fused:
+            view = wg.window_gather4(
+                img, pos * 1024 + self_cell, mask, mm_img, mm_mask2d,
+                act.astype(jnp.int32),
+                vh=vh, vw=vw, C=C, Wp=Wp,
+                chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+            )
+        elif use_replica:
             view = wg.window_gather4(
                 img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                 chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
@@ -301,7 +313,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
         else:
             view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)
         view = view.reshape(B, gs.cap, vh, vw, C)
-        if spec.minimap_mode:
+        if spec.minimap_mode and not epilogue_fused:
             self_mark = jax.nn.one_hot(self_cell, vh * vw, dtype=jnp.float32)
             self_mark = self_mark.reshape(B, gs.cap, vh, vw)
             mm_maskc = jnp.asarray((chan_src >= 0).astype(np.float32))
@@ -328,8 +340,8 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             feats.append(jnp.zeros((B, gs.cap, 2), jnp.float32))
         feature = jnp.concatenate(feats, axis=-1)
 
-        act = state.active[:, sl]
-        view = view * act[:, :, None, None, None]
+        if not epilogue_fused:
+            view = view * act[:, :, None, None, None]
         feature = feature * act[:, :, None]
         return view, feature
 

@@ -209,8 +209,8 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
 @functools.partial(
     jax.jit, static_argnames=("vh", "vw", "C", "Wp", "chunk", "interpret")
 )
-def window_gather4(gfull, pos, mask, *, vh, vw, C, Wp, chunk=200,
-                   interpret=False):
+def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
+                   vh, vw, C, Wp, chunk=200, interpret=False):
     """Window gather via shifted image replicas: minimum-size aligned loads.
 
     :func:`window_gather` loads an aligned (vh+7→%8, vw*C+127→%128) superset
@@ -221,8 +221,11 @@ def window_gather4(gfull, pos, mask, *, vh, vw, C, Wp, chunk=200,
     (13, 65) and the rolls shrink to match.  ~2x fewer vector ops per agent
     at battle geometry, for 4x the image VMEM (use only when it fits).
 
-    Same contract as :func:`window_gather` without the minimap path
-    (``pos`` is ``tl * 1024 + self_cell``; self_cell ignored here).
+    Optional fused epilogue (saves a separate XLA pass over the ~100MB of
+    windows): ``mm_img [B, vh, vw*C]`` pooled minimaps added to every
+    window, ``mm_mask [vh, vw*C]`` the minimap-channel mask (the agent's
+    own pooled cell, packed in ``pos`` as ``tl*1024 + self_cell``, gets +1
+    there), ``act [B, N] int32`` a 0/1 liveness factor per agent.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -235,10 +238,13 @@ def window_gather4(gfull, pos, mask, *, vh, vw, C, Wp, chunk=200,
     assert vh <= 13 and vwc <= 65, (vh, vwc)
     ROWS, LANES = 16, 128
     minor = 64
+    minimap = mm_img is not None
 
     n_pad = _ceil_to(N, chunk)
     if n_pad != N:
         pos = jnp.pad(pos, ((0, 0), (0, n_pad - N)))
+        if act is not None:
+            act = jnp.pad(act, ((0, 0), (0, n_pad - N)))
 
     # replicas shifted by (dr, dl): reading replica (dr, dl) at aligned
     # (r, l) yields image rows r+dr.., lanes l+dl..
@@ -255,6 +261,76 @@ def window_gather4(gfull, pos, mask, *, vh, vw, C, Wp, chunk=200,
          shift(gfull, 4, 0), shift(gfull, 4, minor)], axis=0
     )  # [4, B, Hp, lanes]
 
+    def body_window(pos_ref, g_ref, a, base):
+        p = pos_ref[base + a] // 1024
+        yy = p // Wp
+        lane = (p % Wp) * C
+        y8 = (yy // _SUBLANE) * _SUBLANE
+        l128 = (lane // _LANE) * _LANE
+        ry = yy - y8
+        rl = lane - l128
+        sel_r = (ry >= 4).astype(jnp.int32)
+        sel_l = (rl >= minor).astype(jnp.int32)
+        rep = sel_r * 2 + sel_l
+        win = g_ref[
+            rep, 0,
+            pl.ds(pl.multiple_of(y8, _SUBLANE), ROWS),
+            pl.ds(pl.multiple_of(l128, _LANE), LANES),
+        ]
+        ry = ry - sel_r * 4
+        rl = rl - sel_l * minor
+        win = pltpu.roll(win, (ROWS - ry) % ROWS, 0)
+        win = pltpu.roll(win, (LANES - rl) % LANES, 1)
+        return win
+
+    if minimap:
+        def kernel(pos_ref, act_ref, g_ref, mask_ref, mm_ref, mmm_ref,
+                   out_ref):
+            b = pl.program_id(0)
+            k = pl.program_id(1)
+            base = b * n_pad + k * chunk
+            m = mask_ref[...]
+            mm = mm_ref[0]
+            mmm = mmm_ref[...]
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 0)
+            cell_ids = jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 1) // C
+
+            def body(a, _):
+                win = body_window(pos_ref, g_ref, a, base)
+                self_cell = pos_ref[base + a] % 1024
+                sy = self_cell // vw
+                sx = self_cell % vw
+                self_add = ((row_ids == sy) & (cell_ids == sx)).astype(
+                    jnp.float32) * mmm
+                alive = act_ref[base + a].astype(jnp.float32)
+                out_ref[0, a] = (
+                    win[:vh, :vwc] * m + mm + self_add) * alive
+                return 0
+
+            jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
+
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, n_pad // chunk),
+                in_specs=[
+                    pl.BlockSpec((4, 1, Hp, lanes),
+                                 lambda b, k, pos, act: (0, b, 0, 0)),
+                    pl.BlockSpec((vh, vwc), lambda b, k, pos, act: (0, 0)),
+                    pl.BlockSpec((1, vh, vwc),
+                                 lambda b, k, pos, act: (b, 0, 0)),
+                    pl.BlockSpec((vh, vwc), lambda b, k, pos, act: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, chunk, vh, vwc), lambda b, k, pos, act: (b, k, 0, 0)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), jnp.float32),
+            interpret=interpret,
+        )(pos.reshape(-1), act.reshape(-1), reps, mask, mm_img, mm_mask)
+        return out[:, :N]
+
     def kernel(pos_ref, g_ref, mask_ref, out_ref):
         b = pl.program_id(0)
         k = pl.program_id(1)
@@ -262,25 +338,7 @@ def window_gather4(gfull, pos, mask, *, vh, vw, C, Wp, chunk=200,
         m = mask_ref[...]
 
         def body(a, _):
-            p = pos_ref[base + a] // 1024
-            yy = p // Wp
-            lane = (p % Wp) * C
-            y8 = (yy // _SUBLANE) * _SUBLANE
-            l128 = (lane // _LANE) * _LANE
-            ry = yy - y8
-            rl = lane - l128
-            sel_r = (ry >= 4).astype(jnp.int32)
-            sel_l = (rl >= minor).astype(jnp.int32)
-            rep = sel_r * 2 + sel_l
-            win = g_ref[
-                rep, 0,
-                pl.ds(pl.multiple_of(y8, _SUBLANE), ROWS),
-                pl.ds(pl.multiple_of(l128, _LANE), LANES),
-            ]
-            ry = ry - sel_r * 4
-            rl = rl - sel_l * minor
-            win = pltpu.roll(win, (ROWS - ry) % ROWS, 0)
-            win = pltpu.roll(win, (LANES - rl) % LANES, 1)
+            win = body_window(pos_ref, g_ref, a, base)
             out_ref[0, a] = win[:vh, :vwc] * m
             return 0
 
