@@ -27,8 +27,8 @@ from . import gridworld
 from . import utility
 from .env import GridWorld
 from .discrete_snake import DiscreteSnake
-from .model import BaseModel, ProcessingModel
+from .model import BaseModel, ProcessingModel, SubprocessModel
 
 round = utility.rec_round
 
-__all__ = ["GridWorld", "gridworld", "utility", "BaseModel", "ProcessingModel", "round"]
+__all__ = ["GridWorld", "gridworld", "utility", "BaseModel", "ProcessingModel", "SubprocessModel", "round"]

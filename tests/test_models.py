@@ -83,3 +83,41 @@ def test_a2c_train(use_comm, tmp_path):
     _run_rounds(env, handles, models)
     models[0].save(str(tmp_path), 0)
     models[1].load(str(tmp_path), 0, name="a2c-0")
+
+
+def test_subprocess_model_roundtrip(tmp_path):
+    """Cross-process model hosting over a real pipe (reference:
+    python/magent/model.py:115-347): non-blocking act/sample/train/save."""
+    import magent_tpu as magent
+    from magent_tpu.builtin.jax_model import DeepQNetwork
+
+    env = magent.GridWorld("battle", map_size=16)
+    h0, _ = env.get_handles()
+    env.reset()
+    env.add_agents(h0, method="custom", pos=[[4, 4], [6, 6], [8, 8]])
+
+    model = magent.SubprocessModel(
+        env, h0, "subproc-test", 0, 100, DeepQNetwork,
+        batch_size=4, memory_size=256, target_update=10, train_freq=1)
+    try:
+        view, feat = env.get_observation(h0)
+        ids = env.get_agent_id(h0)
+        model.infer_action((view, feat), ids, "e_greedy", 0.5, block=False)
+        acts = model.fetch_action()
+        assert acts.shape == (3,) and acts.dtype == np.int32
+
+        env.set_action(h0, acts.astype(np.int32))
+        env.step()
+        rewards = env.get_reward(h0)
+        alives = env.get_alive(h0)
+        model.sample_step(rewards, alives, block=False)
+        assert model.check_done() == "done"
+
+        model.train(print_every=1000, block=False)
+        loss, value = model.fetch_train()
+        assert np.isfinite(loss) and np.isfinite(value)
+
+        model.save(str(tmp_path), 0)
+        model.load(str(tmp_path), 0)
+    finally:
+        model.quit()
