@@ -42,6 +42,9 @@ void Config::load(const std::string &path) {
         minimap_height = root->at("minimap-height").asUInt();
     if (root->has("dynamic-file-directory"))
         data_path = root->at("dynamic-file-directory").asString();
+    static_file.clear();
+    if (root->has("static-file"))
+        static_file = root->at("static-file").asString();
 
     styles.clear();
     if (root->has("group")) {
@@ -59,17 +62,25 @@ void Buffer::load(const std::string &path) {
     std::ifstream in(path);
     if (!in) throw std::runtime_error("cannot open " + path);
 
+    // gridworld videos begin with an inline "W n" wall list; DiscreteSnake
+    // videos start straight at "F" and keep walls in the config's
+    // static-file (loaded by the caller) — accept both
     std::string tag;
-    unsigned n_obstacles = 0;
-    if (!(in >> tag >> n_obstacles) || tag != "W")
-        throw std::runtime_error("invalid wall header in " + path);
-    obstacles.resize(n_obstacles);
-    for (unsigned i = 0; i < n_obstacles; i++)
-        if (!(in >> obstacles[i].first >> obstacles[i].second))
-            throw std::runtime_error("truncated wall list");
+    if (!(in >> tag)) throw std::runtime_error("empty replay " + path);
+    obstacles.clear();
+    if (tag == "W") {
+        unsigned n_obstacles = 0;
+        if (!(in >> n_obstacles))
+            throw std::runtime_error("invalid wall header in " + path);
+        obstacles.resize(n_obstacles);
+        for (unsigned i = 0; i < n_obstacles; i++)
+            if (!(in >> obstacles[i].first >> obstacles[i].second))
+                throw std::runtime_error("truncated wall list");
+        if (!(in >> tag)) tag.clear();
+    }
 
     frames.clear();
-    while (in >> tag) {
+    while (!tag.empty()) {
         if (tag != "F") throw std::runtime_error("invalid frame tag: " + tag);
         unsigned n_agents = 0, n_events = 0, n_breads = 0;
         if (!(in >> n_agents >> n_events >> n_breads))
@@ -98,6 +109,7 @@ void Buffer::load(const std::string &path) {
                 throw std::runtime_error("truncated bread list");
         }
         frames.push_back(std::move(frame));
+        if (!(in >> tag)) tag.clear();
     }
 }
 
@@ -119,6 +131,24 @@ std::string Session::handle(const std::string &message) {
                 std::string dir =
                     slash == std::string::npos ? "." : conf_path.substr(0, slash);
                 buffer_.load(dir + "/" + data_file);
+            }
+            if (buffer_.obstacles.empty() && !config_.static_file.empty()) {
+                // snake-style replays: walls live in the config's static
+                // file ("N" then x y lines), resolved next to config.json
+                size_t slash = conf_path.find_last_of('/');
+                std::string dir =
+                    slash == std::string::npos ? "." : conf_path.substr(0, slash);
+                std::ifstream sf(dir + "/" + config_.static_file);
+                unsigned n = 0;
+                if (sf >> n) {
+                    buffer_.obstacles.resize(n);
+                    for (unsigned i = 0; i < n; i++)
+                        if (!(sf >> buffer_.obstacles[i].first >>
+                              buffer_.obstacles[i].second)) {
+                            buffer_.obstacles.resize(i);
+                            break;
+                        }
+                }
             }
             loaded_ = true;
             return "i" + std::to_string(buffer_.frames.size()) + "|" +

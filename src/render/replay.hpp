@@ -62,6 +62,7 @@ public:
     unsigned width = 0, height = 0;
     unsigned minimap_width = 300, minimap_height = 250;
     std::string data_path = ".";
+    std::string static_file;  // wall list for games that keep walls out of the video (snake)
     std::vector<Style> styles;
     std::string frontend_json;  // raw config text echoed to the frontend
 };

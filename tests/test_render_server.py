@@ -199,3 +199,51 @@ def test_frontend_frame_contract(replay_dir):
     finally:
         proc.terminate()
         proc.wait(timeout=5)
+
+
+@pytest.mark.skipif(not os.path.exists(RENDER_BIN),
+                    reason="native render server not built (cmake+ninja)")
+def test_render_server_serves_snake_replay(tmp_path):
+    """The native server replays DiscreteSnake dumps (3 style groups,
+    static.map walls) end to end."""
+    from magent_tpu.discrete_snake import Config, DiscreteSnake, ACT_NOOP
+
+    cfg = Config()
+    cfg.set(dict(map_width=20, map_height=20, total_resource=20, seed=9))
+    env = DiscreteSnake(cfg, caps=8, max_length=12)
+    env.add_food(method="random", n=10)
+    env.add_agent(method="random", n=3)
+    env.set_render_dir(str(tmp_path))
+    for _ in range(2):
+        env.set_action(0, np.full(env.get_num(), ACT_NOOP, np.int32))
+        env.step()
+        env.render()
+        env.clear_dead()
+
+    port = 9533
+    proc = subprocess.Popen([RENDER_BIN, "--port", str(port), "--quiet"])
+    try:
+        client = None
+        for _ in range(50):
+            try:
+                client = MiniWSClient(port)
+                break
+            except OSError:
+                time.sleep(0.1)
+        assert client is not None
+
+        client.send("l%s,%s" % (tmp_path / "config.json", "video_0.txt"))
+        info = client.recv()
+        assert info[0] == "i", info[:120]
+        assert int(info[1:info.index("|")]) == 2
+        client.send("p0 0 0 20 20")
+        reply = client.recv()
+        assert reply[0] == "f", reply[:120]
+        sections = reply[1:].split(";")
+        ents = sections[1].split("|")
+        groups = {int(e.split()[3]) for e in ents}
+        assert groups <= {0, 1, 2} and 1 in groups  # food + snake parts
+        client.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=5)
