@@ -328,6 +328,7 @@ SCENARIOS = {
             [[10, 8, 0], [26, 8, 0], [10, 24, 0], [26, 24, 0]],
         ],
         fast_exact=True,
+        all_views=True,
     ),
 }
 
@@ -373,6 +374,9 @@ def run_scenario(magent_module, scenario, engine_mode=None):
             break
         for i, h in enumerate(handles):
             view, feat = env.get_observation(h)
+            if spec.get("all_views"):
+                trace.setdefault("views_%d" % i, []).append(
+                    np.array(view, np.float32, copy=True))
             if step == 0 and not spec.get("skip_views"):
                 # deep-copy: the reference reuses (and in-place resizes) its
                 # observation buffers across calls
@@ -412,6 +416,13 @@ def flatten_trace(trace, n_groups):
         if trace["view0_%d" % g] is not None:
             out["view0_%d" % g] = trace["view0_%d" % g]
             out["feat0_%d" % g] = trace["feat0_%d" % g]
+        if "views_%d" % g in trace:  # all_views scenarios: per-step windows
+            parts = trace["views_%d" % g]
+            out["views_%d_lens" % g] = np.asarray(
+                [len(p) for p in parts], np.int32)
+            out["views_%d_data" % g] = np.concatenate(
+                [p.reshape(p.shape[0], -1) for p in parts], axis=0
+            ) if parts else np.zeros((0, 1), np.float32)
     return out
 
 

@@ -56,6 +56,10 @@ def test_sequential_engine_matches_reference(name):
             trace["rew_%d_data" % g], golden["rew_%d_data" % g],
             atol=1e-5, err_msg="rewards of group %d diverged" % g,
         )
+        if "views_%d_data" % g in golden:
+            np.testing.assert_allclose(
+                trace["views_%d_data" % g], golden["views_%d_data" % g],
+                atol=1e-5, err_msg="per-step views of group %d diverged" % g)
         if "view0_%d" % g in golden:
             np.testing.assert_allclose(
                 trace["view0_%d" % g], golden["view0_%d" % g],
