@@ -55,8 +55,9 @@ class EpisodeRunner:
         hard-code one: battle 550, pursuit 250, gather 350, tiger 1000)
     step_batch : if set, unmanaged training sides train in-loop every time
         this many transitions accumulate (reference train_tiger.py a2c mode)
-    step_hook : optional ``f(runner, step, rewards_per_side)`` for custom
-        per-step metrics (e.g. gather's positive-reward counter)
+    step_hook : optional ``f(runner, step, reward_arrays)`` receiving each
+        side's per-agent reward array, for custom per-step metrics
+        (e.g. gather's positive-reward counter)
     """
 
     def __init__(self, env, sides, *, max_steps, print_every=50,
@@ -88,6 +89,9 @@ class EpisodeRunner:
 
         done = False
         while not done:
+            # two-pass inference: kick off every hosted model non-blocking
+            # (overlapping groups' inference like the reference's subprocess
+            # loop), then fetch and commit actions
             for s in sides:
                 s.ids = env.get_agent_id(s.handle)
                 if s.observe:
@@ -95,14 +99,25 @@ class EpisodeRunner:
                 else:  # scripted actors ignore observations
                     k = len(s.ids)
                     s.obs = (np.empty(k), np.empty(k))
-                s.acts = s.model.infer_action(s.obs, s.ids, 'e_greedy', eps)
+                if hasattr(s.model, "fetch_action"):
+                    s.model.infer_action(s.obs, s.ids, 'e_greedy', eps,
+                                         block=False)
+                    s.acts = None
+                else:
+                    s.acts = s.model.infer_action(s.obs, s.ids, 'e_greedy',
+                                                  eps)
+            for s in sides:
+                if s.acts is None:
+                    s.acts = s.model.fetch_action()
                 env.set_action(s.handle, s.acts)
 
             done = env.step()
 
             per_step = []
+            reward_arrays = []
             for idx, s in enumerate(sides):
                 rewards = env.get_reward(s.handle)
+                reward_arrays.append(rewards)
                 if s.train:
                     alive = env.get_alive(s.handle)
                     if s.buffer is not None:
@@ -117,7 +132,7 @@ class EpisodeRunner:
             if render:
                 env.render()
             if self.step_hook is not None:
-                self.step_hook(self, self.step_ct, per_step)
+                self.step_hook(self, self.step_ct, reward_arrays)
 
             env.clear_dead()
             self.nums = [env.get_num(s.handle) for s in sides]
@@ -154,18 +169,18 @@ class EpisodeRunner:
 
         print("--- training ---")
         began = time.time()
-        seen = set()  # self-play: sides sharing one model+buffer train once
+        seen = {}  # self-play: sides sharing one model+buffer train once
         for idx, s in enumerate(self.sides):
             if not s.train:
                 continue
             if s.buffer is not None:  # unmanaged: direct train on the buffer
                 key = (id(s.model), id(s.buffer))
                 if key in seen:
-                    losses[idx], values[idx] = losses[idx - 1], values[idx - 1]
+                    losses[idx], values[idx] = seen[key]
                     continue
-                seen.add(key)
                 losses[idx], values[idx] = s.model.train(
                     s.buffer, print_every=self.train_print_every)
+                seen[key] = (losses[idx], values[idx])
                 s.buffer.reset()
             else:  # managed: kick off non-blocking
                 s.model.train(print_every=self.train_print_every, block=False)
@@ -214,20 +229,23 @@ def standard_cli(name, *, n_round, map_size, save_every=5, algs=("dqn", "drqn", 
 
 
 def build_alg(alg, *, batch_size=256, unroll_step=8, target_update=1200,
-              train_freq=5, memory_size=2 ** 20, learning_rate=1e-4):
+              train_freq=5, memory_size=None, learning_rate=1e-4):
     """Map an --alg choice to (model class, constructor kwargs) with the
-    conventional hyperparameters the examples share."""
+    conventional hyperparameters the examples share.  ``memory_size``
+    defaults per algorithm (DQN 2^20 flat transitions; DRQN 8*625 episode
+    windows, the battle example's sizing) — pass it explicitly where the
+    original example used something else."""
     from magent_tpu.builtin import jax_model
 
     if alg == "dqn":
         return jax_model.DeepQNetwork, dict(
-            batch_size=batch_size, memory_size=memory_size,
+            batch_size=batch_size, memory_size=memory_size or 2 ** 20,
             learning_rate=learning_rate, target_update=target_update,
             train_freq=train_freq)
     if alg == "drqn":
         return jax_model.DeepRecurrentQNetwork, dict(
             batch_size=batch_size // unroll_step, unroll_step=unroll_step,
-            memory_size=8 * 625, learning_rate=learning_rate,
+            memory_size=memory_size or 8 * 625, learning_rate=learning_rate,
             target_update=target_update, train_freq=train_freq)
     if alg == "a2c":
         return jax_model.AdvantageActorCritic, dict(

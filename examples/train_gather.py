@@ -106,10 +106,9 @@ def main():
     # count distinct agents that ever earned a positive reward this episode
     rewarded = set()
 
-    def track_positive(runner, step, per_step):
+    def track_positive(runner, step, reward_arrays):
         side = runner.sides[0]
-        rewards = env.get_reward(side.handle)
-        for agent_id, r in zip(side.ids, rewards):
+        for agent_id, r in zip(side.ids, reward_arrays[0]):
             if r > 0.05:
                 rewarded.add(int(agent_id))
 

@@ -358,7 +358,9 @@ class GeneralRule(_BaseRule):
     """
 
     MAX_AXES = 3
-    MAX_TENSOR = 1 << 24
+    # per-ENV cap: the vectorized path vmaps rules over the env batch,
+    # so a B-env loop materializes B of these (4M f32 = 16MB/env)
+    MAX_TENSOR = 1 << 22
 
     def __init__(self, spec, on, receivers, values, is_terminal, sym_index):
         super().__init__(receivers, values, is_terminal)

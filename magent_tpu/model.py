@@ -216,7 +216,7 @@ def model_client(conn, sample_buffer_capacity, RLModel, model_args):
             conn.send("done")
         elif cmd[0] == "train":
             total_loss, value = model.train(sample_buffer,
-                                            print_every=cmd[1])
+                                            print_every=cmd[1], **cmd[2])
             sample_buffer = EpisodesBuffer(sample_buffer_capacity)
             conn.send((total_loss, value))
         elif cmd[0] == "save":
@@ -228,6 +228,10 @@ def model_client(conn, sample_buffer_capacity, RLModel, model_args):
         elif cmd[0] == "quit":
             conn.close()
             break
+        else:
+            # reply instead of looping silently: a silent fall-through would
+            # deadlock the parent's pending recv
+            conn.send(("error", "unknown command %r" % (cmd[0],)))
 
 
 class SubprocessModel(BaseModel):
@@ -303,7 +307,7 @@ class SubprocessModel(BaseModel):
 
     # -------------------------------------------------------------- training
     def train(self, print_every=5000, block=True, **kwargs):
-        self.conn.send(["train", print_every])
+        self.conn.send(["train", print_every, kwargs])
         if block:
             return self.fetch_train()
         return None

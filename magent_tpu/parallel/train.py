@@ -428,7 +428,7 @@ def make_drqn_train_step(
             state, hiddens, key = carry
             key, akey = jax.random.split(key)
             actions = jnp.zeros((B, A), jnp.int32)
-            outs = {"views": [], "feats": [], "actions": [], "h0": hiddens}
+            out_views, out_feats, out_acts = [], [], []
             all_obs = venv.observe_all(state)
             new_h = []
             for g in range(G):
@@ -441,9 +441,9 @@ def make_drqn_train_step(
                 act = jnp.where(
                     jax.random.uniform(kr, greedy.shape) < eps, rand, greedy)
                 actions = actions.at[:, offs[g] : offs[g] + caps[g]].set(act)
-                outs["views"].append(view)
-                outs["feats"].append(feat)
-                outs["actions"].append(act)
+                out_views.append(view)
+                out_feats.append(feat)
+                out_acts.append(act)
                 new_h.append(h2)
             next_state, rewards, alive, done = venv.transition(state, actions)
             # hidden resets on death and on episode end (auto-reset)
@@ -453,9 +453,9 @@ def make_drqn_train_step(
                         & ~done[:, None])[..., None]
                 kept.append(jnp.where(keep, new_h[g], 0.0))
             out = dict(
-                views=tuple(outs["views"]),
-                feats=tuple(outs["feats"]),
-                actions=tuple(outs["actions"]),
+                views=tuple(out_views),
+                feats=tuple(out_feats),
+                actions=tuple(out_acts),
                 rewards=tuple(
                     rewards[:, offs[g] : offs[g] + caps[g]] for g in range(G)
                 ),

@@ -30,8 +30,13 @@ def main():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=900)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        sys.stderr.write(out.stderr[-2000:] + "\n")
+        print(json.dumps({"status": "BENCH_FAILED",
+                          "returncode": out.returncode}))
+        sys.exit(2)
+    rec = json.loads(lines[-1])
     name = rec["metric"]
     value = rec["value"]
     want = RECORDED[name]
