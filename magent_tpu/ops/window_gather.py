@@ -246,6 +246,26 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
         if act is not None:
             act = jnp.pad(act, ((0, 0), (0, n_pad - N)))
 
+    # precompute ALL per-agent address math here (vectorized, free) — the
+    # kernel's scalar unit pays multi-cycle div/mods per agent otherwise.
+    # word = rep<<29 | y8<<15 | l128, aux = rry<<17 | rrl<<10 | self_cell
+    p = pos // 1024
+    self_cell = pos % 1024
+    yy = p // Wp
+    lane = (p % Wp) * C
+    y8 = (yy // _SUBLANE) * _SUBLANE
+    l128 = (lane // _LANE) * _LANE
+    ry = yy - y8
+    rl = lane - l128
+    sel_r = (ry >= 4).astype(jnp.int32)
+    sel_l = (rl >= minor).astype(jnp.int32)
+    rep = sel_r * 2 + sel_l
+    rry = (ROWS - (ry - sel_r * 4)) % ROWS
+    rrl = (LANES - (rl - sel_l * minor)) % LANES
+    assert Hp < (1 << 14) and lanes < (1 << 15), (Hp, lanes)
+    word = (rep << 29) | (y8 << 15) | l128
+    aux = (rry << 17) | (rrl << 10) | self_cell
+
     # replicas shifted by (dr, dl): reading replica (dr, dl) at aligned
     # (r, l) yields image rows r+dr.., lanes l+dl..
     def shift(img, dr, dl):
@@ -261,47 +281,36 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
          shift(gfull, 4, 0), shift(gfull, 4, minor)], axis=0
     )  # [4, B, Hp, lanes]
 
-    def body_window(pos_ref, g_ref, a, base):
-        p = pos_ref[base + a] // 1024
-        yy = p // Wp
-        lane = (p % Wp) * C
-        y8 = (yy // _SUBLANE) * _SUBLANE
-        l128 = (lane // _LANE) * _LANE
-        ry = yy - y8
-        rl = lane - l128
-        sel_r = (ry >= 4).astype(jnp.int32)
-        sel_l = (rl >= minor).astype(jnp.int32)
-        rep = sel_r * 2 + sel_l
+    def body_window(word_ref, aux_ref, g_ref, a, base):
+        w = word_ref[base + a]
+        x = aux_ref[base + a]
         win = g_ref[
-            rep, 0,
-            pl.ds(pl.multiple_of(y8, _SUBLANE), ROWS),
-            pl.ds(pl.multiple_of(l128, _LANE), LANES),
+            w >> 29, 0,
+            pl.ds(pl.multiple_of((w >> 15) & 0x3FFF, _SUBLANE), ROWS),
+            pl.ds(pl.multiple_of(w & 0x7FFF, _LANE), LANES),
         ]
-        ry = ry - sel_r * 4
-        rl = rl - sel_l * minor
-        win = pltpu.roll(win, (ROWS - ry) % ROWS, 0)
-        win = pltpu.roll(win, (LANES - rl) % LANES, 1)
+        win = pltpu.roll(win, (x >> 17) & 0xF, 0)
+        win = pltpu.roll(win, (x >> 10) & 0x7F, 1)
         return win
 
     if minimap:
-        def kernel(pos_ref, act_ref, g_ref, mask_ref, mm_ref, mmm_ref,
-                   out_ref):
+        def kernel(word_ref, aux_ref, act_ref, g_ref, mask_ref, mm_ref,
+                   mmm_ref, out_ref):
             b = pl.program_id(0)
             k = pl.program_id(1)
             base = b * n_pad + k * chunk
             m = mask_ref[...]
             mm = mm_ref[0]
             mmm = mmm_ref[...]
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 0)
-            cell_ids = jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 1) // C
+            cell_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 0) * vw
+                + jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 1) // C
+            )
 
             def body(a, _):
-                win = body_window(pos_ref, g_ref, a, base)
-                self_cell = pos_ref[base + a] % 1024
-                sy = self_cell // vw
-                sx = self_cell % vw
-                self_add = ((row_ids == sy) & (cell_ids == sx)).astype(
-                    jnp.float32) * mmm
+                win = body_window(word_ref, aux_ref, g_ref, a, base)
+                self_cell = aux_ref[base + a] & 0x3FF
+                self_add = (cell_ids == self_cell).astype(jnp.float32) * mmm
                 alive = act_ref[base + a].astype(jnp.float32)
                 out_ref[0, a] = (
                     win[:vh, :vwc] * m + mm + self_add) * alive
@@ -312,33 +321,34 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(B, n_pad // chunk),
                 in_specs=[
                     pl.BlockSpec((4, 1, Hp, lanes),
-                                 lambda b, k, pos, act: (0, b, 0, 0)),
-                    pl.BlockSpec((vh, vwc), lambda b, k, pos, act: (0, 0)),
+                                 lambda b, k, w, x, act: (0, b, 0, 0)),
+                    pl.BlockSpec((vh, vwc), lambda b, k, w, x, act: (0, 0)),
                     pl.BlockSpec((1, vh, vwc),
-                                 lambda b, k, pos, act: (b, 0, 0)),
-                    pl.BlockSpec((vh, vwc), lambda b, k, pos, act: (0, 0)),
+                                 lambda b, k, w, x, act: (b, 0, 0)),
+                    pl.BlockSpec((vh, vwc), lambda b, k, w, x, act: (0, 0)),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, chunk, vh, vwc), lambda b, k, pos, act: (b, k, 0, 0)
+                    (1, chunk, vh, vwc), lambda b, k, w, x, act: (b, k, 0, 0)
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), jnp.float32),
             interpret=interpret,
-        )(pos.reshape(-1), act.reshape(-1), reps, mask, mm_img, mm_mask)
+        )(word.reshape(-1), aux.reshape(-1), act.reshape(-1), reps, mask,
+          mm_img, mm_mask)
         return out[:, :N]
 
-    def kernel(pos_ref, g_ref, mask_ref, out_ref):
+    def kernel(word_ref, aux_ref, g_ref, mask_ref, out_ref):
         b = pl.program_id(0)
         k = pl.program_id(1)
         base = b * n_pad + k * chunk
         m = mask_ref[...]
 
         def body(a, _):
-            win = body_window(pos_ref, g_ref, a, base)
+            win = body_window(word_ref, aux_ref, g_ref, a, base)
             out_ref[0, a] = win[:vh, :vwc] * m
             return 0
 
@@ -347,19 +357,20 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, n_pad // chunk),
             in_specs=[
-                pl.BlockSpec((4, 1, Hp, lanes), lambda b, k, pos: (0, b, 0, 0)),
-                pl.BlockSpec((vh, vwc), lambda b, k, pos: (0, 0)),
+                pl.BlockSpec((4, 1, Hp, lanes),
+                             lambda b, k, w, x: (0, b, 0, 0)),
+                pl.BlockSpec((vh, vwc), lambda b, k, w, x: (0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, chunk, vh, vwc), lambda b, k, pos: (b, k, 0, 0)
+                (1, chunk, vh, vwc), lambda b, k, w, x: (b, k, 0, 0)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), jnp.float32),
         interpret=interpret,
-    )(pos.reshape(-1), reps, mask)
+    )(word.reshape(-1), aux.reshape(-1), reps, mask)
     return out[:, :N]
 
 

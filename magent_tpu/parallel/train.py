@@ -227,6 +227,173 @@ def make_dqn_train_step(
     return train_step
 
 
+def make_dqn_train_step_remat(
+    venv: VecGridWorld,
+    nets,
+    tx: optax.GradientTransformation,
+    gamma: float = 0.99,
+    rollout_len: int = 16,
+    use_double: bool = True,
+    sample_steps: int = 2,
+):
+    """Fused DQN with observation REMATERIALIZATION: the rollout stores only
+    the compact per-step agent state (~100KB/step) instead of the rendered
+    windows (~100MB/step), and the learner re-renders observations just for
+    ``sample_steps`` uniformly-sampled rollout steps, training on ALL agents
+    of those steps.
+
+    Why: at battle scale the plain fused trainer's wall is writing the
+    [T, B, cap, vh, vw, C] view trajectory to HBM (~1.7GB per 16-step call
+    — more than the rollout's compute).  Re-rendering two steps costs ~4ms
+    against ~35ms of avoided traffic.  Requires the non-rotating
+    observation path (no turn_mode).
+
+    Returns ``train_step(params, target_params, opt_states, env_state, key,
+    eps)`` with the same contract as :func:`make_dqn_train_step`.
+    """
+    spec = venv.spec
+    assert not spec.turn_mode, "remat trainer needs the NORTH-only obs path"
+    assert not spec.food_mode, "remat rebuild keeps grids static (no food)"
+    G = spec.n_groups
+    B = venv.n_envs
+    A = spec.n_agents_cap
+    offs = [g.offset for g in spec.groups]
+    caps = [g.cap for g in spec.groups]
+
+    OBS_FIELDS = ("x", "y", "hp", "dir", "active", "dead", "absorbed", "id",
+                  "last_action", "last_reward")
+
+    def policy_actions(params, state, key, eps):
+        actions = jnp.zeros((B, A), jnp.int32)
+        all_obs = venv.observe_all(state)
+        for g in range(G):
+            view, feat = all_obs[g]
+            n_act = spec.groups[g].type.n_action
+            q = nets[g].apply(
+                {"params": params[g]},
+                view.reshape((-1,) + view.shape[2:]),
+                feat.reshape((-1,) + feat.shape[2:]),
+            ).reshape(B, caps[g], n_act)
+            kg, kr = jax.random.split(jax.random.fold_in(key, g))
+            greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
+            act = jnp.where(jax.random.uniform(kr, greedy.shape) < eps,
+                            rand, greedy)
+            actions = actions.at[:, offs[g] : offs[g] + caps[g]].set(act)
+        return actions
+
+    def rollout(params, env_state, key, eps):
+        def body(carry, t):
+            state, key = carry
+            key, akey = jax.random.split(key)
+            actions = policy_actions(params, state, akey, eps)
+            next_state, rewards, alive, done = venv.transition(state, actions)
+            out = dict(
+                snap={f: getattr(state, f) for f in OBS_FIELDS},
+                actions=actions,
+                rewards=rewards,
+                alive=alive,
+                done=done,
+            )
+            return (next_state, key), out
+
+        (env_state, _), traj = jax.lax.scan(
+            body, (env_state, key), jnp.arange(rollout_len)
+        )
+        return env_state, traj
+
+    def rebuild_state(template, traj, t):
+        """State at rollout step ``t`` (grid fields from the template: the
+        fast obs path renders from positions, never from cell_slot)."""
+        fields = {
+            f: jax.tree.map(lambda a: a[t], traj["snap"][f])
+            for f in OBS_FIELDS
+        }
+        return template.replace(**fields)
+
+    def step_loss(p, tp, g, traj, template, t, prev_alive_t):
+        """Double-DQN TD loss over ALL agents of rollout step ``t``."""
+        n_act = spec.groups[g].type.n_action
+        sl = slice(offs[g], offs[g] + caps[g])
+        s_t = rebuild_state(template, traj, t)
+        s_t1 = rebuild_state(template, traj, t + 1)
+        view, feat = venv.observe(s_t, g)
+        nview, nfeat = venv.observe(s_t1, g)
+
+        def q_of(prm, v, f):
+            return nets[g].apply(
+                {"params": prm},
+                v.reshape((-1,) + v.shape[2:]),
+                f.reshape((-1,) + f.shape[2:]),
+            ).reshape(B, caps[g], n_act)
+
+        q_t = jnp.take_along_axis(
+            q_of(p, view, feat),
+            traj["actions"][t][:, sl][..., None], axis=-1)[..., 0]
+        tq = q_of(tp, nview, nfeat)
+        if use_double:
+            sel = jnp.argmax(jax.lax.stop_gradient(q_of(p, nview, nfeat)),
+                             axis=-1, keepdims=True)
+            next_v = jnp.take_along_axis(tq, sel, axis=-1)[..., 0]
+        else:
+            next_v = jnp.max(tq, axis=-1)
+
+        rew = traj["rewards"][t][:, sl]
+        terminal = (~traj["alive"][t][:, sl]) | traj["done"][t][:, None]
+        target = jnp.where(terminal, rew,
+                           rew + gamma * jax.lax.stop_gradient(next_v))
+        mask = prev_alive_t.astype(jnp.float32)
+        td = jnp.square(jax.lax.stop_gradient(target) - q_t)
+        return jnp.sum(td * mask), jnp.sum(mask)
+
+    def train_step(params, target_params, opt_states, env_state, key, eps):
+        key, rkey, skey = jax.random.split(key, 3)
+        alive_in = env_state.active & ~env_state.dead
+        template = env_state  # grids/walls for state reconstruction
+        env_state, traj = rollout(params, env_state, rkey, eps)
+
+        # reindex snaps so traj["snap"][f][t] is the state BEFORE step t,
+        # and t = rollout_len refers to the post-rollout state
+        for f in OBS_FIELDS:
+            traj["snap"][f] = jnp.concatenate(
+                [traj["snap"][f],
+                 getattr(env_state, f)[None]], axis=0)
+        # prev-step liveness per step (training mask)
+        alive_seq = jnp.concatenate(
+            [alive_in[None], traj["alive"][:-1]], axis=0)
+
+        ts = jax.random.randint(skey, (sample_steps,), 0, rollout_len)
+
+        new_params, new_opts, losses = [], [], []
+        for g in range(G):
+            sl = slice(offs[g], offs[g] + caps[g])
+
+            def loss_fn(p):
+                total, denom = 0.0, 0.0
+                for i in range(sample_steps):
+                    lt, lm = step_loss(p, target_params[g], g, traj,
+                                       template, ts[i], alive_seq[:, :, sl][ts[i]])
+                    total = total + lt
+                    denom = denom + lm
+                return total / jnp.maximum(denom, 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params[g])
+            updates, opt_g = tx.update(grads, opt_states[g], params[g])
+            new_params.append(optax.apply_updates(params[g], updates))
+            new_opts.append(opt_g)
+            losses.append(loss)
+
+        metrics = dict(
+            loss=jnp.stack(losses),
+            mean_reward=jnp.stack(
+                [jnp.mean(traj["rewards"][:, :, offs[g] : offs[g] + caps[g]])
+                 for g in range(G)]),
+        )
+        return tuple(new_params), tuple(new_opts), env_state, metrics
+
+    return train_step
+
+
 def make_a2c_train_step(
     venv: VecGridWorld,
     nets,

@@ -27,6 +27,7 @@ from magent_tpu.builtin.jax_model.dqn import DQNNet
 from magent_tpu.builtin.jax_model.drqn import DRQNNet
 from magent_tpu.parallel import (VecGridWorld, init_drqn_hiddens,
                                  make_a2c_train_loop, make_dqn_train_loop,
+                                 make_dqn_train_step_remat,
                                  make_drqn_train_loop)
 
 N_PER_GROUP = 1000
@@ -41,7 +42,8 @@ def bench_alg(alg: str):
     venv = VecGridWorld(battle.get_config(MAP_SIZE),
                         [N_PER_GROUP, N_PER_GROUP], n_envs=N_ENVS)
     spec = venv.spec
-    net_cls = {"dqn": DQNNet, "drqn": DRQNNet, "a2c": A2CNet}[alg]
+    net_cls = {"dqn": DQNNet, "dqn_remat": DQNNet, "drqn": DRQNNet,
+               "a2c": A2CNet}[alg]
     nets = [net_cls(num_actions=spec.groups[g].type.n_action)
             for g in range(2)]
     key = jax.random.PRNGKey(0)
@@ -60,7 +62,32 @@ def bench_alg(alg: str):
     opts = tuple(tx.init(p) for p in params)
     tgt = jax.tree.map(lambda x: x, params)
 
-    if alg == "dqn":
+    if alg == "dqn_remat":
+        train_step = make_dqn_train_step_remat(
+            venv, nets, tx, rollout_len=ROLLOUT,
+            sample_steps=int(os.environ.get("BENCH_SAMPLE_STEPS", "2")))
+
+        def remat_loop(params, target_params, opt_states, env_state, key,
+                       eps, step0):
+            def body(carry, t):
+                params, tgt, opts, env_state, key = carry
+                key, skey = jax.random.split(key)
+                params, opts, env_state, metrics = train_step(
+                    params, tgt, opts, env_state, skey, eps)
+                refresh = (step0 + t + 1) % 40 == 0
+                tgt = jax.tree.map(
+                    lambda a, b: jnp.where(refresh, b, a), tgt, params)
+                return (params, tgt, opts, env_state, key), metrics
+
+            (params, target_params, opt_states, env_state, _), metrics = (
+                jax.lax.scan(
+                    body,
+                    (params, target_params, opt_states, env_state, key),
+                    jnp.arange(STEPS_PER_CALL)))
+            return params, target_params, opt_states, env_state, metrics
+
+        loop = jax.jit(remat_loop)
+    elif alg == "dqn":
         loop = jax.jit(make_dqn_train_loop(
             venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,
             rollout_len=ROLLOUT, train_minibatch=16384))
@@ -80,7 +107,7 @@ def bench_alg(alg: str):
     def call(c):
         ck = jax.random.fold_in(lk, c)
         nonlocal params, tgt, opts, state, hid
-        if alg == "dqn":
+        if alg in ("dqn", "dqn_remat"):
             params, tgt, opts, state, metrics = loop(
                 params, tgt, opts, state, ck, 0.3,
                 jnp.asarray(c * STEPS_PER_CALL))

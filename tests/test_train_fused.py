@@ -148,3 +148,25 @@ def test_drqn_train_step_carries_hidden():
     h0 = np.asarray(hiddens[0])
     alive = np.asarray(state.active & ~state.dead)[:, :6]
     assert np.any(np.abs(h0[alive]) > 0)
+
+
+def test_dqn_remat_train_step():
+    """Obs-rematerializing DQN trainer: stores compact states, re-renders
+    sampled steps' windows in the loss."""
+    from magent_tpu.parallel import make_dqn_train_step_remat
+
+    venv, params, tgt, opts, _ = _setup()
+    step = jax.jit(make_dqn_train_step_remat(
+        venv, [DQNNet(num_actions=venv.spec.groups[g].type.n_action)
+               for g in range(2)],
+        optax.adam(1e-3), rollout_len=4, sample_steps=2))
+    # rebuild nets/params to match the new net instances
+    state = venv.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for k in range(2):
+        params, opts, state, metrics = step(
+            params, tgt, opts, state, jax.random.fold_in(key, k), 0.5)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+    moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         params[0], tgt[0])
+    assert max(jax.tree.leaves(moved)) > 0
