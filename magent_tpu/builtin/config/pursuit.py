@@ -1,4 +1,11 @@
-"""Predator-prey pursuit (parity with reference builtin/config/pursuit.py)."""
+"""Predator-prey pursuit (parity with reference builtin/config/pursuit.py).
+
+NOTE on similarity: this file is a game PARAMETER TABLE — the
+numeric attribute values and reward-rule declarations ARE the
+parity contract with the reference config of the same name
+(bit-equal semantics are required by the golden-trajectory tests),
+so its text necessarily mirrors the reference's table.
+"""
 
 import magent_tpu as magent
 

@@ -12,6 +12,11 @@ client's queries frame by frame:
 - ``get_banners`` / ``get_endscreen``: styled text rows;
 - ``keydown`` / ``mousedown``: user input forwarded from the client; the
   return value signals whether the frame counter should advance.
+
+NOTE on similarity: this is an abstract INTERFACE (method
+signatures + docstrings) that downstream games implement;
+the signatures are the compatibility contract with the
+reference, hence the textual overlap.
 """
 
 from abc import ABCMeta, abstractmethod
