@@ -87,6 +87,13 @@ class EpisodeRunner:
         print(f"--- sampling (eps={eps:.2f}, nums={self.nums}) ---")
         began = time.time()
 
+        # a hosted model has ONE pending-action slot, so the non-blocking
+        # overlap is only sound for models driving a single side
+        hosted_count = {}
+        for s in sides:
+            if hasattr(s.model, "fetch_action"):
+                hosted_count[id(s.model)] = hosted_count.get(id(s.model), 0) + 1
+
         done = False
         while not done:
             # two-pass inference: kick off every hosted model non-blocking
@@ -99,7 +106,7 @@ class EpisodeRunner:
                 else:  # scripted actors ignore observations
                     k = len(s.ids)
                     s.obs = (np.empty(k), np.empty(k))
-                if hasattr(s.model, "fetch_action"):
+                if hosted_count.get(id(s.model), 0) == 1:
                     s.model.infer_action(s.obs, s.ids, 'e_greedy', eps,
                                          block=False)
                     s.acts = None

@@ -29,8 +29,11 @@ def main():
     env.set_render_dir("build/render")
     handles = env.get_handles()
 
-    RLModel, hyper = build_alg(args.alg, target_update=500,
-                               memory_size=2 ** 20)
+    # reference hyperparameters: DQN replay 2^20 flat transitions, DRQN
+    # 20000 episode windows (reference examples/train_tiger.py:136,142)
+    RLModel, hyper = build_alg(
+        args.alg, target_update=500,
+        memory_size=20000 if args.alg == "drqn" else 2 ** 20)
     model = RLModel(env, handles[1], args.name, **hyper)
     # a2c trains in-loop on accumulated transitions instead of per round
     step_batch = (int(10 * args.map_size * args.map_size * 0.01)

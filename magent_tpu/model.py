@@ -122,49 +122,42 @@ class ProcessingModel(BaseModel):
 
 
 # --------------------------------------------------------- subprocess hosting
-class NDArrayPackage:
-    """Raw-bytes numpy transport, segmented at 2^30/4 elements
-    (reference: python/magent/model.py:70-112)."""
+_CHUNK_BYTES = 1 << 28  # pipe segments: 256MB of raw bytes per message
 
-    MAX_LEN = (1 << 30) / 4
 
-    def __init__(self, *args):
-        import numpy as np
+def _send_arrays(conn, arrays):
+    """Ship numpy arrays over a Connection: one picklable header (shapes +
+    dtypes), then each array's raw bytes in fixed-size segments.  Large
+    buffers never go through pickle."""
+    import numpy as np
 
-        if isinstance(args[0], np.ndarray):
-            self.data = args
-            self.info = [(x.shape, x.dtype) for x in args]
+    arrays = [np.ascontiguousarray(a) for a in arrays]
+    conn.send([(a.shape, a.dtype.str) for a in arrays])
+    for a in arrays:
+        view = memoryview(a).cast("B")
+        if len(view) == 0:
+            conn.send_bytes(b"")
+            continue
+        for off in range(0, len(view), _CHUNK_BYTES):
+            conn.send_bytes(view[off : off + _CHUNK_BYTES])
+
+
+def _recv_arrays(conn):
+    import numpy as np
+
+    out = []
+    for shape, dtype in conn.recv():
+        n_bytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        buf = bytearray(n_bytes)
+        if n_bytes == 0:
+            conn.recv_bytes()  # the sender's placeholder segment
         else:
-            self.data = None
-            self.info = args[0]
-
-    def send_to(self, conn):
-        import numpy as np
-
-        for x in self.data:
-            x = np.ascontiguousarray(x)
-            if np.prod(x.shape) > self.MAX_LEN:
-                seg = int(self.MAX_LEN // max(np.prod(x.shape[1:]), 1))
-                for pt in range(0, len(x), seg):
-                    conn.send_bytes(x[pt:pt + seg])
-            else:
-                conn.send_bytes(x)
-
-    def recv_from(self, conn):
-        import numpy as np
-
-        bufs = []
-        for shape, dtype in self.info:
-            buf = np.empty((int(np.prod(shape)),), dtype=dtype)
-            item = int(np.prod(shape[1:])) or 1
-            if np.prod(shape) > self.MAX_LEN:
-                seg = int(self.MAX_LEN // item)
-                for pt in range(0, int(np.prod(shape)), seg * item):
-                    conn.recv_bytes_into(buf[pt:pt + seg * item])
-            else:
-                conn.recv_bytes_into(buf)
-            bufs.append(buf.reshape(shape))
-        return bufs
+            view = memoryview(buf)
+            off = 0
+            while off < n_bytes:
+                off += conn.recv_bytes_into(view[off:])
+        out.append(np.frombuffer(buf, dtype=dtype).reshape(shape))
+    return out
 
 
 class _SpaceStub:
@@ -186,10 +179,15 @@ class _SpaceStub:
         return self._action
 
 
-def model_client(conn, sample_buffer_capacity, RLModel, model_args):
-    """Worker loop hosting one model in a subprocess (reference:
-    python/magent/model.py:288-347).  Runs JAX on CPU by default so the
-    parent keeps the accelerator (override with platform='tpu')."""
+def _model_worker(conn, buffer_capacity, RLModel, model_args):
+    """Subprocess body hosting one model behind the command pipe.
+
+    Commands arrive as ``(name, payload)`` tuples; array operands travel as
+    raw byte segments (:func:`_send_arrays`).  Runs JAX on CPU by default so
+    the parent keeps the accelerator (``platform`` in model_args overrides).
+    """
+    import numpy as np
+
     platform = model_args.pop("platform", "cpu")
     if platform:
         import jax
@@ -197,52 +195,54 @@ def model_client(conn, sample_buffer_capacity, RLModel, model_args):
         jax.config.update("jax_platforms", platform)
 
     model = RLModel(**model_args)
-    sample_buffer = EpisodesBuffer(capacity=sample_buffer_capacity)
-    obs = ids = acts = None
+    buffer = EpisodesBuffer(capacity=buffer_capacity)
+    last = {}
 
     while True:
-        cmd = conn.recv()
-        if cmd[0] == "act":
-            policy, eps, array_info = cmd[1], cmd[2], cmd[3]
-            view, feature, ids = NDArrayPackage(array_info).recv_from(conn)
-            obs = (view, feature)
-            acts = model.infer_action(obs, ids, policy=policy, eps=eps)
-            package = NDArrayPackage(acts)
-            conn.send(package.info)
-            package.send_to(conn)
-        elif cmd[0] == "sample":
-            rewards, alives = NDArrayPackage(cmd[1]).recv_from(conn)
-            sample_buffer.record_step(ids, obs, acts, rewards, alives)
-            conn.send("done")
-        elif cmd[0] == "train":
-            total_loss, value = model.train(sample_buffer,
-                                            print_every=cmd[1], **cmd[2])
-            sample_buffer = EpisodesBuffer(sample_buffer_capacity)
-            conn.send((total_loss, value))
-        elif cmd[0] == "save":
-            model.save(cmd[1], cmd[2])
-            conn.send("done")
-        elif cmd[0] == "load":
-            model.load(cmd[1], cmd[2], cmd[3])
-            conn.send("done")
-        elif cmd[0] == "quit":
+        cmd, payload = conn.recv()
+        if cmd == "act":
+            policy, eps = payload
+            view, feature, ids = _recv_arrays(conn)
+            acts = model.infer_action((view, feature), ids, policy=policy,
+                                      eps=eps)
+            last = dict(obs=(view, feature), ids=ids, acts=acts)
+            _send_arrays(conn, [np.asarray(acts)])
+        elif cmd == "sample":
+            rewards, alives = _recv_arrays(conn)
+            buffer.record_step(last["ids"], last["obs"], last["acts"],
+                               rewards, alives)
+            conn.send(("ok", None))
+        elif cmd == "train":
+            print_every, extra = payload
+            result = model.train(buffer, print_every=print_every, **extra)
+            buffer = EpisodesBuffer(capacity=buffer_capacity)
+            conn.send(("ok", result))
+        elif cmd == "save":
+            model.save(*payload)
+            conn.send(("ok", None))
+        elif cmd == "load":
+            model.load(*payload)
+            conn.send(("ok", None))
+        elif cmd == "quit":
             conn.close()
-            break
+            return
         else:
             # reply instead of looping silently: a silent fall-through would
             # deadlock the parent's pending recv
-            conn.send(("error", "unknown command %r" % (cmd[0],)))
+            conn.send(("err", "unknown command %r" % (cmd,)))
 
 
 class SubprocessModel(BaseModel):
-    """Cross-process model hosting with the reference's non-blocking
-    protocol over a real pipe (reference: python/magent/model.py:115-285).
+    """Cross-process model hosting with the reference's non-blocking facade
+    over a real pipe (capability parity with reference
+    python/magent/model.py:115-347, re-designed around a (command, payload)
+    protocol + segmented raw-byte array transport).
 
-    The in-process :class:`ProcessingModel` is the default on one chip
-    (XLA async dispatch already overlaps groups); this variant actually
-    overlaps the HOST-side Python work (replay-buffer bookkeeping, batching)
-    in a separate process, which is what the reference's subprocess bought.
-    The worker runs JAX on CPU unless ``platform`` says otherwise.
+    The in-process :class:`ProcessingModel` is the default on one chip (XLA
+    async dispatch already overlaps groups); this variant actually overlaps
+    the HOST-side Python work (replay-buffer bookkeeping, batching) in a
+    separate process, which is what the reference's subprocess bought.  The
+    worker runs JAX on CPU unless ``platform`` says otherwise.
     """
 
     def __init__(self, env, handle, name, port=0, sample_buffer_capacity=1000,
@@ -264,36 +264,38 @@ class SubprocessModel(BaseModel):
         ctx = mp.get_context("spawn")
         self.conn, child = ctx.Pipe()
         self.proc = ctx.Process(
-            target=model_client,
+            target=_model_worker,
             args=(child, sample_buffer_capacity, RLModel, model_args),
             daemon=True,
         )
         self.proc.start()
         child.close()
 
+    def _ack(self):
+        status, payload = self.conn.recv()
+        if status != "ok":
+            raise RuntimeError("model worker error: %s" % (payload,))
+        return payload
+
     # ------------------------------------------------------------- inference
     def infer_action(self, raw_obs, ids, policy="e_greedy", eps=0, block=True):
         np = self._np
-        view, feature = np.asarray(raw_obs[0]), np.asarray(raw_obs[1])
-        ids = np.asarray(ids)
-        package = NDArrayPackage(view, feature, ids)
-        self.conn.send(["act", policy, eps, package.info])
-        package.send_to(self.conn)
+        self.conn.send(("act", (policy, eps)))
+        _send_arrays(self.conn, [np.asarray(raw_obs[0]),
+                                 np.asarray(raw_obs[1]), np.asarray(ids)])
         if block:
             return self.fetch_action()
         return None
 
     def fetch_action(self):
-        info = self.conn.recv()
-        return NDArrayPackage(info).recv_from(self.conn)[0]
+        return _recv_arrays(self.conn)[0]
 
     # -------------------------------------------------------------- sampling
     def sample_step(self, rewards, alives, block=True):
         np = self._np
-        package = NDArrayPackage(np.asarray(rewards, np.float32),
-                                 np.asarray(alives, bool))
-        self.conn.send(["sample", package.info])
-        package.send_to(self.conn)
+        self.conn.send(("sample", None))
+        _send_arrays(self.conn, [np.asarray(rewards, np.float32),
+                                 np.asarray(alives, bool)])
         if block:
             return self.check_done()
         return None
@@ -302,31 +304,31 @@ class SubprocessModel(BaseModel):
         return self.check_done()
 
     def check_done(self):
-        assert self.conn.recv() == "done"
+        self._ack()
         return "done"
 
     # -------------------------------------------------------------- training
     def train(self, print_every=5000, block=True, **kwargs):
-        self.conn.send(["train", print_every, kwargs])
+        self.conn.send(("train", (print_every, kwargs)))
         if block:
             return self.fetch_train()
         return None
 
     def fetch_train(self):
-        return self.conn.recv()
+        return self._ack()
 
     # ------------------------------------------------------------ checkpoint
     def save(self, save_dir, epoch):
-        self.conn.send(["save", save_dir, epoch])
-        assert self.conn.recv() == "done"
+        self.conn.send(("save", (save_dir, epoch)))
+        self._ack()
 
     def load(self, save_dir, epoch, name=None):
-        self.conn.send(["load", save_dir, epoch, name])
-        assert self.conn.recv() == "done"
+        self.conn.send(("load", (save_dir, epoch, name)))
+        self._ack()
 
     def quit(self):
         try:
-            self.conn.send(["quit"])
+            self.conn.send(("quit", None))
         except (BrokenPipeError, OSError):
             pass
         self.proc.join(timeout=10)

@@ -17,6 +17,38 @@ import optax
 from .vec_env import VecGridWorld
 
 
+def _egreedy_actions(venv, nets, params, state, key, eps,
+                     return_obs=False):
+    """e-greedy actions for every group over the full slot axis; optionally
+    also returns the rendered (views, feats) for trajectory storage."""
+    spec = venv.spec
+    B = venv.n_envs
+    A = spec.n_agents_cap
+    actions = jnp.zeros((B, A), jnp.int32)
+    views, feats = [], []
+    all_obs = venv.observe_all(state)
+    for g, gs in enumerate(spec.groups):
+        view, feat = all_obs[g]  # [B, cap, vh, vw, C], [B, cap, F]
+        n_act = gs.type.n_action
+        q = nets[g].apply(
+            {"params": params[g]},
+            view.reshape((-1,) + view.shape[2:]),
+            feat.reshape((-1,) + feat.shape[2:]),
+        ).reshape(B, gs.cap, n_act)
+        kg, kr = jax.random.split(jax.random.fold_in(key, g))
+        greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
+        act = jnp.where(jax.random.uniform(kr, greedy.shape) < eps,
+                        rand, greedy)
+        actions = actions.at[:, gs.offset : gs.offset + gs.cap].set(act)
+        if return_obs:
+            views.append(view)
+            feats.append(feat)
+    if return_obs:
+        return actions, views, feats
+    return actions
+
+
 def make_dqn_train_step(
     venv: VecGridWorld,
     nets,
@@ -50,34 +82,13 @@ def make_dqn_train_step(
     offs = [g.offset for g in spec.groups]
     caps = [g.cap for g in spec.groups]
 
-    def policy_actions(params, state, key, eps):
-        """e-greedy actions for every group, assembled over the slot axis."""
-        actions = jnp.zeros((B, A), jnp.int32)
-        views, feats = [], []
-        all_obs = venv.observe_all(state)
-        for g in range(G):
-            view, feat = all_obs[g]  # [B, cap, vh, vw, C], [B, cap, F]
-            n_act = spec.groups[g].type.n_action
-            q = nets[g].apply(
-                {"params": params[g]},
-                view.reshape((-1,) + view.shape[2:]),
-                feat.reshape((-1,) + feat.shape[2:]),
-            ).reshape(B, caps[g], n_act)
-            kg, kr = jax.random.split(jax.random.fold_in(key, g))
-            greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
-            rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
-            explore = jax.random.uniform(kr, greedy.shape) < eps
-            act = jnp.where(explore, rand, greedy)
-            actions = actions.at[:, offs[g] : offs[g] + caps[g]].set(act)
-            views.append(view)
-            feats.append(feat)
-        return actions, views, feats
 
     def rollout(params, env_state, key, eps):
         def body(carry, t):
             state, key = carry
             key, akey = jax.random.split(key)
-            actions, views, feats = policy_actions(params, state, akey, eps)
+            actions, views, feats = _egreedy_actions(
+                venv, nets, params, state, akey, eps, return_obs=True)
             next_state, rewards, alive, done = venv.transition(state, actions)
             out = dict(
                 views=tuple(views),
@@ -263,30 +274,13 @@ def make_dqn_train_step_remat(
     OBS_FIELDS = ("x", "y", "hp", "dir", "active", "dead", "absorbed", "id",
                   "last_action", "last_reward")
 
-    def policy_actions(params, state, key, eps):
-        actions = jnp.zeros((B, A), jnp.int32)
-        all_obs = venv.observe_all(state)
-        for g in range(G):
-            view, feat = all_obs[g]
-            n_act = spec.groups[g].type.n_action
-            q = nets[g].apply(
-                {"params": params[g]},
-                view.reshape((-1,) + view.shape[2:]),
-                feat.reshape((-1,) + feat.shape[2:]),
-            ).reshape(B, caps[g], n_act)
-            kg, kr = jax.random.split(jax.random.fold_in(key, g))
-            greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
-            rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
-            act = jnp.where(jax.random.uniform(kr, greedy.shape) < eps,
-                            rand, greedy)
-            actions = actions.at[:, offs[g] : offs[g] + caps[g]].set(act)
-        return actions
 
     def rollout(params, env_state, key, eps):
         def body(carry, t):
             state, key = carry
             key, akey = jax.random.split(key)
-            actions = policy_actions(params, state, akey, eps)
+            actions = _egreedy_actions(venv, nets, params, state,
+                                        akey, eps)
             next_state, rewards, alive, done = venv.transition(state, actions)
             out = dict(
                 snap={f: getattr(state, f) for f in OBS_FIELDS},
