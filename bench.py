@@ -37,6 +37,10 @@ TIMED_CALLS = int(os.environ.get("BENCH_CALLS", "3"))
 
 def main():
     cfg = battle.get_config(MAP_SIZE)
+    # obs stay f32 (the parity dtype): a bf16 window store is ~19% faster
+    # standalone but buys nothing here — the store DMA already overlaps the
+    # engine-step compute that follows (measured 11.07M vs 11.02M).  bf16
+    # obs pay off where view TRAJECTORIES hit HBM (scripts/bench_train.py)
     venv = VecGridWorld(cfg, [N_PER_GROUP, N_PER_GROUP], n_envs=N_ENVS)
     spec = venv.spec
 

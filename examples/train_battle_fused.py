@@ -48,18 +48,23 @@ def main():
     parser.add_argument("--steps_per_call", type=int, default=10,
                         help="train steps fused per device call (lax.scan)")
     parser.add_argument("--name", type=str, default="battle-fused")
+    parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                        help="obs + net-trunk compute dtype (bf16 = the "
+                             "bench configuration; params stay f32)")
     args = parser.parse_args()
 
     magent.utility.init_logger(args.name)
 
+    dt = {"f32": None, "bf16": jnp.bfloat16}[args.dtype]
     venv = VecGridWorld(battle.get_config(args.map_size),
                         [args.agents_per_side, args.agents_per_side],
-                        n_envs=args.n_envs)
+                        n_envs=args.n_envs, obs_dtype=dt)
     spec = venv.spec
     G = spec.n_groups
 
     net_cls = {"dqn": DQNNet, "drqn": DRQNNet, "a2c": A2CNet}[args.alg]
-    nets = [net_cls(num_actions=spec.groups[g].type.n_action)
+    nets = [net_cls(num_actions=spec.groups[g].type.n_action,
+                    dtype=dt or jnp.float32)
             for g in range(G)]
     key = jax.random.PRNGKey(0)
     params = []

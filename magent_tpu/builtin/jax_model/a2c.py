@@ -56,16 +56,23 @@ class CommNet(nn.Module):
 
 
 class A2CNet(nn.Module):
+    """``dtype`` is the COMPUTE dtype of the trunk (params stay f32; bf16
+    doubles MXU throughput on v5e); policy/value heads always run in f32."""
+
     num_actions: int
     use_comm: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, view, feature, mask=None):
-        flat = view.reshape((view.shape[0], -1))
-        h_view = nn.relu(nn.Dense(256, name="dense_view")(flat))
-        h_emb = nn.relu(nn.Dense(256, name="dense_emb")(feature))
+        dt = self.dtype
+        flat = view.reshape((view.shape[0], -1)).astype(dt)
+        h_view = nn.relu(nn.Dense(256, name="dense_view", dtype=dt)(flat))
+        h_emb = nn.relu(nn.Dense(256, name="dense_emb",
+                                 dtype=dt)(feature.astype(dt)))
         dense = jnp.concatenate([h_view, h_emb], axis=1)
-        dense = nn.relu(nn.Dense(512, name="dense_joint")(dense))
+        dense = nn.relu(nn.Dense(512, name="dense_joint", dtype=dt)(dense))
+        dense = dense.astype(jnp.float32)
         if self.use_comm:
             if mask is None:
                 mask = jnp.ones((dense.shape[0],), jnp.float32)

@@ -26,21 +26,31 @@ from .base import JaxBaseModel, round_up_pow2
 
 
 class DQNNet(nn.Module):
+    """``dtype`` is the COMPUTE dtype of the conv/hidden layers (params stay
+    f32; ``bfloat16`` runs the MXU at 2x f32 throughput on v5e).  The dueling
+    heads and Q arithmetic always run in f32."""
+
     num_actions: int
     use_dueling: bool = True
     use_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, view, feature):
+        dt = self.dtype
+        view = view.astype(dt)
+        feature = feature.astype(dt)
         if self.use_conv:
-            h = nn.relu(nn.Conv(32, (3, 3), padding="VALID", name="conv1")(view))
-            h = nn.relu(nn.Conv(32, (3, 3), padding="VALID", name="conv2")(h))
+            h = nn.relu(nn.Conv(32, (3, 3), padding="VALID", name="conv1",
+                                dtype=dt)(view))
+            h = nn.relu(nn.Conv(32, (3, 3), padding="VALID", name="conv2",
+                                dtype=dt)(h))
             h = h.reshape((h.shape[0], -1))
         else:
             h = view.reshape((view.shape[0], -1))
-        h_view = nn.relu(nn.Dense(256, name="dense_view")(h))
-        h_emb = nn.relu(nn.Dense(256, name="dense_emb")(feature))
-        dense = jnp.concatenate([h_view, h_emb], axis=1)
+        h_view = nn.relu(nn.Dense(256, name="dense_view", dtype=dt)(h))
+        h_emb = nn.relu(nn.Dense(256, name="dense_emb", dtype=dt)(feature))
+        dense = jnp.concatenate([h_view, h_emb], axis=1).astype(jnp.float32)
 
         if self.use_dueling:
             value = nn.Dense(1, name="value")(dense)

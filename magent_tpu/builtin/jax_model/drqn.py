@@ -26,24 +26,33 @@ from .base import JaxBaseModel, round_up_pow2
 
 
 class DRQNTrunk(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, view, feature):
-        flat = view.reshape((view.shape[0], -1))
-        h_view = nn.relu(nn.Dense(256, name="dense_view")(flat))
-        h_emb = nn.relu(nn.Dense(256, name="dense_emb")(feature))
-        return jnp.concatenate([h_view, h_emb], axis=1)  # [n, 512]
+        dt = self.dtype
+        flat = view.reshape((view.shape[0], -1)).astype(dt)
+        h_view = nn.relu(nn.Dense(256, name="dense_view", dtype=dt)(flat))
+        h_emb = nn.relu(nn.Dense(256, name="dense_emb",
+                                 dtype=dt)(feature.astype(dt)))
+        # the GRU carry and Q heads stay f32
+        return jnp.concatenate([h_view, h_emb], axis=1).astype(jnp.float32)
 
 
 class DRQNNet(nn.Module):
-    """One GRU step: (state, view, feature) -> (new_state, q)."""
+    """One GRU step: (state, view, feature) -> (new_state, q).
+
+    ``dtype`` is the trunk's COMPUTE dtype (params stay f32; bf16 doubles
+    MXU throughput on v5e); the GRU and heads always run in f32."""
 
     num_actions: int
     use_dueling: bool = True
     state_size: int = 512
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, state, view, feature):
-        h = DRQNTrunk(name="trunk")(view, feature)
+        h = DRQNTrunk(name="trunk", dtype=self.dtype)(view, feature)
         new_state, rnn_out = nn.GRUCell(self.state_size, name="gru")(state, h)
         if self.use_dueling:
             value = nn.Dense(1, name="value")(rnn_out)

@@ -149,16 +149,22 @@ def _render_image(spec, group, packed, lanes):
 
 
 def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
-                 interpret: bool = False):
+                 interpret: bool = False, obs_dtype=jnp.float32):
     """Build the observe function for one group.
 
     The returned function accepts either a single-env state (arrays [A, ...])
     or a batched state (arrays [B, A, ...]); output shapes follow.  Optional
     ``grids=(ch_grid, hp_grid)`` lets callers share the scatter pass across
     groups.
+
+    ``obs_dtype``: dtype of the returned views.  All window math runs in f32;
+    ``bfloat16`` casts inside the kernel store, halving the ~260MB/pass of
+    window HBM writes at battle scale (~19% faster per kernel call on v5e).
+    Defaults to f32 — the bit-exact reference-parity dtype
+    (Map.cc:129-207 fills float buffers).
     """
     if spec.turn_mode:
-        return _make_observe_rotating(spec, group)
+        return _make_observe_rotating(spec, group, obs_dtype=obs_dtype)
 
     t = spec.groups[group].type
     gs = spec.groups[group]
@@ -290,11 +296,13 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
                 act.astype(jnp.int32),
                 vh=vh, vw=vw, C=C, Wp=Wp,
                 chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+                out_dtype=obs_dtype,
             )
         elif use_replica:
             view = wg.window_gather4(
                 img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                 chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+                out_dtype=obs_dtype,
             )
         elif use_pallas:
             # measured: XLA fuses the minimap epilogue into one cheap pass
@@ -342,6 +350,8 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
 
         if not epilogue_fused:
             view = view * act[:, :, None, None, None]
+        if view.dtype != obs_dtype:
+            view = view.astype(obs_dtype)
         feature = feature * act[:, :, None]
         return view, feature
 
@@ -377,7 +387,8 @@ def _dir_offset_tables(t: "speclib.AgentTypeSpec"):
     return offs_x, offs_y
 
 
-def _make_observe_rotating(spec: speclib.GameSpec, group: int):
+def _make_observe_rotating(spec: speclib.GameSpec, group: int, *,
+                           obs_dtype=jnp.float32):
     """Legacy rotation-capable path (turn_mode): per-direction window gather
     (XLA); correct for all directions, slower than the kernel path."""
     t = spec.groups[group].type
@@ -478,6 +489,8 @@ def _make_observe_rotating(spec: speclib.GameSpec, group: int):
 
         act = state.active[sl]
         view = view * act[:, None, None, None]
+        if view.dtype != obs_dtype:
+            view = view.astype(obs_dtype)
         feature = feature * act[:, None]
         return view, feature
 

@@ -207,10 +207,12 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vh", "vw", "C", "Wp", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("vh", "vw", "C", "Wp", "chunk", "interpret", "out_dtype"),
 )
 def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
-                   vh, vw, C, Wp, chunk=200, interpret=False):
+                   vh, vw, C, Wp, chunk=200, interpret=False,
+                   out_dtype=jnp.float32):
     """Window gather via shifted image replicas: minimum-size aligned loads.
 
     :func:`window_gather` loads an aligned (vh+7→%8, vw*C+127→%128) superset
@@ -226,6 +228,11 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
     window, ``mm_mask [vh, vw*C]`` the minimap-channel mask (the agent's
     own pooled cell, packed in ``pos`` as ``tl*1024 + self_cell``, gets +1
     there), ``act [B, N] int32`` a 0/1 liveness factor per agent.
+
+    ``out_dtype``: windows are computed in f32 (the image stays f32 — Mosaic
+    rejects bf16 dynamic sublane rolls) and cast just before the store;
+    ``bfloat16`` halves the output HBM traffic (~260MB/pass at battle scale)
+    and measures ~19% faster per call on v5e.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -313,7 +320,8 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
                 self_add = (cell_ids == self_cell).astype(jnp.float32) * mmm
                 alive = act_ref[base + a].astype(jnp.float32)
                 out_ref[0, a] = (
-                    win[:vh, :vwc] * m + mm + self_add) * alive
+                    (win[:vh, :vwc] * m + mm + self_add) * alive
+                ).astype(out_dtype)
                 return 0
 
             jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
@@ -335,7 +343,7 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
                     (1, chunk, vh, vwc), lambda b, k, w, x, act: (b, k, 0, 0)
                 ),
             ),
-            out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), out_dtype),
             interpret=interpret,
         )(word.reshape(-1), aux.reshape(-1), act.reshape(-1), reps, mask,
           mm_img, mm_mask)
@@ -349,7 +357,7 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
 
         def body(a, _):
             win = body_window(word_ref, aux_ref, g_ref, a, base)
-            out_ref[0, a] = win[:vh, :vwc] * m
+            out_ref[0, a] = (win[:vh, :vwc] * m).astype(out_dtype)
             return 0
 
         jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
@@ -368,7 +376,7 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
                 (1, chunk, vh, vwc), lambda b, k, w, x: (b, k, 0, 0)
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), out_dtype),
         interpret=interpret,
     )(word.reshape(-1), aux.reshape(-1), reps, mask)
     return out[:, :N]

@@ -148,15 +148,20 @@ class VecGridWorld:
     to scale across chips/hosts.
     """
 
-    def __init__(self, config: Config, caps, n_envs: int, placements=None):
+    def __init__(self, config: Config, caps, n_envs: int, placements=None,
+                 obs_dtype=None):
         self.spec = speclib.compile_spec(config, caps)
         self.n_envs = n_envs
         self._reset1 = _make_device_reset(self.spec, placements)
         # the device reset builds border-only walls, so the gridless fast
         # path is sound here (see engine.make_step)
         self._step1 = engine.make_step(self.spec, maintain_grid=False)
+        # obs_dtype=jnp.bfloat16 halves window HBM traffic (see
+        # observe.make_observe); None keeps the f32 parity default
+        obs_kw = {} if obs_dtype is None else {"obs_dtype": obs_dtype}
         self._observe1 = [
-            observe.make_observe(self.spec, g) for g in range(self.spec.n_groups)
+            observe.make_observe(self.spec, g, **obs_kw)
+            for g in range(self.spec.n_groups)
         ]
 
     # ------------------------------------------------------------- functional

@@ -39,12 +39,20 @@ CALLS = 3
 
 
 def bench_alg(alg: str):
+    # bf16 views halve the rollout trajectory's HBM traffic (~865MB/call at
+    # rollout 16); the TD math still runs in f32 (casts at the conv input)
+    obs_dtype = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_OBS_DTYPE", "bf16")]
     venv = VecGridWorld(battle.get_config(MAP_SIZE),
-                        [N_PER_GROUP, N_PER_GROUP], n_envs=N_ENVS)
+                        [N_PER_GROUP, N_PER_GROUP], n_envs=N_ENVS,
+                        obs_dtype=obs_dtype)
     spec = venv.spec
     net_cls = {"dqn": DQNNet, "dqn_remat": DQNNet, "drqn": DRQNNet,
                "a2c": A2CNet}[alg]
-    nets = [net_cls(num_actions=spec.groups[g].type.n_action)
+    # bf16 trunk compute doubles MXU throughput (params/heads stay f32)
+    net_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_NET_DTYPE", "bf16")]
+    nets = [net_cls(num_actions=spec.groups[g].type.n_action, dtype=net_dtype)
             for g in range(2)]
     key = jax.random.PRNGKey(0)
     params = []

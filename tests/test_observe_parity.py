@@ -97,3 +97,25 @@ def test_banded_kernel_matches_xla():
     out = wg.window_gather_banded(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                                   chunk=8, band_rows=16, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_bf16_obs_dtype():
+    """obs_dtype=bfloat16 returns bf16 views equal to f32 up to rounding
+    (window math stays f32; only the store casts — window_gather.py)."""
+    import jax.numpy as jnp
+    from magent_tpu.builtin.config import battle
+    from magent_tpu.parallel import VecGridWorld
+
+    v32 = VecGridWorld(battle.get_config(32), [20, 20], n_envs=2)
+    v16 = VecGridWorld(battle.get_config(32), [20, 20], n_envs=2,
+                       obs_dtype=jnp.bfloat16)
+    state = jax.jit(v32.reset)(jax.random.PRNGKey(0))
+    for g in range(2):
+        view32, feat32 = v32.observe(state, g)
+        view16, feat16 = v16.observe(state, g)
+        assert view16.dtype == jnp.bfloat16
+        assert feat16.dtype == jnp.float32  # features stay f32
+        np.testing.assert_allclose(
+            np.asarray(view16, np.float32), np.asarray(view32), atol=0.01)
+        np.testing.assert_allclose(np.asarray(feat16), np.asarray(feat32),
+                                   atol=1e-6)
