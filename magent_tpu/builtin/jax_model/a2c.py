@@ -88,7 +88,7 @@ class AdvantageActorCritic(JaxBaseModel):
                  batch_size=64, reward_decay=0.99, eval_obs=None,
                  train_freq=1, value_coef=0.1, ent_coef=0.08, use_comm=False,
                  custom_view_space=None, custom_feature_space=None, seed=0,
-                 **kwargs):
+                 dtype="f32", **kwargs):
         JaxBaseModel.__init__(self, env, handle, name, "tfa2c")
 
         self.view_space = custom_view_space or env.get_view_space(handle)
@@ -99,7 +99,8 @@ class AdvantageActorCritic(JaxBaseModel):
         self.ent_coef = ent_coef
         self.train_ct = 0
 
-        self.net = A2CNet(self.num_actions, use_comm)
+        net_dt = jnp.bfloat16 if dtype in ("bf16", jnp.bfloat16) else jnp.float32
+        self.net = A2CNet(self.num_actions, use_comm, dtype=net_dt)
         key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(key)
         dummy_v = jnp.zeros((1,) + tuple(self.view_space), jnp.float32)

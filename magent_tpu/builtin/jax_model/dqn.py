@@ -67,7 +67,8 @@ class DeepQNetwork(JaxBaseModel):
                  train_freq=1, target_update=2000, memory_size=2 ** 20,
                  eval_obs=None, use_dueling=True, use_double=True, use_conv=True,
                  custom_view_space=None, custom_feature_space=None,
-                 num_gpu=1, infer_batch_size=8192, network_type=0, seed=0):
+                 num_gpu=1, infer_batch_size=8192, network_type=0, seed=0,
+                 dtype="f32"):
         JaxBaseModel.__init__(self, env, handle, name, "tfdqn")
 
         self.view_space = custom_view_space or env.get_view_space(handle)
@@ -83,7 +84,9 @@ class DeepQNetwork(JaxBaseModel):
         self.gamma = reward_decay
         self.train_ct = 0
 
-        self.net = DQNNet(self.num_actions, use_dueling, use_conv)
+        net_dt = jnp.bfloat16 if dtype in ("bf16", jnp.bfloat16) else jnp.float32
+        self.net = DQNNet(self.num_actions, use_dueling, use_conv,
+                          dtype=net_dt)
         key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(key)
         dummy_v = jnp.zeros((1,) + tuple(self.view_space), jnp.float32)

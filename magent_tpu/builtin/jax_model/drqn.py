@@ -70,7 +70,7 @@ class DeepRecurrentQNetwork(JaxBaseModel):
                  target_update=2000, eval_obs=None, use_dueling=True,
                  use_double=True, use_episode_train=False,
                  custom_view_space=None, custom_feature_space=None, seed=0,
-                 **kwargs):
+                 dtype="f32", **kwargs):
         JaxBaseModel.__init__(self, env, handle, name, "tfdrqn")
 
         self.view_space = custom_view_space or env.get_view_space(handle)
@@ -86,7 +86,8 @@ class DeepRecurrentQNetwork(JaxBaseModel):
         self.use_double = use_double
         self.train_ct = 0
 
-        self.net = DRQNNet(self.num_actions, use_dueling)
+        net_dt = jnp.bfloat16 if dtype in ("bf16", jnp.bfloat16) else jnp.float32
+        self.net = DRQNNet(self.num_actions, use_dueling, dtype=net_dt)
         self.state_size = self.net.state_size
         key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(key)

@@ -311,12 +311,13 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             view = wg.window_gather(
                 img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                 chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+                out_dtype=obs_dtype,
             )
         elif use_banded:
             view = wg.window_gather_banded(
                 img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                 chunk=min(40, wg._ceil_to(gs.cap, 8)), band_rows=band_rows,
-                interpret=interpret,
+                interpret=interpret, out_dtype=obs_dtype,
             )
         else:
             view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)

@@ -71,10 +71,11 @@ def padded_geometry(H: int, W: int, C: int, vh: int, vw: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vh", "vw", "C", "Wp", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("vh", "vw", "C", "Wp", "chunk", "interpret", "out_dtype"),
 )
 def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
-                  Wp, chunk=40, interpret=False):
+                  Wp, chunk=40, interpret=False, out_dtype=jnp.float32):
     """Gather per-agent windows from a padded channel image.
 
     gfull: [B, Hp, lanes] f32 — padded image (see :func:`padded_geometry`).
@@ -116,6 +117,7 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
                 gfull[b0 : b0 + n_sub], pos[b0 : b0 + n_sub, :N], mask,
                 None if mm_img is None else mm_img[b0 : b0 + n_sub], mm_mask,
                 vh=vh, vw=vw, C=C, Wp=Wp, chunk=chunk, interpret=interpret,
+                out_dtype=out_dtype,
             ))
         return jnp.concatenate(outs, axis=0)
 
@@ -142,7 +144,7 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
             self_add = ((row_ids == sy) & (cell_ids == sx)).astype(
                 jnp.float32) * mmm
             out = out + mm + self_add
-        return out
+        return out.astype(out_dtype)
 
     if minimap:
         def kernel(pos_ref, g_ref, mask_ref, mm_ref, mmm_ref, out_ref):
@@ -200,7 +202,7 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
                 (1, chunk, vh, vwc), lambda b, k, pos: (b, k, 0, 0)
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, vh, vwc), out_dtype),
         interpret=interpret,
     )(*operands)
     return out[:, :N]
@@ -384,10 +386,12 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vh", "vw", "C", "Wp", "chunk", "band_rows", "interpret"),
+    static_argnames=("vh", "vw", "C", "Wp", "chunk", "band_rows", "interpret",
+                     "out_dtype"),
 )
 def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
-                         band_rows=32, interpret=False):
+                         band_rows=32, interpret=False,
+                         out_dtype=jnp.float32):
     """Window gather for images too large for VMEM: the image is processed
     in horizontal bands; agents are sorted by band and each kernel program
     loads only its band's block.
@@ -502,7 +506,7 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
                 ]
                 win = pltpu.roll(win, (rows - (yy - y8)) % rows, 0)
                 win = pltpu.roll(win, (lanes_load - (lane - l128)) % lanes_load, 1)
-                out_ref[0, a] = win[:vh, :vwc] * m
+                out_ref[0, a] = (win[:vh, :vwc] * m).astype(out_dtype)
                 return 0
 
             jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
@@ -524,7 +528,7 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct((B, k_count * chunk, vh, vwc),
-                                           jnp.float32),
+                                           out_dtype),
             interpret=interpret,
         )(pos_part.reshape(-1), band_part.reshape(-1), gbanded, mask)
 
