@@ -121,3 +121,35 @@ def test_subprocess_model_roundtrip(tmp_path):
         model.load(str(tmp_path), 0)
     finally:
         model.quit()
+
+
+def test_bf16_model_dtype():
+    """dtype="bf16" runs the net trunk in bfloat16 (params/heads stay f32;
+    builtin/jax_model/{dqn,drqn,a2c}.py) — infer + train stay finite."""
+    from magent_tpu.builtin.jax_model import DeepQNetwork
+
+    env, handles = _small_battle()
+    models = [
+        cls(env, h, "bf16-%d" % i, dtype="bf16", seed=i, **kw)
+        for i, (h, (cls, kw)) in enumerate(zip(handles, [
+            (DeepQNetwork, dict(batch_size=4, memory_size=256)),
+            (AdvantageActorCritic, dict(batch_size=4)),
+        ]))
+    ]
+    _run_rounds(env, handles, models)
+    # params remain f32 (mixed precision: bf16 compute, f32 master weights)
+    import jax
+    for m in models:
+        assert all(p.dtype == np.float32
+                   for p in jax.tree.leaves(m.params))
+
+
+def test_bf16_drqn_dtype():
+    env, handles = _small_battle()
+    models = [
+        DeepRecurrentQNetwork(env, h, "bf16drqn-%d" % i, dtype="bf16",
+                              batch_size=4, unroll_step=4, memory_size=400,
+                              seed=i)
+        for i, h in enumerate(handles)
+    ]
+    _run_rounds(env, handles, models)

@@ -98,6 +98,13 @@ def test_banded_kernel_matches_xla():
                                   chunk=8, band_rows=16, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
+    out16 = wg.window_gather_banded(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                                    chunk=8, band_rows=16, interpret=True,
+                                    out_dtype=jnp.bfloat16)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out16, np.float32), np.asarray(ref),
+                               atol=0.01)
+
 
 def test_bf16_obs_dtype():
     """obs_dtype=bfloat16 returns bf16 views equal to f32 up to rounding
