@@ -93,6 +93,14 @@ class EpisodeRunner:
         for s in sides:
             if hasattr(s.model, "fetch_action"):
                 hosted_count[id(s.model)] = hosted_count.get(id(s.model), 0) + 1
+            s.pending_sample = False
+
+        def drain_sample(s):
+            # collect a deferred sample ack before the next request's reply
+            # (pipe replies arrive in command order)
+            if s.pending_sample:
+                s.model.check_done()
+                s.pending_sample = False
 
         done = False
         while not done:
@@ -115,6 +123,7 @@ class EpisodeRunner:
                                                   eps)
             for s in sides:
                 if s.acts is None:
+                    drain_sample(s)
                     s.acts = s.model.fetch_action()
                 env.set_action(s.handle, s.acts)
 
@@ -130,6 +139,12 @@ class EpisodeRunner:
                     if s.buffer is not None:
                         s.buffer.record_step(s.ids, s.obs, s.acts, rewards, alive)
                         pending += len(s.ids)
+                    elif hosted_count.get(id(s.model), 0) == 1:
+                        # overlap the worker's replay-buffer bookkeeping
+                        # with the rest of this step (the point of hosting
+                        # the model in a subprocess, model.py)
+                        s.model.sample_step(rewards, alive, block=False)
+                        s.pending_sample = True
                     else:
                         s.model.sample_step(rewards, alive)
                 got = float(np.sum(rewards))
@@ -158,6 +173,9 @@ class EpisodeRunner:
                         self.in_loop_result = s.model.train(s.buffer, 500)
                         s.buffer.reset()
                 pending = 0
+
+        for s in sides:
+            drain_sample(s)
 
         took = time.time() - began
         steps = max(self.step_ct, 1)

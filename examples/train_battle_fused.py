@@ -28,6 +28,7 @@ from magent_tpu.builtin.jax_model.dqn import DQNNet
 from magent_tpu.builtin.jax_model.drqn import DRQNNet
 from magent_tpu.parallel import (VecGridWorld, init_drqn_hiddens,
                                  make_a2c_train_loop, make_dqn_train_loop,
+                                 make_dqn_remat_train_loop,
                                  make_drqn_train_loop, make_mesh,
                                  param_sharding, state_sharding)
 
@@ -36,7 +37,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n_round", type=int, default=200,
                         help="train-step calls (each = rollout_len env steps)")
-    parser.add_argument("--alg", default="dqn", choices=["dqn", "drqn", "a2c"])
+    parser.add_argument("--alg", default="dqn", choices=["dqn", "dqn_remat", "drqn", "a2c"])
     parser.add_argument("--map_size", type=int, default=64)
     parser.add_argument("--agents_per_side", type=int, default=64)
     parser.add_argument("--n_envs", type=int, default=16)
@@ -62,7 +63,8 @@ def main():
     spec = venv.spec
     G = spec.n_groups
 
-    net_cls = {"dqn": DQNNet, "drqn": DRQNNet, "a2c": A2CNet}[args.alg]
+    net_cls = {"dqn": DQNNet, "dqn_remat": DQNNet, "drqn": DRQNNet,
+               "a2c": A2CNet}[args.alg]
     nets = [net_cls(num_actions=spec.groups[g].type.n_action,
                     dtype=dt or jnp.float32)
             for g in range(G)]
@@ -90,6 +92,14 @@ def main():
             target_update=args.target_update,
             rollout_len=args.rollout_len,
             train_minibatch=args.train_minibatch or None)
+    elif args.alg == "dqn_remat":
+        # the headline trainer (RESULTS.md): stores compact states, re-renders
+        # observations inside the loss instead of carrying them in HBM
+        train_loop = make_dqn_remat_train_loop(
+            venv, nets, tx,
+            steps_per_call=args.steps_per_call,
+            target_update=args.target_update,
+            rollout_len=args.rollout_len)
     elif args.alg == "drqn":
         train_loop = make_drqn_train_loop(
             venv, nets, tx,
@@ -124,7 +134,7 @@ def main():
         eps = magent.utility.piecewise_decay(
             k, [0, args.n_round // 3, args.n_round], [1, 0.2, 0.05])
         ck = jax.random.fold_in(step_key, c)
-        if args.alg == "dqn":
+        if args.alg in ("dqn", "dqn_remat"):
             params, target_params, opt_states, env_state, metrics = jitted(
                 params, target_params, opt_states, env_state, ck, eps,
                 jnp.asarray(k))
@@ -153,7 +163,8 @@ def main():
     # checkpoints compatible with the hosted model loaders
     from magent_tpu.builtin.jax_model.base import _flatten_pytree
 
-    subclass = {"dqn": "tfdqn", "drqn": "tfdrqn", "a2c": "tfa2c"}[args.alg]
+    subclass = {"dqn": "tfdqn", "dqn_remat": "tfdqn", "drqn": "tfdrqn",
+                "a2c": "tfa2c"}[args.alg]
     for g, suffix in enumerate(["l", "r"]):
         savedir = os.path.join("save_model", "%s-%s" % (args.name, suffix))
         os.makedirs(savedir, exist_ok=True)

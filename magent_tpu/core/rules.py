@@ -208,11 +208,6 @@ class SingleSubjectRule(_BaseRule):
                 next_reward = next_reward + contrib
             elif sym.is_all():
                 group_reward = group_reward.at[sym.group].add(val * n_trig)
-            elif sym.index >= 0:
-                off, _ = _group_slice(spec, sym.group)
-                next_reward = next_reward.at[off + int(sym.index)].add(
-                    jnp.where(n_trig > 0, val, 0.0)
-                )
             else:
                 raise NotImplementedError("receiver symbol not involved in event")
 
@@ -701,9 +696,14 @@ def _compile_one(spec, on, receivers, values, terminal, sym_index):
             subject = symbols[0]
             obj = None
             shape_ok = len(symbols) == 1
+        # a receiver must be bound by the event (subject/object) or be a
+        # whole group; a fixed-index receiver OUTSIDE the event is rejected
+        # by every exact path (GeneralRule/seq raise; the reference would
+        # dereference an unbound entity, RewardEngine.cc:387) — route it to
+        # GeneralRule so the user gets that clear compile-time error
+        # instead of silently paying once per step
         recv_ok = all(
             r is subject or (obj is not None and r is obj) or r.is_all()
-            or r.index >= 0
             for r in receivers
         )
         # 'all' subjects need group-level logic evaluation (NOT/OR over the

@@ -209,9 +209,16 @@ def _model_worker(conn, buffer_capacity, RLModel, model_args):
             _send_arrays(conn, [np.asarray(acts)])
         elif cmd == "sample":
             rewards, alives = _recv_arrays(conn)
-            buffer.record_step(last["ids"], last["obs"], last["acts"],
-                               rewards, alives)
-            conn.send(("ok", None))
+            if not last:
+                # protocol misuse ('sample' with no 'act' since the last
+                # sample): report it instead of KeyError-ing the worker and
+                # leaving the parent blocked on a dead pipe
+                conn.send(("err", "sample before act"))
+            else:
+                buffer.record_step(last["ids"], last["obs"], last["acts"],
+                                   rewards, alives)
+                last = {}  # a second 'sample' must not re-record this step
+                conn.send(("ok", None))
         elif cmd == "train":
             print_every, extra = payload
             result = model.train(buffer, print_every=print_every, **extra)

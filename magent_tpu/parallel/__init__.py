@@ -19,7 +19,8 @@ are TPU-native instead:
 from .vec_env import VecGridWorld
 from .sharding import make_mesh, state_sharding, param_sharding
 from .train import (make_a2c_train_loop, make_a2c_train_step,
-                    make_dqn_train_loop, make_dqn_train_step,
+                    make_dqn_train_loop, make_dqn_remat_train_loop,
+                    make_dqn_train_step,
                     make_dqn_train_step_remat,
                     make_drqn_train_loop, make_drqn_train_step,
                     init_drqn_hiddens)
@@ -31,6 +32,7 @@ __all__ = [
     "param_sharding",
     "make_dqn_train_step",
     "make_dqn_train_loop",
+    "make_dqn_remat_train_loop",
     "make_dqn_train_step_remat",
     "make_a2c_train_step",
     "make_a2c_train_loop",

@@ -784,7 +784,25 @@ def make_dqn_train_loop(
     step count (drives the target-update phase).
     """
     train_step = make_dqn_train_step(venv, nets, tx, **kwargs)
+    return _scan_q_loop(train_step, steps_per_call, target_update)
 
+
+def make_dqn_remat_train_loop(
+    venv: VecGridWorld,
+    nets,
+    tx: optax.GradientTransformation,
+    steps_per_call: int,
+    target_update: int,
+    **kwargs,
+):
+    """Scanned loop around :func:`make_dqn_train_step_remat` — same
+    in-scan target refresh as :func:`make_dqn_train_loop` (this is the
+    headline fused trainer; see RESULTS.md)."""
+    train_step = make_dqn_train_step_remat(venv, nets, tx, **kwargs)
+    return _scan_q_loop(train_step, steps_per_call, target_update)
+
+
+def _scan_q_loop(train_step, steps_per_call: int, target_update: int):
     def loop(params, target_params, opt_states, env_state, key, eps, step0):
         def body(carry, t):
             params, target_params, opt_states, env_state, key = carry

@@ -27,7 +27,7 @@ from magent_tpu.builtin.jax_model.dqn import DQNNet
 from magent_tpu.builtin.jax_model.drqn import DRQNNet
 from magent_tpu.parallel import (VecGridWorld, init_drqn_hiddens,
                                  make_a2c_train_loop, make_dqn_train_loop,
-                                 make_dqn_train_step_remat,
+                                 make_dqn_remat_train_loop,
                                  make_drqn_train_loop)
 
 N_PER_GROUP = 1000
@@ -71,30 +71,10 @@ def bench_alg(alg: str):
     tgt = jax.tree.map(lambda x: x, params)
 
     if alg == "dqn_remat":
-        train_step = make_dqn_train_step_remat(
-            venv, nets, tx, rollout_len=ROLLOUT,
-            sample_steps=int(os.environ.get("BENCH_SAMPLE_STEPS", "2")))
-
-        def remat_loop(params, target_params, opt_states, env_state, key,
-                       eps, step0):
-            def body(carry, t):
-                params, tgt, opts, env_state, key = carry
-                key, skey = jax.random.split(key)
-                params, opts, env_state, metrics = train_step(
-                    params, tgt, opts, env_state, skey, eps)
-                refresh = (step0 + t + 1) % 40 == 0
-                tgt = jax.tree.map(
-                    lambda a, b: jnp.where(refresh, b, a), tgt, params)
-                return (params, tgt, opts, env_state, key), metrics
-
-            (params, target_params, opt_states, env_state, _), metrics = (
-                jax.lax.scan(
-                    body,
-                    (params, target_params, opt_states, env_state, key),
-                    jnp.arange(STEPS_PER_CALL)))
-            return params, target_params, opt_states, env_state, metrics
-
-        loop = jax.jit(remat_loop)
+        loop = jax.jit(make_dqn_remat_train_loop(
+            venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,
+            rollout_len=ROLLOUT,
+            sample_steps=int(os.environ.get("BENCH_SAMPLE_STEPS", "2"))))
     elif alg == "dqn":
         loop = jax.jit(make_dqn_train_loop(
             venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,

@@ -153,3 +153,29 @@ def test_bf16_drqn_dtype():
         for i, h in enumerate(handles)
     ]
     _run_rounds(env, handles, models)
+
+
+def test_episode_runner_with_subprocess_model():
+    """EpisodeRunner's deferred-ack overlap (non-blocking act + sample
+    against a real pipe-hosted worker, examples/rollout.py) stays in
+    protocol sync over several steps and a train call."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "examples"))
+    from rollout import Side, EpisodeRunner
+    from magent_tpu.builtin.jax_model import DeepQNetwork
+    from magent_tpu.builtin.rule_model import RandomActor
+
+    env, (h0, h1) = _small_battle()
+    hosted = magent.SubprocessModel(
+        env, h0, "runner-subproc", 0, 100, DeepQNetwork,
+        batch_size=4, memory_size=256, target_update=10, train_freq=1)
+    try:
+        sides = [Side(h0, hosted, train=True),
+                 Side(h1, RandomActor(env, h1), observe=False)]
+        runner = EpisodeRunner(env, sides, max_steps=4, print_every=100)
+        runner.sample(eps=1.0)
+        losses, values = runner.train()
+        assert np.isfinite(losses[0]) and np.isfinite(values[0])
+    finally:
+        hosted.quit()

@@ -220,3 +220,21 @@ def test_random_rules_match_sequential(force_general):
         if _one_case(seed, force_general):
             ran += 1
     assert ran > 60, f"only {ran} cases were evaluable"
+
+
+def test_fixed_receiver_outside_event_rejected():
+    """A fixed-index receiver that is not bound by the event has no defined
+    semantics (the reference would dereference an unbound entity pointer,
+    RewardEngine.cc:387): every path must reject it at compile, not route
+    it to a plan that silently pays once per step (rules.py recv_ok)."""
+    gw = magent.gridworld
+    cfg = _base_config()
+    a = AgentSymbol(0, "any")
+    b = AgentSymbol(1, "any")
+    node = EventNode()
+    node.op = OP_ATTACK
+    node.inputs = [a, b]
+    cfg.add_reward_rule(node, receiver=AgentSymbol(1, 0), value=1.0)
+    spec = speclib.compile_spec(cfg, CAPS)
+    with pytest.raises(NotImplementedError, match="receiver"):
+        spec.compiled_rules()
