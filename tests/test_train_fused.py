@@ -170,3 +170,56 @@ def test_dqn_remat_train_step():
     moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                          params[0], tgt[0])
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_drqn_split_unroll_matches_cell():
+    """The fused DRQN loss's split unroll (batched trunk/input projections +
+    carry-only scan, parallel/train.py unroll_q) computes exactly what
+    stepping the stock DRQNNet per frame computes."""
+    spec_shapes = dict(vh=5, vw=5, C=4, F=7)
+    T, N = 4, 6
+    net = DRQNNet(num_actions=9)
+    key = jax.random.PRNGKey(0)
+    views = jax.random.uniform(key, (T, N, spec_shapes["vh"],
+                                     spec_shapes["vw"], spec_shapes["C"]))
+    feats = jax.random.uniform(jax.random.fold_in(key, 1),
+                               (T, N, spec_shapes["F"]))
+    keep = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.8, (T, N, 1))
+    p = net.init(jax.random.fold_in(key, 3),
+                 jnp.zeros((1, net.state_size), jnp.float32),
+                 views[0, :1], feats[0, :1])["params"]
+    h0 = jax.random.normal(jax.random.fold_in(key, 4), (N, net.state_size))
+
+    # reference: step the stock module frame by frame
+    def ref_body(h, xs):
+        v, f, k = xs
+        h2, q = net.apply({"params": p}, h, v, f)
+        return jnp.where(k, h2, 0.0), q
+    _, q_ref = jax.lax.scan(ref_body, h0, (views, feats, keep))
+
+    # split: batched trunk + input projections, carry-only scan, batched heads
+    from magent_tpu.builtin.jax_model.drqn import DRQNTrunk
+    x = DRQNTrunk(dtype=net.dtype).apply(
+        {"params": p["trunk"]},
+        views.reshape((-1,) + views.shape[2:]),
+        feats.reshape((-1,) + feats.shape[2:]))
+    pg = p["gru"]
+    xr, xz, xn = ((x @ pg[k]["kernel"] + pg[k]["bias"]).reshape(
+        T, N, net.state_size) for k in ("ir", "iz", "in"))
+
+    def body(h, xs):
+        xr, xz, xn, k = xs
+        r = jax.nn.sigmoid(xr + h @ pg["hr"]["kernel"])
+        z = jax.nn.sigmoid(xz + h @ pg["hz"]["kernel"])
+        n = jnp.tanh(xn + r * (h @ pg["hn"]["kernel"] + pg["hn"]["bias"]))
+        h2 = (1.0 - z) * n + z * h
+        return jnp.where(k, h2, 0.0), h2
+    _, outs = jax.lax.scan(body, h0, (xr, xz, xn, keep))
+    flat = outs.reshape(-1, net.state_size)
+    value = flat @ p["value"]["kernel"] + p["value"]["bias"]
+    adv = flat @ p["advantage"]["kernel"]
+    q_split = (value + adv - jnp.mean(adv, axis=1, keepdims=True)).reshape(
+        T, N, 9)
+
+    np.testing.assert_allclose(np.asarray(q_split), np.asarray(q_ref),
+                               atol=1e-5)
