@@ -63,6 +63,54 @@ class DRQNNet(nn.Module):
         return new_state, q
 
 
+def split_unroll(net: DRQNNet, params, views, features, h0, keep=None):
+    """Unrolled DRQN evaluation -> q [T, B, n_actions].
+
+    Equivalent to scanning ``net.apply`` over T frames (same param pytree,
+    gate math mirrors flax.linen.GRUCell), but the trunk, the GRU's
+    input-side projections, and the Q heads — everything that does not
+    depend on the carry — run as ONE batched matmul over the whole
+    [T, B] window (MXU-sized, trunk in the net's compute dtype); only the
+    carry-side half of the cell scans over T.
+
+    ``keep`` [T, B, 1] bool optionally zeroes the carry after a frame
+    (death/episode-end resets in the fused trainer); the emitted q for
+    that frame still comes from the pre-reset state.
+    """
+    T, B = views.shape[:2]
+    H = net.state_size
+    x = DRQNTrunk(dtype=net.dtype).apply(
+        {"params": params["trunk"]},
+        views.reshape((-1,) + views.shape[2:]),
+        features.reshape((-1,) + features.shape[2:]),
+    )
+    pg = params["gru"]
+    xr, xz, xn = (
+        (x @ pg[k]["kernel"] + pg[k]["bias"]).reshape(T, B, H)
+        for k in ("ir", "iz", "in")
+    )
+    if keep is None:
+        keep = jnp.ones((T, B, 1), bool)
+
+    def body(h, xs):
+        xr, xz, xn, k = xs
+        r = jax.nn.sigmoid(xr + h @ pg["hr"]["kernel"])
+        z = jax.nn.sigmoid(xz + h @ pg["hz"]["kernel"])
+        n = jnp.tanh(xn + r * (h @ pg["hn"]["kernel"] + pg["hn"]["bias"]))
+        h2 = (1.0 - z) * n + z * h
+        return jnp.where(k, h2, 0.0), h2
+
+    _, outs = jax.lax.scan(body, h0, (xr, xz, xn, keep))
+    flat = outs.reshape(-1, H)
+    if net.use_dueling:
+        value = flat @ params["value"]["kernel"] + params["value"]["bias"]
+        adv = flat @ params["advantage"]["kernel"]
+        q = value + adv - jnp.mean(adv, axis=1, keepdims=True)
+    else:
+        q = flat @ params["value"]["kernel"] + params["value"]["bias"]
+    return q.reshape(T, B, -1)
+
+
 class DeepRecurrentQNetwork(JaxBaseModel):
     def __init__(self, env, handle, name,
                  batch_size=32, unroll_step=8, reward_decay=0.99,
@@ -113,17 +161,11 @@ class DeepRecurrentQNetwork(JaxBaseModel):
             return new_state, jnp.where(explore, rand, best)
 
         def unroll(params, views, features):
-            """views [T, B, ...] -> q [T, B, n_actions], zero initial state."""
+            """views [T, B, ...] -> q [T, B, n_actions], zero initial state
+            (batched-projection split, :func:`split_unroll`)."""
             B = views.shape[1]
             init = jnp.zeros((B, self.state_size), jnp.float32)
-
-            def body(state, vf):
-                v, f = vf
-                state, q = net.apply({"params": params}, state, v, f)
-                return state, q
-
-            _, qs = jax.lax.scan(body, init, (views, features))
-            return qs
+            return split_unroll(net, params, views, features, init)
 
         def train_step(params, opt_state, target_params, views, features,
                        actions, rewards, terminal, mask):

@@ -634,51 +634,22 @@ def make_drqn_train_step(
 
     def unroll_q(g, p, h0, traj):
         """Re-run the GRU over the stored window (resetting at boundaries)
-        -> q [T, B, cap, n_act].
-
-        The trunk, the GRU's input-side projections, and the Q heads do not
-        depend on the carry, so they run as ONE batched matmul over the
-        whole [T, B, cap] window (MXU-sized, trunk in the net's compute
-        dtype); only the carry-side half of the GRU cell scans over T.
-        Gate math mirrors flax.linen.GRUCell exactly (params are the same
-        pytree the stock ``nets[g].apply`` uses)."""
-        from magent_tpu.builtin.jax_model.drqn import DRQNTrunk
+        -> q [T, B, cap, n_act].  Uses the batched-projection split
+        (:func:`magent_tpu.builtin.jax_model.drqn.split_unroll`): only the
+        carry-side half of the GRU cell scans over T."""
+        from magent_tpu.builtin.jax_model.drqn import split_unroll
 
         views, feats = traj["views"][g], traj["feats"][g]
         T = views.shape[0]
-        n_act = spec.groups[g].type.n_action
-        x = DRQNTrunk(dtype=nets[g].dtype).apply(
-            {"params": p["trunk"]},
-            views.reshape((-1,) + views.shape[3:]),
-            feats.reshape((-1,) + feats.shape[3:]),
-        )
-        pg = p["gru"]
-        xr, xz, xn = (
-            (x @ pg[k]["kernel"] + pg[k]["bias"]).reshape(T, -1, H[g])
-            for k in ("ir", "iz", "in")
-        )
         keep_t = (traj["alive"][g] & ~traj["done"][:, :, None]).reshape(
             T, -1, 1)
-
-        def body(h, xs):
-            xr, xz, xn, keep = xs
-            r = jax.nn.sigmoid(xr + h @ pg["hr"]["kernel"])
-            z = jax.nn.sigmoid(xz + h @ pg["hz"]["kernel"])
-            n = jnp.tanh(xn + r * (h @ pg["hn"]["kernel"] + pg["hn"]["bias"]))
-            h2 = (1.0 - z) * n + z * h
-            return jnp.where(keep, h2, 0.0), h2
-
-        _, outs = jax.lax.scan(
-            body, h0.reshape(-1, H[g]), (xr, xz, xn, keep_t))
-
-        flat = outs.reshape(-1, H[g])
-        if nets[g].use_dueling:
-            value = flat @ p["value"]["kernel"] + p["value"]["bias"]
-            adv = flat @ p["advantage"]["kernel"]
-            q = value + adv - jnp.mean(adv, axis=1, keepdims=True)
-        else:
-            q = flat @ p["value"]["kernel"] + p["value"]["bias"]
-        return q.reshape(T, B, caps[g], n_act)
+        q = split_unroll(
+            nets[g], p,
+            views.reshape((T, -1) + views.shape[3:]),
+            feats.reshape((T, -1) + feats.shape[3:]),
+            h0.reshape(-1, H[g]), keep=keep_t,
+        )
+        return q.reshape(T, B, caps[g], -1)
 
     def group_loss(p, tp, g, h0, traj, alive0):
         act = traj["actions"][g]
