@@ -111,10 +111,15 @@ class GridWorld:
 
     def _grow(self, group: int, needed: int):
         """Grow a group's capacity and migrate state (slot indices shift)."""
-        old_spec, old_state = self.spec, self.state
         caps = list(self._caps)
         while caps[group] < needed:
             caps[group] = max(2 * caps[group], 256)
+        self._migrate(caps)
+
+    def _migrate(self, caps):
+        """Recompile the spec with new ``caps`` (possibly with a newly
+        appended group) and migrate the live state into it."""
+        old_spec, old_state = self.spec, self.state
         self._caps = caps
         old_actions = self._actions
         self._build(caps)
@@ -135,11 +140,14 @@ class GridWorld:
             "last_action", "next_reward", "last_reward", "last_op", "op_obj",
         ]
         updates = {f: seg_copy(getattr(new_state, f), getattr(old_state, f)) for f in fields}
+        ng_old = old_spec.n_groups  # new_group appends, so pad per-group arrays
         updates.update(
             cell_wall=old_state.cell_wall,
             cell_food=old_state.cell_food,
-            group_reward=old_state.group_reward,
-            n_in_group=old_state.n_in_group,
+            group_reward=new_state.group_reward.at[:ng_old].set(
+                old_state.group_reward),
+            n_in_group=new_state.n_in_group.at[:ng_old].set(
+                old_state.n_in_group),
             lcg=old_state.lcg,
             key=old_state.key,
             done=old_state.done,
@@ -157,6 +165,20 @@ class GridWorld:
             n_off = self.spec.groups[g].offset
             cap = old_spec.groups[g].cap
             self._actions[n_off : n_off + cap] = old_actions[o_off : o_off + cap]
+
+        # group count or channel layout may have changed: refresh the spaces
+        self.view_space = {
+            h.value: self.spec.view_space(h.value)
+            for h in self.group_handles
+        }
+        self.feature_space = {
+            h.value: (self.spec.feature_size(h.value),)
+            for h in self.group_handles
+        }
+        self.action_space = {
+            h.value: self.spec.action_space(h.value)
+            for h in self.group_handles
+        }
 
     def _rebuild_grid(self, state: State):
         sp = self.spec
@@ -201,9 +223,22 @@ class GridWorld:
 
     # ----------------------------------------------------------------- agents
     def new_group(self, name):
-        raise NotImplementedError(
-            "groups are declared in the Config before construction"
-        )
+        """Create a new (empty) group of the registered agent type ``name``
+        after construction and return its handle (reference:
+        gridworld.py:144-147 / runtime_api.cc gridworld_new_group).
+
+        The observation channel layout depends on the group count, so every
+        group's view space grows by ``channel_scale`` channels — exactly as
+        if the game had been constructed with the extra group declared."""
+        if name not in self._config.agent_type_dict:
+            raise KeyError("unknown agent type %r" % (name,))
+        self._config.add_group(name)
+        handle = Handle(len(self._config.groups) - 1)
+        self.group_handles.append(handle)
+        self._migrate(list(self._caps) + [256])
+        if self._dead_ct is not None:
+            self._dead_ct = np.append(self._dead_ct, 0)
+        return handle
 
     def add_walls(self, method, **kwargs):
         kwargs["dir"] = 0

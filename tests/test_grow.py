@@ -37,3 +37,38 @@ def test_grow_preserves_state():
         env.step()
         env.clear_dead()
     assert env.get_num(h0) + env.get_num(h1) > 0
+
+
+def test_new_group_post_construction():
+    """new_group adds an empty group of a registered type after construction
+    (reference: gridworld.py:144-147): channel layout grows for every group,
+    existing agents survive, and the env keeps stepping."""
+    env = magent.GridWorld("battle", map_size=32, caps=8)
+    h0, h1 = env.get_handles()
+    env.reset()
+    env.add_agents(h0, method="custom", pos=[[4, 4], [6, 6]])
+    env.add_agents(h1, method="custom", pos=[[20, 20]])
+    pos0 = env.get_pos(h0).copy()
+    C_before = env.get_view_space(h0)[-1]
+
+    h2 = env.new_group("small")
+    assert env.get_num(h2) == 0
+    # each group adds channel_scale channels to every view
+    C_after = env.get_view_space(h0)[-1]
+    assert C_after == C_before + env.spec.channel_scale
+    np.testing.assert_array_equal(env.get_pos(h0), pos0)
+
+    env.add_agents(h2, method="custom", pos=[[10, 24], [12, 24]])
+    assert env.get_num(h2) == 2
+
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        for h in (h0, h1, h2):
+            n = env.get_num(h)
+            view, feat = env.get_observation(h)
+            assert view.shape[0] == n and view.shape[-1] == C_after
+            env.set_action(h, rng.randint(
+                0, env.get_action_space(h)[0], n).astype(np.int32))
+        env.step()
+        env.clear_dead()
+    assert env.get_num(h0) + env.get_num(h1) + env.get_num(h2) > 0
