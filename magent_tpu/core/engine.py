@@ -295,7 +295,10 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
 
     next_reward = next_reward + kr_gain
     hp_max = jnp.asarray(spec.s_hp_max)
-    hp = jnp.where(supply_per_slot > 0, jnp.minimum(hp_max, hp + supply_per_slot), hp)
+    # every kill calls add_hp(kill_supply), which clamps to hp_max even for
+    # zero/negative supply (GridWorld.h:185) — gate on the kill, not the sign
+    is_kill_slot = op_new == OP_KILL
+    hp = jnp.where(is_kill_slot, jnp.minimum(hp_max, hp + supply_per_slot), hp)
 
     # dying targets: replace reward with dead_penalty (GridWorld.h:203-208)
     next_reward = jnp.where(died, jnp.asarray(spec.s_dead_penalty), next_reward)
@@ -333,12 +336,24 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
         f_cum = _segment_cumsum(f_eat, f_start)
         flat_food = cell_food.reshape(-1)
         f_avail = _pad_gather(flat_food, jnp.where(f_ok, f_cell, -1), 0.0)
-        amount = jnp.clip(f_avail - (f_cum - f_eat), 0.0, f_eat)
+        # remainder before this eater; the reference destroys food the moment
+        # any eat leaves it below 0.1 (Map.cc:299-303), so a non-first eater
+        # facing a sub-0.1 remainder gets nothing (a first eater may still
+        # consume freshly-dropped food below 0.1)
+        remain = f_avail - (f_cum - f_eat)
+        amount = jnp.where((remain < 0.1) & ~f_start, 0.0,
+                           jnp.clip(remain, 0.0, f_eat))
         gained = jnp.zeros(A).at[forder].add(amount)
-        hp = jnp.where(gained > 0, jnp.minimum(hp_max, hp + gained), hp)
+        # add_hp clamps unconditionally (GridWorld.h:185), even for a 0 eat
+        ate = jnp.zeros(A, bool).at[
+            jnp.where(f_ok, forder, A)].set(True, mode="drop")
+        hp = jnp.where(ate, jnp.minimum(hp_max, hp + gained), hp)
         eaten_tot = jnp.zeros(H * W + 1).at[f_cell].add(amount)[: H * W]
+        n_eaters = jnp.zeros(H * W + 1, jnp.int32).at[f_cell].add(
+            f_ok.astype(jnp.int32))[: H * W]
         flat_food = flat_food - eaten_tot
-        flat_food = jnp.where((flat_food < 0.1) & (eaten_tot > 0), 0.0, flat_food)
+        flat_food = jnp.where((flat_food < 0.1) & (n_eaters > 0), 0.0,
+                              flat_food)
         cell_food = flat_food.reshape(H, W)
 
     return state.replace(
@@ -421,10 +436,16 @@ def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
         tcell = jnp.where(ok, ny * W + nx, 2**30)
         cell = jnp.where(alive, state.y * W + state.x, 2**29)
         cnt, head, occ = ap.move_resolve(tcell, cell)
-        occupied = ok & (occ >= 0)
-        blank = ok & ~occupied
+        # an in-place move (the (0,0) delta is in every move range) always
+        # succeeds: the only occupant of the target is the mover itself, and
+        # any other agent targeting that cell is occupancy-blocked by the
+        # stayer — its claim must not show up as contention here (the grid
+        # path gets this via the blank gate, Map.cc:313-358 via self-skip)
+        stay = ok & (nx == state.x) & (ny == state.y)
+        occupied = ok & ~stay & (occ >= 0)
+        blank = ok & ~stay & ~occupied
         wins = blank & (cnt == 0)
-        success = wins
+        success = wins | stay
         coll_obj = jnp.where(
             blank & ~wins, head, jnp.where(occupied, occ, -1))
         collide = is_move & ~success & in_bounds & (coll_obj >= 0)
@@ -708,11 +729,16 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True):
 
         # done: any group extinct (GridWorld.cc:618-630).  The reference's
         # alive count is size - dead_ct, and absorb-collide deaths never bump
-        # dead_ct (Map.cc:340-353) — a dead agent whose op is COLLIDE can
-        # only have died that way, so it still counts until clear_dead.
+        # dead_ct (Map.cc:340-353) — with per-step op rotation (clear_dead /
+        # VecGridWorld.transition) a dead agent with a COLLIDE op can only
+        # have died that way this step; requiring the collide object to be an
+        # absorber keeps the check exact even over raw step() chains where
+        # ops go stale (an attack victim's stale op_obj is a non-absorber).
         counted_dead = state.dead
         if bool(spec.g_can_absorb.any()):
-            counted_dead = counted_dead & ~(state.last_op == OP_COLLIDE)
+            obj_absorbed = _pad_gather(state.absorbed, state.op_obj, False)
+            counted_dead = counted_dead & ~(
+                (state.last_op == OP_COLLIDE) & obj_absorbed)
         alive = (state.active & ~counted_dead).astype(jnp.int32)
         # per-group counts over static slot ranges (a gidx-indexed
         # scatter-add costs ~0.3ms/step at battle scale; slice sums are free)

@@ -75,7 +75,7 @@ def make_grids(spec: speclib.GameSpec):
     """state -> packed grid [B, Hp, Wp] int32.
 
     Shared across observer groups; geometry is padded for the largest view.
-    Each cell holds ``code << 24 | round(hp / hp_max * 2**24)`` where code is
+    Each cell holds ``code << 24 | round(hp / hp_max * 2**23)`` where code is
     the canonical channel (C = empty sentinel, 0 = wall, 1 = food); the
     quantization error (< 6e-8, clipped at hp/hp_max < 2 for can_absorb's
     doubled hp) is far below the reference's f32 observation noise floor.

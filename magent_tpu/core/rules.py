@@ -78,8 +78,6 @@ def _unary_pred(spec, state, leaf, sym_group):
         # group-level predicate (subject must be 'all'): the group's agents
         # occupy one contiguous row or column (RewardEngine.cc:262-296);
         # broadcast the group verdict to every slot
-        import jax.numpy as jnp
-
         sym = leaf.inputs[0]
         member = (jnp.asarray(spec.group_of_slot) == sym.group) & state.active
         n = jnp.sum(member.astype(jnp.int32))
@@ -111,10 +109,12 @@ def _group_slot_of(spec, idx):
 
 
 class SingleSubjectRule(_BaseRule):
-    """Rules over one subject symbol with at most one inferred object."""
+    """Rules over one 'any' subject symbol with at most one inferred object
+    ('all'/fixed-index subjects route to :class:`GeneralRule`)."""
 
     def __init__(self, spec, on, subject, obj, receivers, values, is_terminal):
         super().__init__(receivers, values, is_terminal)
+        assert subject.is_any(), "compile gate only builds 'any' subjects"
         self.on = on
         self.subject = subject
         self.obj = obj
@@ -159,52 +159,16 @@ class SingleSubjectRule(_BaseRule):
 
         mask = bind & eval_node(self.on)
 
-        if self.subject.is_any():
-            trig_mask = mask
-            n_trig = jnp.sum(trig_mask.astype(jnp.int32))
-        elif self.subject.is_all():
-            # single trigger if every agent of the group satisfies the event;
-            # vacuously true on an empty group for unary events, never
-            # triggered on an empty group when an object must be inferred
-            # (RewardEngine.cc:415-426, 224-234)
-            n_subj = jnp.sum(in_subj.astype(jnp.int32))
-            if obj is not None:
-                # the object binds from the FIRST member's op_obj and every
-                # member must reference THAT object (RewardEngine.cc:224-234)
-                off, _ = _group_slice(spec, sgroup)
-                obj0 = state.op_obj[off]
-                mask = mask & (state.op_obj == obj0)
-            all_true = jnp.sum((mask & in_subj).astype(jnp.int32)) == n_subj
-            if obj is not None:
-                all_true = all_true & (n_subj > 0)
-            trig_mask = jnp.zeros(A, bool)
-            n_trig = all_true.astype(jnp.int32)
-        else:
-            off, cap = _group_slice(spec, sgroup)
-            sel = jnp.zeros(A, bool).at[off + int(self.subject.index)].set(
-                self.subject.index < cap
-            )
-            trig_mask = mask & sel
-            n_trig = jnp.sum(trig_mask.astype(jnp.int32))
+        trig_mask = mask
+        n_trig = jnp.sum(trig_mask.astype(jnp.int32))
 
         for sym, val in zip(self.receivers, self.values):
             if sym is self.subject and not sym.is_all():
-                if self.subject.is_all():
-                    raise NotImplementedError
                 next_reward = next_reward + jnp.where(trig_mask, val, 0.0)
             elif self.obj is not None and sym is self.obj and not sym.is_all():
-                if self.subject.is_all():
-                    # trig_mask is empty for 'all' subjects; the object bound
-                    # from the first member is paid once on trigger
-                    off, _ = _group_slice(spec, sgroup)
-                    obj0 = state.op_obj[off]
-                    contrib = jnp.zeros(A + 1).at[
-                        jnp.where(n_trig > 0, obj0, A)
-                    ].add(val)[:A]
-                else:
-                    contrib = jnp.zeros(A + 1).at[
-                        jnp.where(trig_mask, state.op_obj, A)
-                    ].add(val)[:A]
+                contrib = jnp.zeros(A + 1).at[
+                    jnp.where(trig_mask, state.op_obj, A)
+                ].add(val)[:A]
                 next_reward = next_reward + contrib
             elif sym.is_all():
                 group_reward = group_reward.at[sym.group].add(val * n_trig)

@@ -74,7 +74,7 @@ def padded_geometry(H: int, W: int, C: int, vh: int, vw: int):
     jax.jit,
     static_argnames=("vh", "vw", "C", "Wp", "chunk", "interpret", "out_dtype"),
 )
-def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
+def window_gather(gfull, pos, mask, *, vh, vw, C,
                   Wp, chunk=40, interpret=False, out_dtype=jnp.float32):
     """Gather per-agent windows from a padded channel image.
 
@@ -82,15 +82,11 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
     pos:   [B, N] int32 — packed ``(tl_y * Wp + tl_x) * 1024 + self_cell``
            where tl is the window top-left in padded map cells and
            ``self_cell`` (< 1024) is the agent's pooled minimap cell
-           ``sy * vw + sx`` (0 when minimap is off).
-    mask:  [vh, vw*C] f32 — view-range mask, multiplied into every window.
-    mm_img: optional [B, vh, vw*C] f32 — per-env pooled minimap content,
-           added to every window (the reference copies the group minimaps
-           into their channels for every agent, GridWorld.cc:371-384).
-    mm_mask: with mm_img, [vh, vw*C] f32 — 1.0 on minimap channels; the
-           agent's own pooled cell gets +1 there (the self mark).
+           ``sy * vw + sx`` (0 when minimap is off; unused here — the
+           minimap epilogue runs in XLA for this kernel, observe.py; the
+           fused in-kernel variant is :func:`window_gather4`).
 
-    Returns [B, N, vh, vw*C] f32.
+    Returns [B, N, vh, vw*C].
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -100,97 +96,67 @@ def window_gather(gfull, pos, mask, mm_img=None, mm_mask=None, *, vh, vw, C,
     vwc = vw * C
     rows = _ceil_to(vh + _SUBLANE - 1, _SUBLANE)
     lanes_load = _ceil_to(vwc + _LANE - 1, _LANE)
-    minimap = mm_img is not None
 
     n_pad = _ceil_to(N, chunk)
     if n_pad != N:
         pos = jnp.pad(pos, ((0, 0), (0, n_pad - N)))
 
     # the position table is a scalar-prefetch operand and must fit SMEM
-    # (~1MB); at mega scale split the call over env sub-batches
+    # (~1MB); at mega scale split the call over env sub-batches (or, for a
+    # single huge env, over agent sub-ranges)
     smem_budget = 200_000  # int32 elements (~800KB)
-    if B * n_pad > smem_budget and B > 1:
-        n_sub = max(1, smem_budget // n_pad)
+    if B * n_pad > smem_budget:
         outs = []
-        for b0 in range(0, B, n_sub):
+        if B > 1:
+            n_sub = max(1, smem_budget // n_pad)
+            for b0 in range(0, B, n_sub):
+                outs.append(window_gather(
+                    gfull[b0 : b0 + n_sub], pos[b0 : b0 + n_sub, :N], mask,
+                    vh=vh, vw=vw, C=C, Wp=Wp, chunk=chunk,
+                    interpret=interpret, out_dtype=out_dtype,
+                ))
+            return jnp.concatenate(outs, axis=0)
+        n_sub = max(chunk, (smem_budget // chunk) * chunk)
+        for a0 in range(0, N, n_sub):
             outs.append(window_gather(
-                gfull[b0 : b0 + n_sub], pos[b0 : b0 + n_sub, :N], mask,
-                None if mm_img is None else mm_img[b0 : b0 + n_sub], mm_mask,
+                gfull, pos[:, a0 : a0 + n_sub], mask,
                 vh=vh, vw=vw, C=C, Wp=Wp, chunk=chunk, interpret=interpret,
                 out_dtype=out_dtype,
             ))
-        return jnp.concatenate(outs, axis=0)
+        return jnp.concatenate(outs, axis=1)[:, :N]
 
-    def body_common(pos_ref, g_ref, m, a, base, extra):
-        p = pos_ref[base + a]
-        self_cell = p % 1024
-        p = p // 1024
-        yy = p // Wp
-        lane = (p % Wp) * C
-        y8 = (yy // _SUBLANE) * _SUBLANE
-        l128 = (lane // _LANE) * _LANE
-        win = g_ref[
-            0,
-            pl.ds(pl.multiple_of(y8, _SUBLANE), rows),
-            pl.ds(pl.multiple_of(l128, _LANE), lanes_load),
-        ]
-        win = pltpu.roll(win, (rows - (yy - y8)) % rows, 0)
-        win = pltpu.roll(win, (lanes_load - (lane - l128)) % lanes_load, 1)
-        out = win[:vh, :vwc] * m
-        if extra is not None:
-            mm, mmm, row_ids, cell_ids = extra
-            sy = self_cell // vw
-            sx = self_cell % vw
-            self_add = ((row_ids == sy) & (cell_ids == sx)).astype(
-                jnp.float32) * mmm
-            out = out + mm + self_add
-        return out.astype(out_dtype)
+    def kernel(pos_ref, g_ref, mask_ref, out_ref):
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+        base = b * n_pad + k * chunk
+        m = mask_ref[...]
 
-    if minimap:
-        def kernel(pos_ref, g_ref, mask_ref, mm_ref, mmm_ref, out_ref):
-            b = pl.program_id(0)
-            k = pl.program_id(1)
-            base = b * n_pad + k * chunk
-            m = mask_ref[...]
-            mm = mm_ref[0]
-            mmm = mmm_ref[...]
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 0)
-            cell_ids = jax.lax.broadcasted_iota(jnp.int32, (vh, vwc), 1) // C
+        def body(a, _):
+            p = pos_ref[base + a]
+            p = p // 1024  # drop the (unused) packed minimap self-cell
+            yy = p // Wp
+            lane = (p % Wp) * C
+            y8 = (yy // _SUBLANE) * _SUBLANE
+            l128 = (lane // _LANE) * _LANE
+            win = g_ref[
+                0,
+                pl.ds(pl.multiple_of(y8, _SUBLANE), rows),
+                pl.ds(pl.multiple_of(l128, _LANE), lanes_load),
+            ]
+            win = pltpu.roll(win, (rows - (yy - y8)) % rows, 0)
+            win = pltpu.roll(win, (lanes_load - (lane - l128)) % lanes_load, 1)
+            out_ref[0, a] = (win[:vh, :vwc] * m).astype(out_dtype)
+            return 0
 
-            def body(a, _):
-                out_ref[0, a] = body_common(pos_ref, g_ref, m, a, base,
-                                            (mm, mmm, row_ids, cell_ids))
-                return 0
+        # fully unrolled: the rolled-load body is ~30 vector ops, and the
+        # sequential fori_loop's per-iteration overhead costs ~50% on top
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
 
-            jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
-
-        in_specs = [
-            pl.BlockSpec((1, Hp, lanes), lambda b, k, pos: (b, 0, 0)),
-            pl.BlockSpec((vh, vwc), lambda b, k, pos: (0, 0)),
-            pl.BlockSpec((1, vh, vwc), lambda b, k, pos: (b, 0, 0)),
-            pl.BlockSpec((vh, vwc), lambda b, k, pos: (0, 0)),
-        ]
-        operands = (pos.reshape(-1), gfull, mask, mm_img, mm_mask)
-    else:
-        def kernel(pos_ref, g_ref, mask_ref, out_ref):
-            b = pl.program_id(0)
-            k = pl.program_id(1)
-            base = b * n_pad + k * chunk
-            m = mask_ref[...]
-
-            def body(a, _):
-                out_ref[0, a] = body_common(pos_ref, g_ref, m, a, base, None)
-                return 0
-
-            # fully unrolled: the rolled-load body is ~30 vector ops, and the
-            # sequential fori_loop's per-iteration overhead costs ~50% on top
-            jax.lax.fori_loop(0, chunk, body, 0, unroll=chunk)
-
-        in_specs = [
-            pl.BlockSpec((1, Hp, lanes), lambda b, k, pos: (b, 0, 0)),
-            pl.BlockSpec((vh, vwc), lambda b, k, pos: (0, 0)),
-        ]
-        operands = (pos.reshape(-1), gfull, mask)
+    in_specs = [
+        pl.BlockSpec((1, Hp, lanes), lambda b, k, pos: (b, 0, 0)),
+        pl.BlockSpec((vh, vwc), lambda b, k, pos: (0, 0)),
+    ]
+    operands = (pos.reshape(-1), gfull, mask)
 
     out = pl.pallas_call(
         kernel,
@@ -254,6 +220,23 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
         pos = jnp.pad(pos, ((0, 0), (0, n_pad - N)))
         if act is not None:
             act = jnp.pad(act, ((0, 0), (0, n_pad - N)))
+
+    # three scalar-prefetch operands (word/aux/act) share the ~1MB SMEM
+    # budget; split over env sub-batches when they would not fit
+    # (cf. the same split in :func:`window_gather`)
+    smem_budget = 66_000  # int32 elements per operand (3 * ~264KB)
+    if B * n_pad > smem_budget and B > 1:
+        n_sub = max(1, smem_budget // n_pad)
+        outs = []
+        for b0 in range(0, B, n_sub):
+            outs.append(window_gather4(
+                gfull[b0 : b0 + n_sub], pos[b0 : b0 + n_sub, :N], mask,
+                None if mm_img is None else mm_img[b0 : b0 + n_sub], mm_mask,
+                None if act is None else act[b0 : b0 + n_sub, :N],
+                vh=vh, vw=vw, C=C, Wp=Wp, chunk=chunk, interpret=interpret,
+                out_dtype=out_dtype,
+            ))
+        return jnp.concatenate(outs, axis=0)
 
     # precompute ALL per-agent address math here (vectorized, free) — the
     # kernel's scalar unit pays multi-cycle div/mods per agent otherwise.

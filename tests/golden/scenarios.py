@@ -151,6 +151,35 @@ def food_cfg(gw, map_size):
     return cfg
 
 
+def food_crumb_cfg(gw, map_size):
+    """food_mode with crumb-prone fractional eats (8 - 3.97 - 3.97 = 0.06
+    exercises the destroy-below-0.1 rule, Map.cc:299-303) and a NEGATIVE
+    kill_supply (add_hp clamps unconditionally, GridWorld.h:185)."""
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"food_mode": True})
+    cfg.set({"embedding_size": 8})
+    hunter = cfg.register_agent_type(
+        "hunter",
+        {'width': 1, 'length': 1, 'hp': 40, 'speed': 1,
+         'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(1),
+         'damage': 5, 'step_recover': -0.4, 'eat_ability': 3.97,
+         'food_supply': 7.9, 'kill_supply': 1.5,
+         'step_reward': -0.01, 'kill_reward': 2, 'attack_penalty': -0.1,
+         'attack_in_group': True})
+    prey = cfg.register_agent_type(
+        "prey",
+        {'width': 1, 'length': 1, 'hp': 4, 'speed': 1,
+         'view_range': gw.CircleRange(2), 'attack_range': gw.CircleRange(0),
+         'food_supply': 8, 'kill_supply': -3, 'step_recover': 0.1})
+    g0 = cfg.add_group(hunter)
+    g1 = cfg.add_group(prey)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'kill', b), receiver=a, value=1)
+    return cfg
+
+
 def absorb_cfg(gw, map_size):
     """can_absorb goal markers + colliding agents (the arrange demo flow)"""
     cfg = gw.Config()
@@ -291,6 +320,12 @@ SCENARIOS = {
     "food": dict(
         cfg=food_cfg, map_size=20, steps=50, action_seed=29,
         placements=[_grid(5, 5, 3, 3, 2), _grid(6, 6, 4, 4, 2)],
+    ),
+    # fractional eat crumbs + negative kill_supply (dense pack around prey
+    # so several hunters eat the same corpse in one step)
+    "food_crumb": dict(
+        cfg=food_crumb_cfg, map_size=18, steps=50, action_seed=43,
+        placements=[_grid(4, 4, 4, 4, 2), _grid(5, 5, 3, 3, 2)],
     ),
     # fill placement method (rect tiling, GridWorld.cc:259-284)
     "fill_place": dict(

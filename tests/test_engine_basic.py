@@ -191,3 +191,114 @@ def test_clear_dead_compaction():
     # grid no longer references the dead agent
     grid = np.asarray(env.state.cell_slot)
     assert grid[3, 3] == -1
+
+
+def test_food_crumb_clamp_matches_sequential():
+    """Map.cc:299-303 destroys food the moment an eat leaves it below 0.1;
+    a later same-step eater must get nothing.  8 - 3.97 - 3.97 = 0.06 is a
+    destroyed crumb: the third eater's hp must not gain it (engine.py food
+    phase), bit-matching the sequential reference-order engine."""
+    gw = magent.gridworld
+
+    def make_env(mode):
+        cfg = gw.Config()
+        cfg.set({"map_width": 16, "map_height": 16, "food_mode": True,
+                 "embedding_size": 4})
+        hunter = cfg.register_agent_type(
+            "hunter",
+            {'width': 1, 'length': 1, 'hp': 40, 'speed': 1,
+             'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(1),
+             'damage': 5, 'step_recover': -0.5, 'eat_ability': 3.97,
+             'food_supply': 0, 'kill_supply': 0, 'attack_in_group': True})
+        prey = cfg.register_agent_type(
+            "prey",
+            {'width': 1, 'length': 1, 'hp': 4, 'speed': 1,
+             'view_range': gw.CircleRange(2), 'attack_range': gw.CircleRange(0),
+             'food_supply': 8, 'step_recover': 0})
+        g0 = cfg.add_group(hunter)
+        g1 = cfg.add_group(prey)
+        env = magent.GridWorld(cfg, engine_mode=mode)
+        h0, h1 = env.get_handles()
+        env.add_agents(h0, method="custom", pos=[[4, 5], [5, 4], [6, 5]])
+        env.add_agents(h1, method="custom", pos=[[5, 5]])
+        return env, h0, h1
+
+    results = {}
+    for mode in ("fast", "sequential"):
+        env, h0, h1 = make_env(mode)
+        v2a_base, v2a = env.get_view2attack(h0)
+        cy = cx = v2a.shape[0] // 2
+        at = {d: v2a_base + v2a[cy + d[1], cx + d[0]]
+              for d in [(1, 0), (0, 1), (-1, 0)]}
+        assert all(a >= v2a_base for a in at.values())
+        sdx = np.asarray(env.spec.s_move_dx)
+        sdy = np.asarray(env.spec.s_move_dy)
+        stay_h = int(np.flatnonzero((sdx[0] == 0) & (sdy[0] == 0))[0])
+        p_off = env.spec.groups[1].offset
+        stay_prey = int(np.flatnonzero(
+            (sdx[p_off] == 0) & (sdy[p_off] == 0))[0])
+
+        # step 1: hunter 0 kills the prey (damage 5 > hp 4) -> corpse food 8
+        env.set_action(h0, np.array([at[(1, 0)], stay_h, stay_h], np.int32))
+        env.set_action(h1, np.array([stay_prey], np.int32))
+        env.step()
+        env.clear_dead()
+        # step 2: all three hunters attack the food cell in slot order
+        env.set_action(h0, np.array(
+            [at[(1, 0)], at[(0, 1)], at[(-1, 0)]], np.int32))
+        env.step()
+        results[mode] = (np.asarray(env.state.hp[:3], np.float32).copy(),
+                         np.asarray(env.state.cell_food).sum())
+
+    hp_fast, food_fast = results["fast"]
+    hp_seq, food_seq = results["sequential"]
+    # the engines process same-cell eaters in different (randomized) orders,
+    # so compare order-invariant outcomes: two eaters clamp at hp_max, the
+    # third gets a destroyed crumb (0, NOT 0.06) in both engines
+    np.testing.assert_allclose(np.sort(hp_fast), np.sort(hp_seq), atol=1e-5)
+    assert food_fast == food_seq == 0.0  # the 0.06 crumb is destroyed
+
+
+def test_negative_kill_supply_matches_sequential():
+    """add_hp clamps unconditionally (GridWorld.h:185): a negative
+    kill_supply must REDUCE the killer's hp in the fast engine too."""
+    gw = magent.gridworld
+
+    def make_env(mode):
+        cfg = gw.Config()
+        cfg.set({"map_width": 12, "map_height": 12, "embedding_size": 4})
+        hunter = cfg.register_agent_type(
+            "hunter",
+            {'width': 1, 'length': 1, 'hp': 40, 'speed': 1,
+             'view_range': gw.CircleRange(3), 'attack_range': gw.CircleRange(1),
+             'damage': 5, 'step_recover': 0})
+        prey = cfg.register_agent_type(
+            "prey",
+            {'width': 1, 'length': 1, 'hp': 4, 'speed': 1,
+             'view_range': gw.CircleRange(2), 'attack_range': gw.CircleRange(0),
+             'kill_supply': -3})  # kill_supply is the VICTIM's attribute
+        g0 = cfg.add_group(hunter)
+        g1 = cfg.add_group(prey)
+        env = magent.GridWorld(cfg, engine_mode=mode)
+        h0, h1 = env.get_handles()
+        env.add_agents(h0, method="custom", pos=[[4, 5]])
+        env.add_agents(h1, method="custom", pos=[[5, 5]])
+        return env, h0, h1
+
+    hps = {}
+    for mode in ("fast", "sequential"):
+        env, h0, h1 = make_env(mode)
+        v2a_base, v2a = env.get_view2attack(h0)
+        c = v2a.shape[0] // 2
+        env.set_action(h0, np.array([v2a_base + v2a[c, c + 1]], np.int32))
+        sdx = np.asarray(env.spec.s_move_dx)
+        sdy = np.asarray(env.spec.s_move_dy)
+        p_off = env.spec.groups[1].offset
+        env.set_action(h1, np.array([int(np.flatnonzero(
+            (sdx[p_off] == 0) & (sdy[p_off] == 0))[0])], np.int32))
+        env.step()
+        assert not env.get_alive(h1)[0]
+        hps[mode] = float(env.state.hp[0])
+
+    assert hps["fast"] == pytest.approx(hps["sequential"])
+    assert hps["fast"] == pytest.approx(37.0)  # 40 - 3

@@ -39,3 +39,44 @@ def test_gridless_matches_grid_path():
                 err_msg=name)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_gridless_stay_not_collided_by_blocked_mover():
+    """An in-place (0,0) move always succeeds; a lower-slot agent blocked by
+    the stayer must not register as contention against it (the gridless
+    claim sweep counts blocked movers' target cells, engine.py stay gate)."""
+    import jax.numpy as jnp
+    import magent_tpu as magent
+    from magent_tpu.core import engine
+    from magent_tpu.spec import OP_COLLIDE
+
+    env = magent.GridWorld("battle", map_size=20)
+    h0, _ = env.get_handles()
+    env.reset()
+    # slot 0 at (4,5) will move +x onto slot 1 at (5,5), which stays
+    env.add_agents(h0, method="custom", pos=[[4, 5], [5, 5]])
+    spec, state = env.spec, env.state
+
+    dx = np.asarray(spec.s_move_dx)[0]
+    dy = np.asarray(spec.s_move_dy)[0]
+    stay = int(np.flatnonzero((dx == 0) & (dy == 0))[0])
+    right = int(np.flatnonzero((dx == 1) & (dy == 0))[0])
+    actions = np.zeros(spec.n_agents_cap, np.int32)
+    actions[0], actions[1] = right, stay
+
+    outs = []
+    for maintain in (True, False):
+        step = jax.jit(engine.make_step(spec, maintain_grid=maintain))
+        outs.append(step(state, jnp.asarray(actions)))
+    s_grid, s_free = outs
+
+    for s in (s_grid, s_free):
+        # the stayer keeps its cell with a successful (non-collide) op
+        assert int(s.x[1]) == 5 and int(s.y[1]) == 5
+        assert int(s.last_op[1]) != OP_COLLIDE
+        # the mover is blocked by the stayer
+        assert int(s.x[0]) == 4 and int(s.last_op[0]) == OP_COLLIDE
+        assert int(s.op_obj[0]) == 1
+    for name in ("x", "y", "last_op", "op_obj", "dead"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_grid, name)), np.asarray(getattr(s_free, name)))
