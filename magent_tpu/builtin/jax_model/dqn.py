@@ -132,7 +132,7 @@ class DeepQNetwork(JaxBaseModel):
             q = q_fn(params, view, feature)
             q_a = jnp.take_along_axis(q, action[:, None], axis=1)[:, 0]
             td = jnp.square(target - q_a)
-            return jnp.sum(td * mask) / jnp.sum(mask)
+            return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
         def train_step(params, opt_state, target_params, view, feature, action,
                        next_view, next_feature, rewards, terminal, mask):
@@ -234,6 +234,7 @@ class DeepQNetwork(JaxBaseModel):
         start_time = time.time()
         ct = 0
         mean_target = 0.0
+        losses = []
         for i in range(n_batches):
             index = np.random.choice(self.replay_buf_len - 1, batch_size)
 
@@ -250,7 +251,9 @@ class DeepQNetwork(JaxBaseModel):
             self.params, self.opt_state, loss, mean_target = self._train_step(
                 self.params, self.opt_state, self.target_params, *batch
             )
-            total_loss += float(loss)
+            # keep losses on-device: a float() here costs a ~25-30ms host
+            # round-trip PER BATCH on the tunnel backend (see CLAUDE.md)
+            losses.append(loss)
 
             if ct % self.target_update == 0:
                 self.target_params = jax.tree.map(lambda x: x, self.params)
@@ -259,6 +262,7 @@ class DeepQNetwork(JaxBaseModel):
             ct += 1
             self.train_ct += 1
 
+        total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         total_time = time.time() - start_time
         print("batches: %d,  total time: %.2f,  1k average: %.2f" %
               (ct, total_time, total_time / max(1.0, ct / 1000.0)))

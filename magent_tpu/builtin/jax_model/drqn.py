@@ -286,6 +286,7 @@ class DeepRecurrentQNetwork(JaxBaseModel):
         ms = np.zeros((U, B), np.float32)
 
         total_loss, mean_target, ct = 0.0, 0.0, 0
+        losses, last_tgt = [], 0.0
         start_time = time.time()
         for _ in range(n_batches):
             idx = np.random.choice(len(self.replay_buffer), B, p=weight)
@@ -315,16 +316,20 @@ class DeepRecurrentQNetwork(JaxBaseModel):
                 self.params, self.opt_state, self.target_params,
                 vs, fs, as_, rs, ts, ms,
             )
-            total_loss += float(loss)
-            mean_target = float(tgt)
+            # keep metrics on-device between prints: float() costs a
+            # ~25-30ms host round-trip per batch on the tunnel backend
+            losses.append(loss)
+            last_tgt = tgt
             if ct % self.target_update == 0:
                 self.target_params = jax.tree.map(lambda x: x, self.params)
             if ct % print_every == 0:
                 print("batch %5d, loss %.6f, qvalue %.6f" %
-                      (ct, float(loss), mean_target))
+                      (ct, float(loss), float(tgt)))
             ct += 1
             self.train_ct += 1
 
+        total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+        mean_target = float(last_tgt) if losses else 0.0
         total_time = time.time() - start_time
         print("batches: %d,  total time: %.2f,  1k average: %.2f" %
               (ct, total_time, total_time / max(1.0, ct / 1000.0)))

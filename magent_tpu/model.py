@@ -67,6 +67,7 @@ class ProcessingModel(BaseModel):
         self._pending_train = None
         self._last_obs = None
         self._last_ids = None
+        self._last_acts = None
 
     # ------------------------------------------------------------- inference
     def infer_action(self, raw_obs, ids, policy='e_greedy', eps=0, block=True):
@@ -85,9 +86,12 @@ class ProcessingModel(BaseModel):
 
     # -------------------------------------------------------------- sampling
     def sample_step(self, rewards, alives, block=True):
+        if self._last_acts is None:
+            raise RuntimeError("sample_step before infer_action")
         self.sample_buffer.record_step(
             self._last_ids, self._last_obs, self._last_acts, rewards, alives
         )
+        self._last_acts = None  # a duplicate sample must not re-record
 
     def fetch_sample(self):
         return None

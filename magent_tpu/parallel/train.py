@@ -61,8 +61,12 @@ def make_dqn_train_step(
     """Build ``train_step(params, target_params, opt_states, env_state, key,
     eps) -> (params, opt_states, env_state, metrics)``.
 
-    ``nets``/``params`` are per-group (length ``n_groups``); groups sharing an
-    agent type may share parameters by passing the same pytree.
+    ``nets``/``params`` are per-group (length ``n_groups``) and train
+    INDEPENDENTLY: passing the same pytree for two groups does NOT share a
+    policy — each group applies only its own gradient and the returned
+    copies diverge from the first step (true sharing would need summed
+    per-group gradients; the reference likewise trains one model per
+    group, examples/train_battle.py).
 
     One call: roll ``rollout_len`` steps with e-greedy policies, then take
     one double-DQN gradient step per group on the collected transitions
@@ -87,6 +91,9 @@ def make_dqn_train_step(
         def body(carry, t):
             state, key = carry
             key, akey = jax.random.split(key)
+            # start-of-step liveness: correct across auto-resets, where the
+            # previous step's end-of-step `alive` belongs to the OLD episode
+            alive_in = state.active & ~state.dead
             actions, views, feats = _egreedy_actions(
                 venv, nets, params, state, akey, eps, return_obs=True)
             next_state, rewards, alive, done = venv.transition(state, actions)
@@ -102,6 +109,9 @@ def make_dqn_train_step(
                 alive=tuple(
                     alive[:, offs[g] : offs[g] + caps[g]] for g in range(G)
                 ),
+                alive_in=tuple(
+                    alive_in[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
                 done=done,
             )
             return (next_state, key), out
@@ -111,7 +121,7 @@ def make_dqn_train_step(
         )
         return env_state, traj
 
-    def group_loss_sampled(p, tp, g, traj, alive0, skey):
+    def group_loss_sampled(p, tp, g, traj, skey):
         """Double-DQN TD loss on ``train_minibatch`` sampled transitions."""
         n_act = spec.groups[g].type.n_action
         cap = caps[g]
@@ -123,7 +133,7 @@ def make_dqn_train_step(
         act_fl = traj["actions"][g].reshape(-1)
         rew_fl = traj["rewards"][g].reshape(-1)
         alive = traj["alive"][g]
-        prev_alive = jnp.concatenate([alive0[None], alive[:-1]], axis=0)
+        prev_alive = traj["alive_in"][g]
         done_b = jnp.broadcast_to(
             traj["done"][:, :, None], (T, B, cap)
         )
@@ -164,7 +174,7 @@ def make_dqn_train_step(
         td = jnp.square(jax.lax.stop_gradient(target) - q_t)
         return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
-    def group_loss(p, tp, g, traj, alive0):
+    def group_loss(p, tp, g, traj):
         """Masked double-DQN TD loss for group ``g`` over the rollout."""
         n_act = spec.groups[g].type.n_action
         view = traj["views"][g]  # [T, B, cap, vh, vw, C]
@@ -198,31 +208,27 @@ def make_dqn_train_step(
         target = jnp.where(
             terminal, rew[:-1], rew[:-1] + gamma * jax.lax.stop_gradient(next_v)
         )
-        # only transitions whose state was alive count; the first step's
-        # liveness comes from the carried env state, not a constant
-        prev_alive = jnp.concatenate(
-            [alive0[None], alive[:-2]], axis=0
-        )
-        mask = prev_alive.astype(jnp.float32)
+        # only transitions whose state was alive at the START of the step
+        # count (recorded in-rollout, so it is fresh-episode liveness right
+        # after an auto-reset)
+        mask = traj["alive_in"][g][:-1].astype(jnp.float32)
         td = jnp.square(jax.lax.stop_gradient(target) - q_t)
         return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     def train_step(params, target_params, opt_states, env_state, key, eps):
         key, rkey = jax.random.split(key)
-        alive_in = env_state.active & ~env_state.dead
         env_state, traj = rollout(params, env_state, rkey, eps)
 
         new_params, new_opts, losses = [], [], []
         for g in range(G):
-            alive0 = alive_in[:, offs[g] : offs[g] + caps[g]]
             if train_minibatch is not None:
                 loss, grads = jax.value_and_grad(group_loss_sampled)(
-                    params[g], target_params[g], g, traj, alive0,
+                    params[g], target_params[g], g, traj,
                     jax.random.fold_in(key, 1000 + g),
                 )
             else:
                 loss, grads = jax.value_and_grad(group_loss)(
-                    params[g], target_params[g], g, traj, alive0
+                    params[g], target_params[g], g, traj
                 )
             updates, opt_g = tx.update(grads, opt_states[g], params[g])
             new_params.append(optax.apply_updates(params[g], updates))
@@ -287,6 +293,9 @@ def make_dqn_train_step_remat(
                 actions=actions,
                 rewards=rewards,
                 alive=alive,
+                # start-of-step liveness (fresh-episode-correct across
+                # auto-resets, unlike the previous step's end-of-step alive)
+                alive_in=state.active & ~state.dead,
                 done=done,
             )
             return (next_state, key), out
@@ -342,7 +351,6 @@ def make_dqn_train_step_remat(
 
     def train_step(params, target_params, opt_states, env_state, key, eps):
         key, rkey, skey = jax.random.split(key, 3)
-        alive_in = env_state.active & ~env_state.dead
         template = env_state  # grids/walls for state reconstruction
         env_state, traj = rollout(params, env_state, rkey, eps)
 
@@ -352,9 +360,8 @@ def make_dqn_train_step_remat(
             traj["snap"][f] = jnp.concatenate(
                 [traj["snap"][f],
                  getattr(env_state, f)[None]], axis=0)
-        # prev-step liveness per step (training mask)
-        alive_seq = jnp.concatenate(
-            [alive_in[None], traj["alive"][:-1]], axis=0)
+        # start-of-step liveness per step (training mask)
+        alive_seq = traj["alive_in"]
 
         ts = jax.random.randint(skey, (sample_steps,), 0, rollout_len)
 
@@ -463,6 +470,10 @@ def make_a2c_train_step(
                 alive=tuple(
                     alive[:, offs[g] : offs[g] + caps[g]] for g in range(G)
                 ),
+                alive_in=tuple(
+                    alive_now[:, offs[g] : offs[g] + caps[g]]
+                    for g in range(G)
+                ),
                 done=done,
             )
             return (next_state, key), out
@@ -472,7 +483,7 @@ def make_a2c_train_step(
         )
         return env_state, traj
 
-    def group_loss(p, g, traj, alive0, boot_v):
+    def group_loss(p, g, traj, boot_v):
         """pg + value + entropy loss over the rollout window."""
         view = traj["views"][g]  # [T, B, cap, ...]
         feat = traj["feats"][g]
@@ -482,7 +493,11 @@ def make_a2c_train_step(
         done_b = traj["done"][:, :, None]  # [T, B, 1]
         T = view.shape[0]
 
-        prev_alive = jnp.concatenate([alive0[None], alive[:-1]], axis=0)
+        # the same start-of-step mask the sampling pass used (recorded
+        # in-rollout: fresh-episode-correct across auto-resets, and for
+        # CommNet the loss re-evaluates the policy under the SAME pooling
+        # mask that sampled the action)
+        prev_alive = traj["alive_in"][g]
         terminal = (~alive) | done_b
 
         # backward n-step returns, cut at terminals, bootstrapped from the
@@ -512,7 +527,6 @@ def make_a2c_train_step(
 
     def train_step(params, opt_states, env_state, key):
         key, rkey = jax.random.split(key)
-        alive_in = env_state.active & ~env_state.dead
         env_state, traj = rollout(params, env_state, rkey)
 
         # bootstrap values of the post-rollout state
@@ -527,7 +541,7 @@ def make_a2c_train_step(
                 g, params[g], final_obs[g][0], final_obs[g][1], m_fin)
             boot_v = boot_v * m_fin  # dead agents bootstrap 0
             (loss, mean_v), grads = jax.value_and_grad(group_loss, has_aux=True)(
-                params[g], g, traj, alive_in[:, sl], boot_v
+                params[g], g, traj, boot_v
             )
             updates, opt_g = tx.update(grads, opt_states[g], params[g])
             new_params.append(optax.apply_updates(params[g], updates))
@@ -613,6 +627,7 @@ def make_drqn_train_step(
                 keep = (alive[:, offs[g] : offs[g] + caps[g]]
                         & ~done[:, None])[..., None]
                 kept.append(jnp.where(keep, new_h[g], 0.0))
+            alive_in = state.active & ~state.dead
             out = dict(
                 views=tuple(out_views),
                 feats=tuple(out_feats),
@@ -622,6 +637,9 @@ def make_drqn_train_step(
                 ),
                 alive=tuple(
                     alive[:, offs[g] : offs[g] + caps[g]] for g in range(G)
+                ),
+                alive_in=tuple(
+                    alive_in[:, offs[g] : offs[g] + caps[g]] for g in range(G)
                 ),
                 done=done,
             )
@@ -651,7 +669,7 @@ def make_drqn_train_step(
         )
         return q.reshape(T, B, caps[g], -1)
 
-    def group_loss(p, tp, g, h0, traj, alive0):
+    def group_loss(p, tp, g, h0, traj):
         act = traj["actions"][g]
         rew = traj["rewards"][g]
         alive = traj["alive"][g]
@@ -670,23 +688,21 @@ def make_drqn_train_step(
 
         terminal = (~alive[:-1]) | done_b[:-1]
         target = jnp.where(terminal, rew[:-1], rew[:-1] + gamma * next_v)
-        prev_alive = jnp.concatenate([alive0[None], alive[:-2]], axis=0)
-        mask = prev_alive.astype(jnp.float32)
+        # start-of-step liveness recorded in-rollout (fresh across resets)
+        mask = traj["alive_in"][g][:-1].astype(jnp.float32)
         td = jnp.square(jax.lax.stop_gradient(target) - q_t)
         return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     def train_step(params, target_params, opt_states, env_state, hiddens,
                    key, eps):
         key, rkey = jax.random.split(key)
-        alive_in = env_state.active & ~env_state.dead
         h0 = hiddens
         env_state, hiddens, traj = rollout(params, env_state, hiddens, rkey, eps)
 
         new_params, new_opts, losses = [], [], []
         for g in range(G):
-            sl = slice(offs[g], offs[g] + caps[g])
             loss, grads = jax.value_and_grad(group_loss)(
-                params[g], target_params[g], g, h0[g], traj, alive_in[:, sl]
+                params[g], target_params[g], g, h0[g], traj
             )
             updates, opt_g = tx.update(grads, opt_states[g], params[g])
             new_params.append(optax.apply_updates(params[g], updates))

@@ -89,6 +89,11 @@ def _make_device_reset(spec: speclib.GameSpec, placements=None):
             "device-side random placement supports 1x1 bodies; pass "
             "explicit `placements` for multi-cell agent types"
         )
+        if A > (H - 2) * (W - 2):
+            raise ValueError(
+                "cannot place %d agents on a %dx%d map (%d free interior "
+                "cells): the argsort tail would silently land on walls"
+                % (A, H, W, (H - 2) * (W - 2)))
         free = ~wall.reshape(-1)
 
         def place(key):
@@ -207,11 +212,14 @@ class VecGridWorld:
         alive = stepped.active & ~stepped.dead
         done = stepped.done
 
-        # reward rotation normally done by clear_dead (GridWorld.h:168-174)
+        # reward rotation normally done by clear_dead (GridWorld.h:168-174);
+        # last_reward (the obs feature) is the INDIVIDUAL reward only —
+        # group reward goes into the reported ``rewards``, never the feature
+        # (Agent::init_reward vs GridWorld::get_reward, GridWorld.cc:694-704)
         step_reward = jnp.asarray(spec.s_step_reward)
         A = spec.n_agents_cap
         rotated = stepped.replace(
-            last_reward=rewards,
+            last_reward=stepped.next_reward,
             next_reward=jnp.where(alive, step_reward, 0.0),
             group_reward=jnp.zeros_like(stepped.group_reward),
             last_op=jnp.full((self.n_envs, A), OP_NULL, jnp.int32),

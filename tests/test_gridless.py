@@ -80,3 +80,50 @@ def test_gridless_stay_not_collided_by_blocked_mover():
     for name in ("x", "y", "last_op", "op_obj", "dead"):
         np.testing.assert_array_equal(
             np.asarray(getattr(s_grid, name)), np.asarray(getattr(s_free, name)))
+
+
+def test_lockstep_last_reward_excludes_group_reward():
+    """Agent::init_reward rotates only the INDIVIDUAL reward into
+    last_reward (the obs feature); group reward appears solely in the
+    reported rewards (GridWorld.cc:694-704 vs GridWorld.h:168-174)."""
+    import jax.numpy as jnp
+    import magent_tpu as magent
+
+    gw = magent.gridworld
+    cfg = gw.Config()
+    cfg.set({"map_width": 24, "map_height": 24, "embedding_size": 4})
+    t = gw.Config.register_agent_type(cfg, "t", {
+        'width': 1, 'length': 1, 'hp': 10, 'speed': 1,
+        'view_range': gw.CircleRange(3), 'attack_range': gw.CircleRange(1),
+        'damage': 1, 'step_reward': -0.01})
+    g0 = cfg.add_group(t)
+    g1 = cfg.add_group(t)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    # group-level receiver: every attack pays the WHOLE group 0
+    cfg.add_reward_rule(gw.Event(a, 'attack', b),
+                        receiver=gw.AgentSymbol(g0, index='all'), value=0.5)
+
+    venv = VecGridWorld(cfg, [12, 12], n_envs=2)
+    state = jax.jit(venv.reset)(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    saw_group_reward = False
+    for _ in range(12):
+        key, akey = jax.random.split(key)
+        acts = venv.random_actions(akey)
+        stepped = venv.step(state, acts)
+        nxt, rewards, alive, done = venv.transition(state, acts)
+        if not bool(np.any(done)):
+            np.testing.assert_allclose(
+                np.asarray(nxt.last_reward), np.asarray(stepped.next_reward),
+                atol=1e-6)
+        if np.any(np.asarray(stepped.group_reward) != 0):
+            saw_group_reward = True
+            # the reported reward carries each slot's own group's reward
+            gof = np.asarray(venv.spec.group_of_slot)
+            gr = np.asarray(stepped.group_reward)[:, gof]
+            np.testing.assert_allclose(
+                np.asarray(rewards),
+                np.asarray(stepped.next_reward) + gr, atol=1e-6)
+        state = nxt
+    assert saw_group_reward, "scenario never fired the group rule"
