@@ -423,6 +423,13 @@ class SequentialEngine:
                     if sym.is_all():
                         S["group_reward"][sym.group] = (
                             f32(S["group_reward"][sym.group]) + f32(value))
+                    elif sym not in binding:
+                        # the reference would dereference an unbound entity
+                        # pointer here (RewardEngine.cc:387); fail loudly and
+                        # consistently with the fast compiler's rejection
+                        raise NotImplementedError(
+                            "receiver symbol not involved in the "
+                            "triggering event")
                     else:
                         S["next_reward"][binding[sym]] = (
                             f32(S["next_reward"][binding[sym]]) + f32(value))

@@ -275,15 +275,27 @@ class DiscreteSnake:
                 jnp.where(alive, nhx, st.body_x[rows, new_head_idx]))
             body_y = st.body_y.at[rows, new_head_idx].set(
                 jnp.where(alive, nhy, st.body_y[rows, new_head_idx]))
+            # a full ring (length == L) overwrites its own tail slot: that is
+            # a FORCED tail pop (the reference's deque is unbounded; here the
+            # lost tail cell must leave the grid or it haunts it forever)
+            forced = alive & (st.length >= L)
             length = jnp.where(alive, jnp.minimum(st.length + 1, L), st.length)
 
-            # pop tail while too long (DiscreteSnake.cc:199-201)
+            # pop tail while too long (DiscreteSnake.cc:199-201).  The
+            # post-push tail is element length-1, ring new_head-(length-1);
+            # a FORCED pop removes the old tail whose ring slot the push
+            # just overwrote (= new_head_idx), so its coords must come from
+            # the PRE-push ring (st) — which is also identical to the
+            # post-push ring at the normal tail slot for length >= 2
             want = jnp.floor(st.total_reward + 1 + init_len - eps).astype(jnp.int32)
             pop = alive & (want < length)
-            tail_idx = (new_head_idx - length + L) % L
+            tail_idx = jnp.where(
+                forced, new_head_idx, (new_head_idx - (length - 1) + L) % L)
             st2 = st.replace(body_x=body_x, body_y=body_y)
-            tx, ty = gather_body(st2, tail_idx)
-            cell_ct = st.cell_ct.at[jnp.where(pop, ty, H), jnp.where(pop, tx, W)].add(
+            tx, ty = gather_body(st, tail_idx)
+            do_pop = pop | forced
+            cell_ct = st.cell_ct.at[
+                jnp.where(do_pop, ty, H), jnp.where(do_pop, tx, W)].add(
                 -1, mode="drop")
             length = jnp.where(pop, length - 1, length)
             # owner cleared where count hits zero is recomputed below
@@ -296,9 +308,9 @@ class DiscreteSnake:
             double_head = alive & (head_cnt[head_cell] > 1)
             hit_wall = alive & st.cell_wall[nhy, nhx]
             owner_at = st.cell_owner[nhy, nhx]
-            # cells vacated by tail pops this step still count as occupied
-            # in the reference (tails pop before heads check, in agent order;
-            # we use the pre-pop owner for simultaneous semantics)
+            # cells vacated by tail pops this step do NOT count as occupied
+            # (the reference pops every tail before any head check,
+            # DiscreteSnake.cc:183-206) — hence the post-pop cell_ct here
             occupied = (owner_at >= 0) & (cell_ct[nhy, nhx] > 0)
             hit_other = alive & occupied & (owner_at != rows)
             food_val = st.cell_food[nhy, nhx]
@@ -326,13 +338,16 @@ class DiscreteSnake:
             corpse_budget = jnp.where(dead_now, length - init_len, 0)
             for i in range(L):
                 ring = (new_head_idx - i + L) % L
-                in_body = dead_now & (i < length)
+                # i=0 is the just-pushed head, which a dead snake never put
+                # on the grid — removing it would corrupt whatever occupies
+                # that cell (another snake's body, a wall, a blank)
+                in_body = dead_now & (i >= 1) & (i < length)
                 cx, cy = gather_body(st2, ring)
                 cxi = jnp.where(in_body, cx, W)
                 cyi = jnp.where(in_body, cy, H)
                 cell_ct = cell_ct.at[cyi, cxi].add(-1, mode="drop")
                 cell_owner = cell_owner.at[cyi, cxi].set(-1, mode="drop")
-                drop = in_body & (i >= 1) & (i <= corpse_budget)
+                drop = in_body & (i <= corpse_budget)  # in_body already skips the head
                 cell_food = cell_food.at[
                     jnp.where(drop, cy, H), jnp.where(drop, cx, W)
                 ].set(corpse_value, mode="drop")
@@ -350,12 +365,19 @@ class DiscreteSnake:
             n_food = jnp.sum((cell_food > 0).astype(jnp.int32))
             need = jnp.clip(total_resource - added_length - n_food, 0, 1024)
             key, sub = jax.random.split(st.key)
-            cand = jax.random.randint(sub, (1024, 2), 0, max(H, W))
-            cx = jnp.clip(cand[:, 0], 0, W - 1)
-            cy = jnp.clip(cand[:, 1], 0, H - 1)
+            k1, k2 = jax.random.split(sub)
+            cx = jax.random.randint(k1, (1024,), 0, W)
+            cy = jax.random.randint(k2, (1024,), 0, H)
             blank = (~st.cell_wall[cy, cx]) & (cell_ct[cy, cx] == 0) & (
                 cell_food[cy, cx] <= 0)
-            take = blank & (jnp.cumsum(blank.astype(jnp.int32)) <= need)
+            # count each cell once: two candidates on the same blank cell
+            # spawn ONE food but would decrement `need` twice otherwise
+            cells = cy * W + cx
+            order = jnp.arange(1024)
+            first = jnp.full(H * W + 1, 1 << 30, jnp.int32).at[
+                jnp.where(blank, cells, H * W)].min(order.astype(jnp.int32))
+            uniq = blank & (first[cells] == order)
+            take = uniq & (jnp.cumsum(uniq.astype(jnp.int32)) <= need)
             cell_food = cell_food.at[
                 jnp.where(take, cy, H), jnp.where(take, cx, W)
             ].set(corpse_value, mode="drop")

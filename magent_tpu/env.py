@@ -69,6 +69,7 @@ class GridWorld:
         self._render_gen = None
         self._first_render = True
         self._attack_events = np.zeros((0, 3), np.int32)
+        self._pre_step_dead = None
 
         self._build(self._caps)
         self.state = init_state(self.spec)
@@ -430,6 +431,9 @@ class GridWorld:
         self._actions[off : off + n] = actions[:n]
 
     def step(self):
+        # pre-step liveness snapshot: attack_events must not emit for agents
+        # that were already dead BEFORE this step (render/generator.py)
+        self._pre_step_dead = np.asarray(self.state.dead).copy()
         if self._engine_mode == "sequential":
             return self._step_sequential()
         self.state = self._step_fn(self.state, jnp.asarray(self._actions))

@@ -37,6 +37,7 @@ def attack_events(env):
     (reference: GridWorld.cc:475-490 records the event before checking the
     target).  Pure read of env state; also used by env.get_both_attack."""
     from ..core import geometry as geo
+    from .. import spec as speclib
 
     spec = env.spec
     events = []
@@ -48,12 +49,26 @@ def attack_events(env):
     ids = np.asarray(st.id)
     active = np.asarray(st.active)
     dead = np.asarray(st.dead)
+    last_op = np.asarray(st.last_op)
+    pre_dead = getattr(env, "_pre_step_dead", None)
+    if pre_dead is None or len(pre_dead) != len(dead):
+        pre_dead = dead  # no snapshot (e.g. render before any step)
     for g in spec.groups:
         t = g.type
         sl = slice(g.offset, g.offset + g.cap)
         act = actions[sl]
+        # the reference emits the event for every attacker alive AT ITS TURN
+        # in the (shuffled) attack phase, even one killed later that step
+        # (GridWorld.cc:476-486).  Pre-step liveness excludes agents that
+        # died in EARLIER steps (whose sticky ops would otherwise emit
+        # phantoms in raw step() chains); for an attacker that died THIS
+        # step, its op showing it acted is the best post-step signal (only
+        # a mid-phase-killed blank-attacker is unknowable).
+        acted = (last_op[sl] == speclib.OP_ATTACK) | (
+            last_op[sl] == speclib.OP_KILL)
         is_attack = (
-            active[sl] & ~dead[sl] & (act >= t.attack_base) & (act < t.n_action)
+            active[sl] & ~pre_dead[sl] & (~dead[sl] | acted)
+            & (act >= t.attack_base) & (act < t.n_action)
         )
         if not is_attack.any():
             continue

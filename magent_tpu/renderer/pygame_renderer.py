@@ -40,6 +40,7 @@ class PyGameRenderer(BaseRenderer):
         frame_id = 0
         running = True
         paused = False
+        last_data = None
         while running:
             width, height = screen.get_size()
             x_range = (int(origin_x), int(origin_x + width / cell) + 1)
@@ -102,11 +103,20 @@ class PyGameRenderer(BaseRenderer):
                     running = False
                 continue
 
-            data = server.get_data(frame_id, x_range, y_range)
-            if data is None:
-                frame_id += 1
+            # only advance the env while running: the live servers STEP the
+            # game inside get_data, so calling it while paused or during a
+            # status=False hold would silently play on behind a frozen UI
+            if status is True and not paused:
+                data = server.get_data(frame_id, x_range, y_range)
+                if data is None:
+                    frame_id += 1
+                    continue
+                last_data = data
+            if last_data is None:  # nothing fetched yet (e.g. pre-game hold)
+                pygame.display.flip()
+                clock.tick(fps)
                 continue
-            pos, events = data
+            pos, events = last_data
 
             # map border + walls
             import pygame.draw as draw

@@ -97,6 +97,19 @@ class ArrangeServer(BaseServer):
 
         self.env = env
         self.goal_handle = goal_handle
+        # goals must STAY PUT: action 0 is the (0,-1) north move in the
+        # row-major move numbering, which would drift the glyph pixels up
+        # every step (the reference never sets goal actions; this engine
+        # consumes last_action for every active agent).  Computed once; the
+        # zero-padded tail of the move tables must not be mistaken for a
+        # (0,0) move, so the index is checked against turn_base.
+        off = env.spec.groups[goal_handle.value].offset
+        sdx = np.asarray(env.spec.s_move_dx)[off]
+        sdy = np.asarray(env.spec.s_move_dy)[off]
+        stay = int(np.flatnonzero((sdx == 0) & (sdy == 0))[0])
+        assert stay < int(np.asarray(env.spec.s_turn_base)[off]), \
+            "goal type's move range has no true (0,0) stay"
+        self._goal_stay = stay
         self.agent_handle = agent_handle
         self.model = model
         self.eps = eps
@@ -114,8 +127,8 @@ class ArrangeServer(BaseServer):
         ids = env.get_agent_id(self.agent_handle)
         acts = self.model.infer_action(obs, ids, "e_greedy", eps=self.eps)
         env.set_action(self.agent_handle, acts)
-        env.set_action(self.goal_handle, np.zeros(
-            env.get_num(self.goal_handle), np.int32))
+        env.set_action(self.goal_handle, np.full(
+            env.get_num(self.goal_handle), self._goal_stay, np.int32))
         done = env.step()
         env.clear_dead()
         return done

@@ -3,6 +3,7 @@ sampling, logging (reference: python/magent/utility.py)."""
 
 from __future__ import annotations
 
+import bisect
 import collections
 import logging
 import math
@@ -31,8 +32,11 @@ class EpisodesBufferEntry:
 
 
 class EpisodesBuffer:
-    """Episode store keyed by agent id, one entry per agent
-    (reference: utility.py:33-75)."""
+    """Episode store keyed by agent id, one entry per agent (same contract
+    as the reference's EpisodesBuffer, reference: utility.py:33-75: at most
+    ``capacity`` distinct episodes; once full, only already-tracked agents
+    keep recording; admission order is randomized so the kept subset is an
+    unbiased sample of the population)."""
 
     def __init__(self, capacity):
         self.buffer = {}
@@ -40,27 +44,18 @@ class EpisodesBuffer:
         self.is_full = False
 
     def record_step(self, ids, obs, acts, rewards, alives):
-        buffer = self.buffer
-        index = np.random.permutation(len(ids))
-
-        if self.is_full:
-            for i in range(len(ids)):
-                entry = buffer.get(ids[i])
-                if entry is None:
+        views, feats = obs
+        order = (range(len(ids)) if self.is_full
+                 else np.random.permutation(len(ids)))
+        for k in order:
+            entry = self.buffer.get(ids[k])
+            if entry is None:
+                if self.is_full:
                     continue
-                entry.append(obs[0][i], obs[1][i], acts[i], rewards[i], alives[i])
-        else:
-            for i in range(len(ids)):
-                i = index[i]
-                entry = buffer.get(ids[i])
-                if entry is None:
-                    if self.is_full:
-                        continue
-                    entry = EpisodesBufferEntry()
-                    buffer[ids[i]] = entry
-                    if len(buffer) >= self.capacity:
-                        self.is_full = True
-                entry.append(obs[0][i], obs[1][i], acts[i], rewards[i], alives[i])
+                entry = EpisodesBufferEntry()
+                self.buffer[ids[k]] = entry
+                self.is_full = len(self.buffer) >= self.capacity
+            entry.append(views[k], feats[k], acts[k], rewards[k], alives[k])
 
     def reset(self):
         self.buffer = {}
@@ -72,27 +67,30 @@ class EpisodesBuffer:
 
 # ---------------------------------------------------------------- schedulers
 def exponential_decay(now_step, total_step, final_value, rate):
-    """exponential decay scheduler (reference: utility.py:79-82)"""
-    decay = math.exp(math.log(final_value) / total_step ** rate)
-    return max(final_value, 1 * decay ** (now_step ** rate))
+    """1.0 -> ``final_value`` along ``exp(k * step^rate)``, floored at
+    final_value (same curve as the reference scheduler, utility.py:79-82)."""
+    frac = (now_step ** rate) / (total_step ** rate)
+    return max(final_value, math.exp(math.log(final_value) * frac))
 
 
 def linear_decay(now_step, total_step, final_value):
-    """linear decay scheduler (reference: utility.py:85-88)"""
-    decay = (1 - final_value) / total_step
-    return max(final_value, 1 - decay * now_step)
+    """1.0 -> ``final_value`` linearly over ``total_step`` steps, floored
+    (reference curve: utility.py:85-88)."""
+    return max(final_value,
+               1.0 - now_step * (1.0 - final_value) / total_step)
 
 
 def piecewise_decay(now_step, anchor, anchor_value):
-    """piecewise linear decay scheduler (reference: utility.py:91-111)"""
-    i = 0
-    while i < len(anchor) and now_step >= anchor[i]:
-        i += 1
-    if i == len(anchor):
+    """Piecewise-linear interpolation through ``(anchor, anchor_value)``
+    knots, clamped at both ends (reference curve: utility.py:91-111)."""
+    if now_step >= anchor[-1]:
         return anchor_value[-1]
-    return anchor_value[i - 1] + (now_step - anchor[i - 1]) * (
-        (anchor_value[i] - anchor_value[i - 1]) / (anchor[i] - anchor[i - 1])
-    )
+    i = bisect.bisect_right(anchor, now_step)
+    if i == 0:
+        return anchor_value[0]
+    x0, x1 = anchor[i - 1], anchor[i]
+    y0, y1 = anchor_value[i - 1], anchor_value[i]
+    return y0 + (now_step - x0) * (y1 - y0) / (x1 - x0)
 
 
 # ---------------------------------------------------------- eval observations

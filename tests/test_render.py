@@ -65,3 +65,41 @@ def test_render_next_file_on_reset(tmp_path):
     env.render()
     assert os.path.exists(tmp_path / "video_0.txt")
     assert os.path.exists(tmp_path / "video_1.txt")
+
+
+def test_no_phantom_attack_events_for_long_dead_agents():
+    """An agent that died in an EARLIER step must not emit attack events
+    from its sticky last_op when the env is stepped without clear_dead
+    (render/generator.py pre-step snapshot)."""
+    import numpy as np
+    import magent_tpu as magent
+    from magent_tpu.render.generator import attack_events
+
+    env = magent.GridWorld("battle", map_size=16)
+    h0, h1 = env.get_handles()
+    env.reset()
+    env.add_agents(h0, method="custom", pos=[[3, 3]])
+    env.add_agents(h1, method="custom", pos=[[4, 3]])
+    b0, v2a0 = env.get_view2attack(h0)
+    c = v2a0.shape[0] // 2
+    right = int(b0 + v2a0[c, c + 1])
+    stay = 6  # center of the 13-move diamond
+
+    dead_seen = False
+    for _ in range(30):
+        env.set_action(h0, np.array([right], np.int32))
+        env.set_action(h1, np.array([stay], np.int32))
+        env.step()
+        alive0, alive1 = env.get_alive(h0), env.get_alive(h1)
+        if not (alive0.all() and alive1.all()):
+            dead_seen = True
+            break
+        env.clear_dead()
+    assert dead_seen
+
+    # two further steps WITHOUT clear_dead: the dead agent's sticky op must
+    # not re-emit its event; the survivor keeps emitting
+    for _ in range(2):
+        env.step()
+        ev_ids = [e[0] for e in attack_events(env)]
+        assert len(ev_ids) == 1, ev_ids

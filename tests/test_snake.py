@@ -7,14 +7,14 @@ from magent_tpu.discrete_snake import (ACT_LEFT, ACT_NOOP, ACT_RIGHT,
                                        ACT_UP, Config, DiscreteSnake)
 
 
-def make_env(**over):
+def make_env(max_length=16, **over):
     cfg = Config()
     conf = dict(map_width=24, map_height=24, view_width=7, view_height=7,
                 max_dead_penalty=-10, corpse_value=1, total_resource=30,
                 embedding_size=8, seed=3)
     conf.update(over)
     cfg.set(conf)
-    return DiscreteSnake(cfg, caps=16, max_length=16)
+    return DiscreteSnake(cfg, caps=16, max_length=max_length)
 
 def test_snake_basic_episode():
     env = make_env()
@@ -117,3 +117,79 @@ def test_snake_render_dump(tmp_path):
     assert len(body) == n0
     groups = {int(l.split()[-1]) for l in body}
     assert groups <= {0, 1, 2} and 0 in groups  # heads present
+
+
+def test_snake_grid_invariants_under_collisions():
+    """cell_ct stays non-negative and equals the live snakes' body footprint
+    after deaths (a dead snake's never-placed new head must not be removed
+    from the grid, discrete_snake.py dead-body loop; the full-ring overwrite
+    forces a tail pop)."""
+    env = make_env(map_width=14, map_height=14, total_resource=60, seed=11)
+    env.reset()
+    env.add_food(method="random", n=30)
+    env.add_agent(method="random", n=10)
+    rng = np.random.RandomState(1)
+
+    for step in range(60):
+        n = env.get_num()
+        if n == 0:
+            break
+        env.set_action(0, rng.randint(0, 4, n).astype(np.int32))
+        env.step()
+        st = env.state
+        ct = np.asarray(st.cell_ct)
+        assert (ct >= 0).all(), f"negative cell_ct at step {step}"
+        # recompute the live body footprint from the rings
+        expect = np.zeros_like(ct)
+        bx, by = np.asarray(st.body_x), np.asarray(st.body_y)
+        head, length = np.asarray(st.head), np.asarray(st.length)
+        alive = np.asarray(st.alive & st.active)
+        L = bx.shape[1]
+        for s_ in range(bx.shape[0]):
+            if not alive[s_]:
+                continue
+            for i in range(int(length[s_])):
+                ring = (int(head[s_]) - i) % L
+                expect[by[s_, ring], bx[s_, ring]] += 1
+        np.testing.assert_array_equal(ct, expect,
+                                      err_msg=f"step {step}")
+        env.clear_dead()
+
+
+def test_snake_full_ring_forced_pop():
+    """With max_length=4 the ring fills almost immediately: the push then
+    overwrites the tail slot, which must count as a forced tail pop (the
+    lost cell leaves the grid) or phantom occupied cells accumulate."""
+    env = make_env(max_length=4, map_width=16, map_height=16,
+                   total_resource=100, corpse_value=3, seed=5)
+    env.reset()
+    env.add_food(method="random", n=60)
+    env.add_agent(method="random", n=4)
+    rng = np.random.RandomState(2)
+
+    hit_cap = False
+    for step in range(50):
+        n = env.get_num()
+        if n == 0:
+            break
+        env.set_action(0, rng.randint(0, 4, n).astype(np.int32))
+        env.step()
+        st = env.state
+        ct = np.asarray(st.cell_ct)
+        length = np.asarray(st.length)
+        alive = np.asarray(st.alive & st.active)
+        hit_cap |= bool((length[alive] >= 4).any()) if alive.any() else False
+        assert (ct >= 0).all(), f"negative cell_ct at step {step}"
+        expect = np.zeros_like(ct)
+        bx, by = np.asarray(st.body_x), np.asarray(st.body_y)
+        head = np.asarray(st.head)
+        L = bx.shape[1]
+        for s_ in range(bx.shape[0]):
+            if not alive[s_]:
+                continue
+            for i in range(int(length[s_])):
+                ring = (int(head[s_]) - i) % L
+                expect[by[s_, ring], bx[s_, ring]] += 1
+        np.testing.assert_array_equal(ct, expect, err_msg=f"step {step}")
+        env.clear_dead()
+    assert hit_cap, "no snake ever reached the ring capacity"
