@@ -32,63 +32,54 @@ class EventNode:
     OP_IN_A_LINE = 9
     OP_ALIGN = 10
 
-    def __init__(self):
-        self.op = None
-        self.predicate = None
-        self.inputs = []
+    # predicate name -> (op code, argument shape)
+    _PREDICATES = {
+        "kill": (OP_KILL, "object"),
+        "attack": (OP_ATTACK, "object"),
+        "collide": (OP_COLLIDE, "object"),
+        "at": (OP_AT, "point"),
+        "in": (OP_IN, "rect"),
+        "die": (OP_DIE, "none"),
+        "in_a_line": (OP_IN_A_LINE, "none"),
+        "align": (OP_ALIGN, "none"),
+    }
+
+    def __init__(self, op=None, inputs=(), predicate=None):
+        self.op = op
+        self.predicate = predicate
+        self.inputs = list(inputs)
 
     def __call__(self, subject, predicate, *args):
-        node = EventNode()
-        node.predicate = predicate
-        if predicate == 'kill':
-            node.op = EventNode.OP_KILL
-            node.inputs = [subject, args[0]]
-        elif predicate == 'at':
-            node.op = EventNode.OP_AT
-            coor = args[0]
-            node.inputs = [subject, coor[0], coor[1]]
-        elif predicate == 'in':
-            node.op = EventNode.OP_IN
-            coor = args[0]
-            x1, y1 = min(coor[0][0], coor[1][0]), min(coor[0][1], coor[1][1])
-            x2, y2 = max(coor[0][0], coor[1][0]), max(coor[0][1], coor[1][1])
-            node.inputs = [subject, x1, y1, x2, y2]
-        elif predicate == 'attack':
-            node.op = EventNode.OP_ATTACK
-            node.inputs = [subject, args[0]]
-        elif predicate == 'collide':
-            node.op = EventNode.OP_COLLIDE
-            node.inputs = [subject, args[0]]
-        elif predicate == 'die':
-            node.op = EventNode.OP_DIE
-            node.inputs = [subject]
-        elif predicate == 'in_a_line':
-            node.op = EventNode.OP_IN_A_LINE
-            node.inputs = [subject]
-        elif predicate == 'align':
-            node.op = EventNode.OP_ALIGN
-            node.inputs = [subject]
+        """Build a leaf event: ``Event(sym, 'attack', other)``,
+        ``Event(sym, 'at', (x, y))``, ``Event(sym, 'in', ((x1,y1),(x2,y2)))``,
+        ``Event(sym, 'die')``, ..."""
+        try:
+            op, shape = self._PREDICATES[predicate]
+        except KeyError:
+            raise ValueError(
+                "unknown event predicate %r (one of %s)"
+                % (predicate, sorted(self._PREDICATES)))
+        if shape == "object":
+            inputs = [subject, args[0]]
+        elif shape == "point":
+            x, y = args[0]
+            inputs = [subject, x, y]
+        elif shape == "rect":
+            (xa, ya), (xb, yb) = args[0]
+            inputs = [subject,
+                      min(xa, xb), min(ya, yb), max(xa, xb), max(ya, yb)]
         else:
-            raise Exception("invalid predicate of event " + predicate)
-        return node
+            inputs = [subject]
+        return EventNode(op, inputs, predicate)
 
     def __and__(self, other):
-        node = EventNode()
-        node.op = EventNode.OP_AND
-        node.inputs = [self, other]
-        return node
+        return EventNode(EventNode.OP_AND, [self, other])
 
     def __or__(self, other):
-        node = EventNode()
-        node.op = EventNode.OP_OR
-        node.inputs = [self, other]
-        return node
+        return EventNode(EventNode.OP_OR, [self, other])
 
     def __invert__(self):
-        node = EventNode()
-        node.op = EventNode.OP_NOT
-        node.inputs = [self]
-        return node
+        return EventNode(EventNode.OP_NOT, [self])
 
 
 Event = EventNode()
@@ -101,12 +92,12 @@ class AgentSymbol:
     (reference: python/magent/gridworld.py:654-675).
     """
 
+    _SENTINELS = {"any": -1, "all": -2}
+
     def __init__(self, group, index):
-        self.group = group if group is not None else -1
-        if index == 'any':
-            self.index = -1
-        elif index == 'all':
-            self.index = -2
+        self.group = -1 if group is None else group
+        if index in self._SENTINELS:
+            self.index = self._SENTINELS[index]
         else:
             assert isinstance(index, int), "index must be a deterministic int"
             self.index = index
@@ -118,7 +109,8 @@ class AgentSymbol:
         return self.index == -2
 
     def __str__(self):
-        return 'agent(%d,%d)' % (self.group, self.index)
+        tag = {-1: "any", -2: "all"}.get(self.index, self.index)
+        return "AgentSymbol(group=%s, index=%s)" % (self.group, tag)
 
 
 class Config:
@@ -159,12 +151,12 @@ class Config:
         A non-deterministic receiver must be one of the agents involved in the
         triggering event.
         """
-        if not (isinstance(receiver, (tuple, list))):
+        if not isinstance(receiver, (tuple, list)):
             assert not isinstance(value, (tuple, list))
-            receiver = [receiver]
-            value = [value]
+            receiver, value = [receiver], [value]
         if len(receiver) != len(value):
-            raise Exception("the length of receiver and value should be equal")
+            raise ValueError(
+                "got %d receivers but %d values" % (len(receiver), len(value)))
         self.reward_rules.append([on, receiver, value, terminal])
 
 

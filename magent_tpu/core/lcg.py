@@ -7,8 +7,8 @@ The reference engine uses ``std::default_random_engine`` (GNU libstdc++ =
 placement (Map.cc:49-63), spawn directions in turn mode (GridWorld.cc:230) and
 the attack-order Fisher-Yates shuffle (GridWorld.cc:464-468).
 
-Host-side (numpy) helpers are used during placement; a device-side variant is
-used by the exact-parity step path.
+Host-side (numpy) helpers drive placement and the sequential parity engine;
+the fast engine derives its shuffle priorities from its own threefry key.
 """
 
 from __future__ import annotations
@@ -45,10 +45,3 @@ class HostLCG:
         self.state, val = next_host(self.state)
         return val
 
-
-def next_device(state):
-    """Device-side advance (uint32 state, exact via 64-bit intermediate)."""
-    import jax.numpy as jnp
-
-    nxt = (state.astype(jnp.uint64) * jnp.uint64(A)) % jnp.uint64(M)
-    return nxt.astype(jnp.uint32)

@@ -86,12 +86,11 @@ def make_grids(spec: speclib.GameSpec):
     Hp, Wp, lanes, pad_y, pad_x = wg.padded_geometry(H, W, C, max_vh, max_vw)
     A = spec.n_agents_cap
     MB = spec.max_body_w
-    gof = jnp.asarray(spec.group_of_slot)
     agent_ch = (spec.channel_base + spec.group_of_slot * spec.channel_scale).astype(
         np.int32
     )
     assert int(agent_ch.max()) < 64 and C < 64, "channel codes must fit 6 bits"
-    hp_max = spec.g_hp_max[spec.group_of_slot].astype(np.float32)
+    hp_max = np.asarray(spec.s_hp_max, np.float32)  # precomputed per-slot
 
     def grids_one(state: State):
         base = jnp.full((Hp, Wp), C << _HP_SHIFT, jnp.int32)
@@ -104,9 +103,8 @@ def make_grids(spec: speclib.GameSpec):
             )
 
         ok_agent = state.active & ~state.dead
-        g = gof
-        w = jnp.asarray(spec.g_width)[g]
-        l = jnp.asarray(spec.g_length)[g]
+        w = jnp.asarray(spec.s_width)
+        l = jnp.asarray(spec.s_length)
         bw, bh = geo.size_for_dir(state.dir, w, l)
         q = jnp.clip(
             jnp.round(state.hp / jnp.asarray(hp_max) * _HP_SCALE).astype(jnp.int32),

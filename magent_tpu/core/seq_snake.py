@@ -63,8 +63,10 @@ class SequentialSnake:
         self.max_dead_penalty = float(cd.get("max_dead_penalty", -10))
         self.corpse_value = float(cd.get("corpse_value", 1))
         self.initial_length = int(cd.get("initial_length", 3))
-        self.total_resource = int(cd.get("total_resource",
-                                         self.width * self.height * 0.1))
+        # the reference hardcodes (int)(100*100*0.1) in its constructor and
+        # never recomputes it from the actual map size
+        # (DiscreteSnake.cc:20,75-76)
+        self.total_resource = int(cd.get("total_resource", 1000))
         self.embedding_size = int(cd.get("embedding_size", 16))
         self.rng = GlibcRandom(int(cd.get("seed", 1)) or 1)
         self.reset()
@@ -73,6 +75,7 @@ class SequentialSnake:
     def reset(self):
         W, H = self.width, self.height
         self.id_counter = 0
+        self.phantom_foods = 0
         self.occ_type = np.zeros(W * H, np.int8)
         self.occ_id = np.full(W * H, -1, np.int64)
         self.occ_ct = np.zeros(W * H, np.int32)
@@ -153,6 +156,12 @@ class SequentialSnake:
         for _ in range(int(n)):
             pos = self._get_random_blank(1)
             if pos is None:
+                # the reference inserts the Food into its set even when no
+                # blank was found (add_object/rebalance call foods.insert
+                # unconditionally while map.add_food fails on the reused
+                # stale position, DiscreteSnake.cc:100-101,276-277) — the
+                # phantom counts against total_resource forever
+                self.phantom_foods += 1
                 continue
             self._add_food_at(pos[0][0], pos[0][1], self.corpse_value)
 
@@ -354,8 +363,9 @@ class SequentialSnake:
                     else:
                         self.occ_type[p] = OCC_NONE
 
-        # phase 4: resource balancing
-        add = self.total_resource - added_length - len(self.foods)
+        # phase 4: resource balancing (phantoms: see add_food)
+        add = (self.total_resource - added_length
+               - len(self.foods) - self.phantom_foods)
         if add > 0:
             for p in sorted(double_heads):
                 x, y = p // self.height, p % self.height

@@ -95,8 +95,10 @@ class DiscreteSnake:
         self.max_dead_penalty = float(cd.get("max_dead_penalty", -10))
         self.corpse_value = float(cd.get("corpse_value", 1))
         self.initial_length = int(cd.get("initial_length", 3))
-        self.total_resource = int(cd.get("total_resource",
-                                         self.width * self.height * 0.1))
+        # the reference hardcodes (int)(100*100*0.1) in its constructor and
+        # never recomputes it from the actual map size
+        # (DiscreteSnake.cc:20,75-76)
+        self.total_resource = int(cd.get("total_resource", 1000))
         self.embedding_size = int(cd.get("embedding_size", 16))
         self.caps = caps
         self.max_length = max_length

@@ -536,8 +536,10 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
 
 
 def window_gather_xla(gfull, pos, mask, *, vh, vw, C, Wp):
-    """Reference XLA fallback (CPU tests / non-TPU backends): same contract
-    as :func:`window_gather`, implemented with a plain gather."""
+    """Reference XLA fallback (CPU tests / non-TPU backends), implemented
+    with a plain gather.  Unlike :func:`window_gather`, ``pos`` here is the
+    UNPACKED top-left cell index ``tl_y * Wp + tl_x`` (no ``* 1024 +
+    self_cell`` packing; cf. :func:`window_gather_banded`)."""
     B, Hp, lanes = gfull.shape
     y0 = pos // Wp
     x0 = pos % Wp
