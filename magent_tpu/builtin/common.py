@@ -1,4 +1,7 @@
-"""Circular replay buffer (reference: python/magent/builtin/common.py)."""
+"""Circular replay storage (same batch put/get contract as the reference's
+numpy ring buffer, reference: python/magent/builtin/common.py — with its
+wrap-around head bug fixed: after a split write the head must sit at the
+end of the wrapped tail, not at the split point)."""
 
 import numpy as np
 
@@ -7,23 +10,20 @@ class ReplayBuffer:
     def __init__(self, shape, dtype=np.float32):
         self.buffer = np.empty(shape=shape, dtype=dtype)
         self.head = 0
-        self.capacity = len(self.buffer)
+        self.capacity = int(shape[0])
 
     def put(self, data):
-        """put data to the buffer; returns the number of items appended"""
+        """Append a batch, wrapping around the ring; returns len(data)."""
         n = len(data)
-        if self.head + n <= self.capacity:
-            self.buffer[self.head : self.head + n] = data
-            self.head = (self.head + n) % self.capacity
-        else:
-            split = self.capacity - self.head
-            self.buffer[self.head :] = data[:split]
-            self.buffer[: n - split] = data[split:]
-            self.head = n - split
+        first = min(n, self.capacity - self.head)
+        self.buffer[self.head : self.head + first] = data[:first]
+        if first < n:  # wrap the remainder to the front
+            self.buffer[: n - first] = data[first:]
+        self.head = (self.head + n) % self.capacity
         return n
 
     def get(self, index):
-        """get items by index array"""
+        """Read rows by any numpy-style index."""
         return self.buffer[index]
 
     def clear(self):

@@ -37,15 +37,18 @@ def _unflatten_pytree(flat):
     return tree
 
 
-def latest_epoch(dir_name, name, subclass="tfdqn"):
-    """Highest saved epoch of ``dir_name/name`` or None when absent."""
+def latest_epoch(dir_name, name, subclass=None):
+    """Highest saved epoch of ``dir_name/name`` or None when absent.
+    With ``subclass=None`` any model family's checkpoints count
+    (tfdqn/tfdrqn/tfa2c save under different prefixes)."""
     import re
 
     path = os.path.join(dir_name, name)
     if not os.path.isdir(path):
         return None
+    pat = r"%s_(\d+)\.npz$" % (subclass if subclass else r"[a-z0-9]+")
     epochs = [int(m.group(1)) for f in os.listdir(path)
-              for m in [re.match(r"%s_(\d+)\.npz$" % subclass, f)] if m]
+              for m in [re.match(pat, f)] if m]
     return max(epochs) if epochs else None
 
 
@@ -72,11 +75,8 @@ class JaxBaseModel(BaseModel):
 
     def save(self, dir_name, epoch):
         """save model to dir_name/name/subclass_epoch.npz"""
-        if not os.path.exists(dir_name):
-            os.mkdir(dir_name)
         dir_name = os.path.join(dir_name, self.name)
-        if not os.path.exists(dir_name):
-            os.mkdir(dir_name)
+        os.makedirs(dir_name, exist_ok=True)  # nested paths, concurrent savers
         path = os.path.join(dir_name, self.subclass_name + "_%d.npz" % epoch)
         np.savez(path, **_flatten_pytree(jax.device_get(self.get_params())))
 

@@ -14,11 +14,9 @@ from ...model import BaseModel
 class RushPredator(BaseModel):
     def __init__(self, env, handle, attack_handle, *args, **kwargs):
         super().__init__(env, handle)
-        self.attack_channel = env.get_view2attack(handle)
         self.attack_base, self.view2attack = env.get_view2attack(handle)
 
         if attack_handle is not None and attack_handle != -1:
-            obs_chs = env.get_view_space(handle)[2]
             # observed channel of the target group's "has" layer
             sp = env.spec
             perm = sp.channel_perm(handle.value)
@@ -27,7 +25,11 @@ class RushPredator(BaseModel):
         else:
             self.attack_channel = env.get_view_space(handle)[2] - 2
 
-        self.threshold = kwargs.get("threshold", 0.4)
+        # the reference wrapper passes 100.0, disabling the feature gate for
+        # every agent (rule_model/rush.py:32 -> temp_c_booster.cc:50); a
+        # small default would freeze every odd-id agent (feature[0] is the
+        # low bit of the id embedding)
+        self.threshold = kwargs.get("threshold", 100.0)
 
     def infer_action(self, obs, *args, **kwargs):
         views, features = obs

@@ -317,13 +317,12 @@ def occupant(acell, cell, hp, *, interpret=False):
 
 
 def move_resolve_xla(tcell, cell):
-    """(lower-slot same-target count, head slot, occupant-or--1)."""
+    """(lower-slot same-target count, head slot, occupant-or--1).
+    Claim arbitration is :func:`move_claims_xla` — one definition of the
+    tie-break semantics for both the grid and gridless move paths."""
     A = tcell.shape[-1]
     slots = jnp.arange(A, dtype=jnp.int32)
-    same = tcell[..., :, None] == tcell[..., None, :]
-    lower = slots[:, None] < slots[None, :]
-    cnt = jnp.sum((same & lower).astype(jnp.int32), axis=-2)
-    head = jnp.min(jnp.where(same, slots[:, None], A), axis=-2)
+    cnt, head = move_claims_xla(tcell)
     occ_m = (cell[..., :, None] == tcell[..., None, :]) & (
         slots[:, None] != slots[None, :]
     )

@@ -74,7 +74,21 @@ def launch_local(args):
             cmd += ["--" + flag, str(getattr(args, flag))]
         cmd += ["--mode", args.mode]
         procs.append(subprocess.Popen(cmd))
-    rc = [p.wait() for p in procs]
+    # poll rather than wait in launch order: a crashed worker leaves the
+    # survivors blocked in a cross-process collective, so the first nonzero
+    # exit must kill the rest instead of hanging the launcher
+    rc = [None] * len(procs)
+    while any(r is None for r in rc):
+        time.sleep(0.2)
+        for i, p in enumerate(procs):
+            if rc[i] is None:
+                rc[i] = p.poll()
+        if any(r not in (None, 0) for r in rc):
+            for i, p in enumerate(procs):
+                if rc[i] is None:
+                    p.kill()
+                    rc[i] = p.wait()
+            break
     if any(rc):
         raise SystemExit("worker failed: rcs=%s" % rc)
 
