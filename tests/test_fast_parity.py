@@ -121,3 +121,69 @@ def test_fast_engine_invariants_on_contended_scenarios(name):
         assert abs(g_tot - f_tot) / scale <= 0.6, (
             "per-step reward of group %d: fast %.3f vs reference %.3f"
             % (g, f_tot, g_tot))
+
+
+def test_fast_matches_sequential_on_sparse_random_worlds():
+    """Randomized extension of the contention-free golden scenarios: agents
+    spaced too far apart to interact must make the fast engine bit-exact
+    with the sequential reference-order engine under random actions."""
+    import random
+
+    import magent_tpu as magent
+
+    gw = magent_tpu.gridworld
+
+    def build(mode, seed):
+        rng = random.Random(seed)
+        cfg = gw.Config()
+        cfg.set({"map_width": 64, "map_height": 64, "embedding_size": 4})
+        t = cfg.register_agent_type(
+            "t", {'width': 1, 'length': 1, 'hp': 8, 'speed': 1,
+                  'view_range': gw.CircleRange(3),
+                  'attack_range': gw.CircleRange(1), 'damage': 1,
+                  'step_recover': -0.1, 'step_reward': -0.01,
+                  'attack_penalty': -0.05})
+        g0 = cfg.add_group(t)
+        g1 = cfg.add_group(t)
+        a, b = gw.AgentSymbol(g0, 'any'), gw.AgentSymbol(g1, 'any')
+        cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=a, value=0.2)
+        env = magent.GridWorld(cfg, engine_mode=mode)
+        h0, h1 = env.get_handles()
+        env.reset()
+        # coarse lattice, spacing 10 >> 2 * speed * steps + attack radius
+        spots = [(4 + 10 * i, 4 + 10 * j) for i in range(6) for j in range(6)]
+        rng.shuffle(spots)
+        env.add_agents(h0, method="custom", pos=spots[:6])
+        env.add_agents(h1, method="custom", pos=spots[6:12])
+        return env, (h0, h1)
+
+    for seed in range(5):
+        envs = {m: build(m, seed) for m in ("fast", "sequential")}
+        arng = np.random.RandomState(100 + seed)
+        for step in range(4):
+            n_act = None
+            states = {}
+            for mode, (env, handles) in envs.items():
+                if n_act is None:
+                    n_act = env.get_action_space(handles[0])[0]
+                    acts = [arng.randint(0, n_act, 6).astype(np.int32)
+                            for _ in handles]
+                for h, a_ in zip(handles, acts):
+                    env.set_action(h, a_)
+                env.step()
+                st = env.state
+                states[mode] = {
+                    f: np.asarray(getattr(st, f))
+                    for f in ("x", "y", "hp", "dead", "last_op", "op_obj",
+                              "next_reward")
+                }
+                env.clear_dead()
+            for f, va in states["fast"].items():
+                if f == "hp" or f == "next_reward":
+                    np.testing.assert_allclose(
+                        va, states["sequential"][f], atol=1e-5,
+                        err_msg="seed %d step %d field %s" % (seed, step, f))
+                else:
+                    np.testing.assert_array_equal(
+                        va, states["sequential"][f],
+                        err_msg="seed %d step %d field %s" % (seed, step, f))
