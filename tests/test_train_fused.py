@@ -223,3 +223,51 @@ def test_drqn_split_unroll_matches_cell():
 
     np.testing.assert_allclose(np.asarray(q_split), np.asarray(q_ref),
                                atol=1e-5)
+
+
+def test_dqn_train_step_with_mid_rollout_resets():
+    """Tiny 1v1 sides die quickly, forcing auto-resets INSIDE the rollout:
+    the recorded start-of-step liveness must keep the loss finite and the
+    env populated (parallel/train.py alive_in masking)."""
+    import magent_tpu as magent
+    gw = magent.gridworld
+    cfg = gw.Config()
+    cfg.set({"map_width": 16, "map_height": 16, "embedding_size": 4})
+    # starvation guarantees extinction (and thus auto-reset) every ~4 steps
+    t = cfg.register_agent_type(
+        "t", {'width': 1, 'length': 1, 'hp': 1, 'speed': 1,
+              'view_range': gw.CircleRange(2),
+              'attack_range': gw.CircleRange(1), 'damage': 1,
+              'step_recover': -0.3, 'dead_penalty': -1.0})
+    cfg.add_group(t)
+    cfg.add_group(t)
+    venv = VecGridWorld(cfg, [1, 1], n_envs=4)
+    spec = venv.spec
+    nets = [DQNNet(num_actions=spec.groups[g].type.n_action)
+            for g in range(2)]
+    params = []
+    for g in range(2):
+        vh, vw, C = spec.view_space(g)
+        F = spec.feature_size(g)
+        params.append(nets[g].init(
+            jax.random.PRNGKey(g),
+            jnp.zeros((1, vh, vw, C), jnp.float32),
+            jnp.zeros((1, F), jnp.float32))["params"])
+    params = tuple(params)
+    tx = optax.adam(1e-3)
+    opts = tuple(tx.init(p) for p in params)
+    tgt = jax.tree.map(lambda x: x, params)
+    step = jax.jit(make_dqn_train_step(venv, nets, tx, rollout_len=16))
+
+    state = venv.reset(jax.random.PRNGKey(0))
+    resets_seen = 0
+    key = jax.random.PRNGKey(1)
+    for k in range(3):
+        params, opts, state, metrics = step(
+            params, tgt, opts, state, jax.random.fold_in(key, k), 0.9)
+        assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+        # auto-reset keeps both 1-agent groups populated at rollout end
+        alive = np.asarray(state.active & ~state.dead)
+        resets_seen += int(np.asarray(state.step_ct).min() < 16 * (k + 1))
+        assert alive.sum() >= 1
+    assert resets_seen > 0, "no episode ever ended; scenario too gentle"
