@@ -32,6 +32,12 @@ import jax.numpy as jnp
 
 # superset load geometry: window rows <= ROWS - 7, window lanes <= LANES - 127
 _SUBLANE = 8
+
+# scalar-prefetch SMEM budgets, int32 elements (module-level so tests can
+# shrink them to exercise the sub-batch splits in interpret mode)
+SMEM_BUDGET = 200_000       # single pos operand (~800KB)
+SMEM_BUDGET_G4 = 66_000     # three operands (word/aux/act) share ~800KB
+
 _LANE = 128
 
 
@@ -104,7 +110,7 @@ def window_gather(gfull, pos, mask, *, vh, vw, C,
     # the position table is a scalar-prefetch operand and must fit SMEM
     # (~1MB); at mega scale split the call over env sub-batches (or, for a
     # single huge env, over agent sub-ranges)
-    smem_budget = 200_000  # int32 elements (~800KB)
+    smem_budget = SMEM_BUDGET
     if B * n_pad > smem_budget:
         outs = []
         if B > 1:
@@ -224,7 +230,7 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
     # three scalar-prefetch operands (word/aux/act) share the ~1MB SMEM
     # budget; split over env sub-batches when they would not fit
     # (cf. the same split in :func:`window_gather`)
-    smem_budget = 66_000  # int32 elements per operand (3 * ~264KB)
+    smem_budget = SMEM_BUDGET_G4
     if B * n_pad > smem_budget and B > 1:
         n_sub = max(1, smem_budget // n_pad)
         outs = []
@@ -465,7 +471,7 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
     # ranges; the banded image operand is shared (no copies).  The prefetch
     # operand holds B * k_count * chunk entries, so the env batch divides
     # the budget too.
-    smem_budget = 200_000  # int32 elements
+    smem_budget = SMEM_BUDGET
     k_sub = max(1, min(n_chunks, smem_budget // (chunk * max(B, 1))))
 
     def launch(pos_part, band_part, k_count):

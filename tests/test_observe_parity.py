@@ -126,3 +126,49 @@ def test_bf16_obs_dtype():
             np.asarray(view16, np.float32), np.asarray(view32), atol=0.01)
         np.testing.assert_allclose(np.asarray(feat16), np.asarray(feat32),
                                    atol=1e-6)
+
+
+def test_smem_split_paths_match(monkeypatch):
+    """Shrinking the SMEM budgets must route through the env/agent sub-batch
+    splits without changing results (window_gather.py; exercised in
+    interpret mode with unique shapes to avoid stale jit caches)."""
+    import jax
+    import jax.numpy as jnp
+    from magent_tpu.ops import window_gather as wg
+
+    B, H, W, C, N = 3, 23, 29, 3, 11
+    vh, vw = 5, 5
+    Hp, Wp, lanes, pad_y, pad_x = wg.padded_geometry(H, W, C, vh, vw)
+    key = jax.random.PRNGKey(7)
+    gfull = jax.random.uniform(key, (B, Hp, lanes), jnp.float32)
+    xs = jax.random.randint(key, (B, N), 0, W)
+    ys = jax.random.randint(jax.random.fold_in(key, 1), (B, N), 0, H)
+    pos = ((ys + pad_y) * Wp + (xs + pad_x)) * 1024
+    mask = jnp.ones((vh, vw * C), jnp.float32)
+
+    ref = wg.window_gather_xla(gfull, pos // 1024, mask,
+                               vh=vh, vw=vw, C=C, Wp=Wp)
+
+    def run(chunk):
+        return wg.window_gather(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                                chunk=chunk, interpret=True)
+
+    # whole-call baseline, env split (B>1), then agent split (B==1)
+    base = run(4)
+    monkeypatch.setattr(wg, "SMEM_BUDGET", 20)  # forces n_sub=1 env batches
+    split_env = run(5)
+    one_ref = wg.window_gather_xla(gfull[:1], pos[:1] // 1024, mask,
+                                   vh=vh, vw=vw, C=C, Wp=Wp)
+    split_agents = wg.window_gather(gfull[:1], pos[:1], mask, vh=vh, vw=vw,
+                                    C=C, Wp=Wp, chunk=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split_env), np.asarray(ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split_agents), np.asarray(one_ref),
+                               atol=1e-6)
+
+    # the replica kernel's 3-operand split
+    monkeypatch.setattr(wg, "SMEM_BUDGET_G4", 16)
+    g4 = wg.window_gather4(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                           chunk=6, interpret=True)
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(ref), atol=1e-6)
