@@ -106,7 +106,7 @@ def play_a_round(env, map_size, handles, models, print_every, eps,
         print("train_time %.2f" % (time.time() - start_time))
 
     def round_list(l):
-        return [round(x, 2) for x in l]
+        return [round(float(x), 2) for x in l]  # plain floats in logs
 
     return total_loss, nums, round_list(total_reward), value
 

@@ -71,7 +71,8 @@ def play_a_round(env, map_size, font, messages, handles, model,
     if train:
         total_loss, value = model.train(sample_buffer, print_every=500)
 
-    return total_loss, total_reward, value, filled
+    return (magent.round(total_loss), magent.round(total_reward),
+            magent.round(value), filled)
 
 
 def main():

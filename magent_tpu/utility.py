@@ -151,10 +151,13 @@ def init_logger(filename):
 
 
 def rec_round(x, ndigits=2):
-    """round recursively (reference: utility.py:195-206)"""
+    """round recursively (reference: utility.py:195-206); numpy scalars are
+    cast to plain floats so log lines print ``-825.38``, not
+    ``np.float32(-825.38)`` (numpy>=2 repr), keeping the reference log
+    format parseable by the plot scripts"""
     if isinstance(x, collections.abc.Iterable):
         return [rec_round(item, ndigits) for item in x]
-    return round(x, ndigits)
+    return round(float(x), ndigits)
 
 
 def has_gpu():

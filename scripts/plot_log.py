@@ -32,18 +32,30 @@ def parse_log_file(filename, begin_item_index=0):
     return ret
 
 
+_NUM = __import__("re").compile(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+
+
+def _to_float(x):
+    """Parse a float, tolerating numpy>=2 scalar reprs in old logs
+    (``np.float32(-825.38)``)."""
+    try:
+        return float(x)
+    except ValueError:
+        m = _NUM.search(x)
+        if m:
+            return float(m.group(0))
+        return np.nan
+
+
 def to_numbers(values, col=-1):
     out = []
     for v in values:
         if v.startswith("["):
-            items = v.strip("[]").split(",")
-            out.append(float(items[col]) if col >= 0 else
-                       np.mean([float(x) for x in items if x.strip()]))
+            items = [x for x in v.strip("[]").split(",") if x.strip()]
+            out.append(_to_float(items[col]) if col >= 0 else
+                       np.mean([_to_float(x) for x in items]))
         else:
-            try:
-                out.append(float(v))
-            except ValueError:
-                out.append(np.nan)
+            out.append(_to_float(v))
     return np.asarray(out)
 
 
