@@ -20,7 +20,8 @@ from magent_tpu.config import AgentSymbol, EventNode
 from magent_tpu.core import seq_engine
 from magent_tpu.core.state import State
 from magent_tpu.spec import (OP_ALIGN, OP_AND, OP_AT, OP_ATTACK, OP_COLLIDE,
-                             OP_DIE, OP_IN, OP_KILL, OP_NOT, OP_NULL, OP_OR)
+                             OP_DIE, OP_IN, OP_IN_A_LINE, OP_KILL, OP_NOT,
+                             OP_NULL, OP_OR)
 
 CAPS = [5, 6]
 MAP = 12
@@ -49,7 +50,7 @@ def _random_symbol(rng, pool):
 
 def _random_leaf(rng, pool):
     op = rng.choice([OP_ATTACK, OP_KILL, OP_COLLIDE, OP_AT, OP_IN, OP_DIE,
-                     OP_ALIGN])
+                     OP_ALIGN, OP_IN_A_LINE])
     sub = _random_symbol(rng, pool)
     if op in (OP_ATTACK, OP_KILL, OP_COLLIDE):
         obj = _random_symbol(rng, pool)
@@ -66,6 +67,9 @@ def _random_leaf(rng, pool):
     if op == OP_ALIGN:
         while sub.is_all():
             sub = _random_symbol(rng, pool)
+    if op == OP_IN_A_LINE and not sub.is_all():
+        # the reference asserts is_all() for in_a_line subjects
+        sub = AgentSymbol(rng.randrange(2), "all")
     node = EventNode()
     node.op = op
     if op == OP_AT:
