@@ -187,3 +187,50 @@ def test_fast_matches_sequential_on_sparse_random_worlds():
                     np.testing.assert_array_equal(
                         va, states["sequential"][f],
                         err_msg="seed %d step %d field %s" % (seed, step, f))
+
+
+def test_fast_engine_invariants_dense_fuzz():
+    """Dense contended worlds have no exact oracle, but hard invariants must
+    hold every step: coordinates in bounds, finite hp/rewards, monotone
+    deaths, and (grid path) occupancy consistent with positions."""
+    import magent_tpu as magent
+
+    for seed in range(3):
+        env = magent.GridWorld("battle", map_size=24)
+        h0, h1 = env.get_handles()
+        env.set_seed(seed)
+        env.reset()
+        env.add_agents(h0, method="random", n=60)
+        env.add_agents(h1, method="random", n=60)
+        arng = np.random.RandomState(seed)
+        prev_dead = np.zeros(env.spec.n_agents_cap, bool)
+        H, W = env.spec.height, env.spec.width
+        for step in range(15):
+            for h in (h0, h1):
+                n = env.get_num(h)
+                env.set_action(h, arng.randint(
+                    0, env.get_action_space(h)[0], n).astype(np.int32))
+            env.step()
+            st = env.state
+            x, y = np.asarray(st.x), np.asarray(st.y)
+            active = np.asarray(st.active)
+            dead = np.asarray(st.dead)
+            hp = np.asarray(st.hp)
+            assert np.isfinite(hp).all()
+            assert np.isfinite(np.asarray(st.next_reward)).all()
+            live = active & ~dead
+            assert (x[live] >= 1).all() and (x[live] < W - 1).all()
+            assert (y[live] >= 1).all() and (y[live] < H - 1).all()
+            # no two live agents share a cell (1x1 bodies)
+            cells = y[live] * W + x[live]
+            assert len(np.unique(cells)) == len(cells), f"overlap step {step}"
+            # deaths are monotone within an episode
+            assert (dead | ~prev_dead).all(), f"resurrection at step {step}"
+            # grid path: cell_slot agrees with positions
+            grid = np.asarray(st.cell_slot)
+            slots = np.nonzero(live)[0]
+            assert (grid[y[slots], x[slots]] == slots).all()
+            prev_dead = dead.copy()
+            env.clear_dead()
+            # clear_dead compacts: rebuild the dead baseline
+            prev_dead = np.asarray(env.state.dead).copy()
