@@ -70,6 +70,7 @@ class GridWorld:
         self._first_render = True
         self._attack_events = np.zeros((0, 3), np.int32)
         self._pre_step_dead = None
+        self._goals = {}
 
         self._build(self._caps)
         self.state = init_state(self.spec)
@@ -629,4 +630,22 @@ class GridWorld:
 
     # --------------------------------------------------------------- special
     def set_goal(self, handle, method, *args, **kwargs):
-        raise NotImplementedError("goal_mode is deprecated in the reference")
+        """Assign per-agent goals (deprecated upstream; reference:
+        GridWorld.cc:667-679).  The reference's Python layer always forwards
+        method="random" regardless of the argument (gridworld.py:485-488),
+        and goals are write-only in the C++ engine (``get_goal`` has no call
+        sites) — the observable effects are the two engine-RNG draws consumed
+        per agent and the stored coordinates, both mirrored here.  Under
+        ``goal_mode`` the feature vector also gains two always-zero slots
+        (spec.feature_size, reference GridWorld.cc:926-933)."""
+        g = handle.value if isinstance(handle, Handle) else int(handle)
+        n = self.get_num(Handle(g))
+        W, H = self.spec.width, self.spec.height
+        goals = np.zeros((n, 2), np.int32)
+        for i in range(n):
+            goals[i, 0] = self._lcg() % W
+            goals[i, 1] = self._lcg() % H
+        self._goals[g] = goals
+        self.state = self.state.replace(
+            lcg=jnp.asarray(self._lcg.state, jnp.uint32)
+        )

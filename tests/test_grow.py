@@ -4,6 +4,7 @@ spec with larger caps and migrates state (env.py:_grow)."""
 import numpy as np
 
 import magent_tpu as magent
+from magent_tpu import gridworld as gw
 
 
 def test_grow_preserves_state():
@@ -72,3 +73,37 @@ def test_new_group_post_construction():
         env.step()
         env.clear_dead()
     assert env.get_num(h0) + env.get_num(h1) + env.get_num(h2) > 0
+
+
+def test_set_goal_goal_mode():
+    """set_goal stores per-agent random goals and consumes two engine-RNG
+    draws per agent in x,y order; goal_mode widens the feature space by two
+    always-zero slots (reference: GridWorld.cc:667-679, :926-933)."""
+    cfg = gw.Config()
+    cfg.set({"map_width": 20, "map_height": 20, "embedding_size": 4,
+             "goal_mode": True, "seed": 7})
+    t = cfg.register_agent_type(
+        "walker", {"width": 1, "length": 1, "speed": 1,
+                   "view_range": gw.CircleRange(2)})
+    cfg.add_group(t)
+    env = magent.GridWorld(cfg, caps=8)
+    h0 = env.get_handles()[0]
+    env.reset()
+    env.add_agents(h0, method="custom", pos=[[4, 4], [6, 6], [8, 8]])
+
+    # feature space = embedding + n_action + 1 + 2 (goal)
+    n_action = env.get_action_space(h0)[0]
+    assert env.get_feature_space(h0) == (4 + n_action + 1 + 2,)
+    _, feat = env.get_observation(h0)
+    assert feat.shape[1] == 4 + n_action + 1 + 2
+    np.testing.assert_array_equal(feat[:, -2:], 0.0)  # goal slots unwritten
+
+    # the draws must match a fresh minstd_rand0 replica, two per agent
+    from magent_tpu.core import lcg as lcg_mod
+    ref = lcg_mod.HostLCG(7)
+    expect = np.asarray(
+        [[ref() % 20, ref() % 20] for _ in range(3)], np.int32)
+    env.set_goal(h0, "random")
+    np.testing.assert_array_equal(env._goals[0], expect)
+    # engine RNG state advanced and synced into device state
+    assert int(env.state.lcg) == int(ref.state)
