@@ -191,10 +191,11 @@ class AdvantageActorCritic(JaxBaseModel):
         pad = round_up_pow2(len(episodes))
         pv = np.zeros((pad,) + tuple(self.view_space), np.float32)
         pf = np.zeros((pad,) + tuple(self.feature_space), np.float32)
+        pv[: len(episodes)], pf[: len(episodes)] = last_v, last_f
+        # the reference bootstraps each episode alone (num_agent=1 → CommNet
+        # message ≡ 0, a2c.py:259-263); an all-zero mask reproduces that
+        # solitary semantics for every row in one batched call
         pm = np.zeros(pad, np.float32)
-        pv[: len(episodes)], pf[: len(episodes)], pm[: len(episodes)] = (
-            last_v, last_f, 1.0,
-        )
         keeps = np.asarray(self._value_fn(self.params, pv, pf, pm))[: len(episodes)]
 
         ct = 0

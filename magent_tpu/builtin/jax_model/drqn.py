@@ -191,8 +191,14 @@ class DeepRecurrentQNetwork(JaxBaseModel):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, jnp.mean(target)
 
+        def eval_q_fn(params, view, feature):
+            state = jnp.zeros((view.shape[0], self.state_size), jnp.float32)
+            _, q = net.apply({"params": params}, state, view, feature)
+            return q
+
         self._step_fn = jax.jit(step_fn)
         self._train_step = jax.jit(train_step)
+        self._eval_q_fn = jax.jit(eval_q_fn)
 
         # per-agent persistent hidden state (drqn.py:188-203)
         self.agent_states = {}
@@ -290,7 +296,12 @@ class DeepRecurrentQNetwork(JaxBaseModel):
         start_time = time.time()
         for _ in range(n_batches):
             idx = np.random.choice(len(self.replay_buffer), B, p=weight)
-            vs[:] = 0; fs[:] = 0; ms[:] = 0; ts[:] = False
+            # reset ALL window buffers: rows beyond a short window's `real`
+            # are loss-masked but still flow into jnp.mean(target), so stale
+            # actions/rewards from the previous batch would corrupt the
+            # reported qvalue metric
+            vs[:] = 0; fs[:] = 0; as_[:] = 0; rs[:] = 0; ms[:] = 0
+            ts[:] = False
             for j, e_i in enumerate(idx):
                 v, f, a, r, t, m = self.replay_buffer[e_i]
                 length = len(a)
@@ -333,7 +344,24 @@ class DeepRecurrentQNetwork(JaxBaseModel):
         total_time = time.time() - start_time
         print("batches: %d,  total time: %.2f,  1k average: %.2f" %
               (ct, total_time, total_time / max(1.0, ct / 1000.0)))
-        return total_loss / max(ct, 1), mean_target
+        return total_loss / max(ct, 1), self._eval(mean_target)
+
+    def _eval(self, fallback):
+        """Estimated q on the held-out eval set: TARGET-net q values with a
+        zero initial RNN state (one-step unroll), plain mean over actions —
+        exactly the reference's eval feed (reference drqn.py:567-575);
+        falls back to the mean training target without an eval set."""
+        if self.eval_obs is None:
+            return float(fallback)
+        ev = np.asarray(self.eval_obs[0], np.float32)
+        ef = np.asarray(self.eval_obs[1], np.float32)
+        n = len(ev)
+        padded = round_up_pow2(n)
+        pv = np.zeros((padded,) + tuple(self.view_space), np.float32)
+        pf = np.zeros((padded,) + tuple(self.feature_space), np.float32)
+        pv[:n], pf[:n] = ev, ef
+        q = self._eval_q_fn(self.target_params, pv, pf)
+        return float(jnp.mean(q[:n]))
 
     def get_info(self):
         return "drqn train_time: %d" % self.train_ct

@@ -245,7 +245,7 @@ class VecGridWorld:
         )
         return next_state, rewards, alive, done
 
-    def random_actions(self, key, shape_only=False):
+    def random_actions(self, key):
         """Uniform random action per slot, valid for each slot's group."""
         n_act = jnp.asarray(self.spec.s_n_action)
         u = jax.random.uniform(key, (self.n_envs, self.spec.n_agents_cap))

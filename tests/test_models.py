@@ -179,3 +179,50 @@ def test_episode_runner_with_subprocess_model():
         assert np.isfinite(losses[0]) and np.isfinite(values[0])
     finally:
         hosted.quit()
+
+
+def test_commnet_zero_mask_is_solitary():
+    """The A2C bootstrap evaluates each episode's last obs ALONE (reference
+    a2c.py:259-263 feeds num_agent=1, whose (1,1) comm mask is zero).  The
+    batched equivalent passes an all-zero mask: every row's CommNet message
+    must be exactly zero, so its value must equal its own single-row
+    evaluation — independent of what else is in the batch."""
+    import jax.numpy as jnp
+    env, handles = _small_battle()
+    m = AdvantageActorCritic(env, handles[0], "a2c-comm", use_comm=True,
+                             seed=3)
+    rng = np.random.RandomState(0)
+    v = rng.rand(4, *m.view_space).astype(np.float32)
+    f = rng.rand(4, *m.feature_space).astype(np.float32)
+    batched = np.asarray(
+        m._value_fn(m.params, v, f, jnp.zeros(4, jnp.float32)))
+    for i in range(4):
+        solo = np.asarray(
+            m._value_fn(m.params, v[i : i + 1], f[i : i + 1],
+                        jnp.zeros(1, jnp.float32)))[0]
+        np.testing.assert_allclose(batched[i], solo, rtol=1e-6)
+    # and a NON-zero mask must actually mix rows (sanity: comm is live)
+    mixed = np.asarray(
+        m._value_fn(m.params, v, f, jnp.ones(4, jnp.float32)))
+    assert not np.allclose(mixed, batched)
+
+
+def test_drqn_eval_obs_used():
+    """DRQN's eval metric with an eval set = mean TARGET-net q over the set
+    (zero initial state, one-step unroll — reference drqn.py:567-575), not
+    the training-batch fallback."""
+    env, handles = _small_battle()
+    rng = np.random.RandomState(1)
+    m = DeepRecurrentQNetwork(env, handles[0], "drqn-eval", seed=2)
+    ev = rng.rand(5, *m.view_space).astype(np.float32)
+    ef = rng.rand(5, *m.feature_space).astype(np.float32)
+    m.eval_obs = (ev, ef)
+    got = m._eval(123.0)
+    q = np.asarray(m._eval_q_fn(
+        m.target_params,
+        np.concatenate([ev, np.zeros((3,) + tuple(m.view_space), np.float32)]),
+        np.concatenate([ef, np.zeros((3,) + tuple(m.feature_space), np.float32)]),
+    ))[:5]
+    np.testing.assert_allclose(got, float(np.mean(q)), rtol=1e-6)
+    m.eval_obs = None
+    assert m._eval(123.0) == 123.0
