@@ -52,6 +52,14 @@ def size_for_dir(d, w, l):
     return jnp.where(ns, w, l), jnp.where(ns, l, w)
 
 
+def size_for_dir_np(d, w, l):
+    """Host (scalar/numpy) variant of :func:`size_for_dir` — the ONE place
+    the direction→footprint convention lives for host-side placement code
+    (env._commit_agents); the jitted grid builders use :func:`size_for_dir`."""
+    ns = (d == NORTH) | (d == SOUTH)
+    return (w if ns else l), (l if ns else w)
+
+
 def save_to_real_np(x, y, d, w, l):
     """Host (numpy) variant of :func:`save_to_real` for render dumps."""
     import numpy as np

@@ -295,10 +295,8 @@ class GridWorld:
         placements = []  # (x, y, dir)
 
         def body_wh(d):
-            # NORTH/SOUTH share the upright footprint (reference: Map.cc:597-607)
-            return (t.width, t.length) if d in (NORTH, speclib.SOUTH) else (
-                t.length, t.width
-            )
+            from .core import geometry as geo
+            return geo.size_for_dir_np(d, t.width, t.length)
 
         def rect_blank(x, y, bw, bh):
             if x < 0 or y < 0 or x + bw >= W or y + bh >= H:
@@ -317,6 +315,11 @@ class GridWorld:
             pos = kwargs["pos"]
             for p in pos:
                 x, y = int(p[0]), int(p[1])
+                if len(p) > 2 and not 0 <= int(p[2]) < 4:
+                    # validated even with turn_mode off, like the reference
+                    # (LOG(FATAL), GridWorld.cc:249-251)
+                    raise ValueError(
+                        "invalid direction in add_agents: %r" % (p[2],))
                 d = int(p[2]) if len(p) > 2 and sp.turn_mode else NORTH
                 bw, bh = body_wh(d)
                 if not rect_blank(x, y, bw, bh):
@@ -393,11 +396,11 @@ class GridWorld:
         )
 
         # fill occupancy grid (body rects) in one scatter
+        from .core import geometry as geo
+
         cys, cxs, vals = [], [], []
         for k, (x, y, d) in enumerate(placements):
-            bw, bh = (t.width, t.length) if d in (NORTH, speclib.SOUTH) else (
-                t.length, t.width
-            )
+            bw, bh = geo.size_for_dir_np(d, t.width, t.length)
             for i in range(bw):
                 for j in range(bh):
                     cxs.append(x + i)
@@ -541,7 +544,12 @@ class GridWorld:
         xs = np.asarray(self.state.x[sl], dtype=np.float64)
         ys = np.asarray(self.state.y[sl], dtype=np.float64)
         acts = np.asarray(self.state.last_action[sl])
-        hist = np.bincount(np.clip(acts, 0, n_action - 1), minlength=n_action)
+        # fresh agents carry the sentinel last_action == n_action
+        # (GridWorld.h:140 "dangerous here"); the reference's histogram
+        # write `action_counter[x]++` is out-of-bounds UB for them
+        # (GridWorld.cc:777-779), so they are dropped from the counts here
+        # (the mean divisor stays the full population, like the reference)
+        hist = np.bincount(acts[acts < n_action], minlength=n_action)
         n = max(len(xs), 1)
         out = np.empty(2 + n_action, np.float32)
         out[0] = xs.mean() if len(xs) else 0.0
@@ -554,16 +562,44 @@ class GridWorld:
         return t.attack_base, t.view2attack()
 
     def get_both_attack(self):
-        """Count of targets attacked by more than one agent last step
-        (reference stat recorder, GridWorld.cc:492-517, 'both_attack'
-        info GridWorld.cc:889-890)."""
-        from .render.generator import attack_events
+        """Count of targets attacked by more than one agent last step.
 
-        events = attack_events(self)
-        cells = {}
-        for (_aid, tx, ty) in events:
-            cells[(tx, ty)] = cells.get((tx, ty), 0) + 1
-        return sum(1 for v in cells.values() if v > 1)
+        The reference increments ``attack_obj_counter[obj_pos]`` only AFTER
+        the blank-cell check (GridWorld.cc:487-495), so attacks on empty
+        cells never count — only attacks that found a live object do.  The
+        engine records exactly that: an attacker whose strike landed has
+        ``last_op`` ∈ {ATTACK, KILL} and ``op_obj`` = the target's slot
+        (core/engine.py attack phase).  Ops are reset by ``clear_dead``
+        (Agent::init_reward, GridWorld.h:168-173), so in the canonical
+        step→clear_dead loop these records are from the last step.
+        (Upstream the stat is compile-time disabled — ``const bool stat =
+        false``, GridWorld.cc:458 — so this is a strict superset of the
+        reference's observable behavior, which always reports 0.)"""
+        from . import spec as speclib
+
+        st = self.state
+        last_op = np.asarray(st.last_op)
+        op_obj = np.asarray(st.op_obj)
+        active = np.asarray(st.active)
+        pre_dead = self._pre_step_dead
+        if pre_dead is None or len(pre_dead) != len(last_op):
+            pre_dead = np.asarray(st.dead)
+        counts = {}
+        for g in self.spec.groups:
+            t = g.type
+            sl = slice(g.offset, g.offset + g.cap)
+            act = self._actions[sl]
+            landed = (last_op[sl] == speclib.OP_ATTACK) | (
+                last_op[sl] == speclib.OP_KILL)
+            is_attack = (
+                active[sl] & ~pre_dead[sl] & landed
+                & (act >= t.attack_base) & (act < t.n_action)
+                & (op_obj[sl] >= 0)
+            )
+            for k in np.nonzero(is_attack)[0]:
+                tgt = int(op_obj[g.offset + k])
+                counts[tgt] = counts.get(tgt, 0) + 1
+        return sum(1 for v in counts.values() if v > 1)
 
     def get_global_minimap(self, height, width):
         sp = self.spec

@@ -231,18 +231,32 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
     # budget; split over env sub-batches when they would not fit
     # (cf. the same split in :func:`window_gather`)
     smem_budget = SMEM_BUDGET_G4
-    if B * n_pad > smem_budget and B > 1:
-        n_sub = max(1, smem_budget // n_pad)
+    if B * n_pad > smem_budget:
         outs = []
-        for b0 in range(0, B, n_sub):
+        if B > 1:
+            n_sub = max(1, smem_budget // n_pad)
+            for b0 in range(0, B, n_sub):
+                outs.append(window_gather4(
+                    gfull[b0 : b0 + n_sub], pos[b0 : b0 + n_sub, :N], mask,
+                    None if mm_img is None else mm_img[b0 : b0 + n_sub],
+                    mm_mask,
+                    None if act is None else act[b0 : b0 + n_sub, :N],
+                    vh=vh, vw=vw, C=C, Wp=Wp, chunk=chunk,
+                    interpret=interpret, out_dtype=out_dtype,
+                ))
+            return jnp.concatenate(outs, axis=0)
+        # single huge env: split over agent sub-ranges instead (cf. the
+        # same fallback in :func:`window_gather` — without it a B=1 call
+        # past the budget would launch with >1MB of SMEM prefetch operands)
+        n_sub = max(chunk, (smem_budget // chunk) * chunk)
+        for a0 in range(0, N, n_sub):
             outs.append(window_gather4(
-                gfull[b0 : b0 + n_sub], pos[b0 : b0 + n_sub, :N], mask,
-                None if mm_img is None else mm_img[b0 : b0 + n_sub], mm_mask,
-                None if act is None else act[b0 : b0 + n_sub, :N],
+                gfull, pos[:, a0 : a0 + n_sub], mask, mm_img, mm_mask,
+                None if act is None else act[:, a0 : a0 + n_sub],
                 vh=vh, vw=vw, C=C, Wp=Wp, chunk=chunk, interpret=interpret,
                 out_dtype=out_dtype,
             ))
-        return jnp.concatenate(outs, axis=0)
+        return jnp.concatenate(outs, axis=1)[:, :N]
 
     # precompute ALL per-agent address math here (vectorized, free) — the
     # kernel's scalar unit pays multi-cycle div/mods per agent otherwise.

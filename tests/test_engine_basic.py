@@ -302,3 +302,57 @@ def test_negative_kill_supply_matches_sequential():
 
     assert hps["fast"] == pytest.approx(hps["sequential"])
     assert hps["fast"] == pytest.approx(37.0)  # 40 - 3
+
+
+def test_both_attack_counts_only_found_objects():
+    """both_attack counts targets attacked by >1 agent; attacks on EMPTY
+    cells never count (the reference increments attack_obj_counter only
+    after the blank-cell check, GridWorld.cc:487-495)."""
+    env = battle_env()
+    h0, h1 = env.get_handles()
+    env.add_agents(h0, method="custom", pos=[[3, 3], [5, 3]])
+    env.add_agents(h1, method="custom", pos=[[4, 3]])
+
+    v2a_base, v2a = env.get_view2attack(h0)
+    a_right = v2a[6, 7]
+    a_left = v2a[6, 5]
+    assert a_right >= 0 and a_left >= 0
+
+    # both group-0 agents attack the (4,3) victim from either side
+    env.set_action(h0, np.array([v2a_base + a_right, v2a_base + a_left],
+                                np.int32))
+    env.set_action(h1, np.array([6], np.int32))  # stay
+    env.step()
+    assert env.get_both_attack() == 1
+    env.clear_dead()
+
+    # now both attack AWAY from the victim (blank cells): no object found
+    env.set_action(h0, np.array([v2a_base + a_left, v2a_base + a_right],
+                                np.int32))
+    env.set_action(h1, np.array([6], np.int32))
+    env.step()
+    assert env.get_both_attack() == 0
+    env.clear_dead()
+
+
+def test_mean_info_drops_fresh_sentinel():
+    """Never-acted agents carry last_action == n_action (GridWorld.h:140);
+    the histogram must not misattribute them to a real action bucket (the
+    reference's counter write is out-of-bounds UB for them)."""
+    env = battle_env()
+    h0, _h1 = env.get_handles()
+    env.add_agents(h0, method="custom", pos=[[3, 3], [5, 5]])
+    info = env.get_mean_info(h0)
+    n_action = env.get_action_space(h0)[0]
+    assert info.shape == (2 + n_action,)
+    np.testing.assert_array_equal(info[2:], 0.0)  # no action taken yet
+    assert info[0] == pytest.approx(4.0) and info[1] == pytest.approx(4.0)
+
+
+def test_custom_placement_invalid_dir_raises():
+    """The reference LOG(FATAL)s on pos_dir >= DIR_NUM even with turn_mode
+    off (GridWorld.cc:249-251)."""
+    env = battle_env()
+    h0, _h1 = env.get_handles()
+    with pytest.raises(ValueError):
+        env.add_agents(h0, method="custom", pos=[[3, 3, 7]])

@@ -172,3 +172,29 @@ def test_smem_split_paths_match(monkeypatch):
     g4 = wg.window_gather4(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                            chunk=6, interpret=True)
     np.testing.assert_allclose(np.asarray(g4), np.asarray(ref), atol=1e-6)
+
+
+def test_smem_split_gather4_single_env(monkeypatch):
+    """A single huge env past the gather4 SMEM budget must split over AGENT
+    sub-ranges (window_gather4's B==1 fallback) instead of launching a
+    kernel with oversized scalar-prefetch operands."""
+    import jax
+    import jax.numpy as jnp
+    from magent_tpu.ops import window_gather as wg
+
+    B, H, W, C, N = 1, 23, 29, 3, 13
+    vh, vw = 5, 5
+    Hp, Wp, lanes, pad_y, pad_x = wg.padded_geometry(H, W, C, vh, vw)
+    key = jax.random.PRNGKey(11)
+    gfull = jax.random.uniform(key, (B, Hp, lanes), jnp.float32)
+    xs = jax.random.randint(key, (B, N), 0, W)
+    ys = jax.random.randint(jax.random.fold_in(key, 1), (B, N), 0, H)
+    pos = ((ys + pad_y) * Wp + (xs + pad_x)) * 1024
+    mask = jnp.ones((vh, vw * C), jnp.float32)
+
+    ref = wg.window_gather_xla(gfull, pos // 1024, mask,
+                               vh=vh, vw=vw, C=C, Wp=Wp)
+    monkeypatch.setattr(wg, "SMEM_BUDGET_G4", 8)  # << n_pad: forces splits
+    g4 = wg.window_gather4(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                           chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(ref), atol=1e-6)
