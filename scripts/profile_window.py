@@ -1,0 +1,287 @@
+"""Cost-ladder profile of the window-gather kernel at battle bench geometry.
+
+The production kernel (ops/window_gather.py:window_gather4 + fused minimap
+epilogue) measures ~0.7ms per call at B=16, N=2048/group — and measured the
+SAME as the roll kernel despite 3x smaller loads, so the binding resource is
+unclear (vector issue vs scalar unit vs store).  This script times a ladder
+of stripped kernel variants, each adding one cost component, to localize it:
+
+    floor   per-agent loop + constant store only
+    smem    + SMEM scalar reads and bitfield unpacks
+    load    + aligned (16,128) dynamic-slice load per agent
+    roll1   + dynamic sublane roll
+    roll2   + dynamic lane roll (the full alignment)
+    mask    + mask multiply (== production gather4, no minimap)
+    epi     + minimap epilogue (== production fused path)
+    shared  one load per chunk (agents pre-sorted by tile), per-agent rolls
+
+If `shared` is much faster than `mask`, sorting agents by aligned tile and
+sharing loads is the next optimization; if `floor` already costs most of
+`mask`, the per-agent scalar loop is the wall and only an agents-on-lanes
+redesign helps.
+
+Usage:  python scripts/profile_window.py [variant ...]
+        MAGENT_PW_INTERPRET=1 python scripts/profile_window.py  (CPU check)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/magent_tpu_jax_cache")
+
+INTERPRET = os.environ.get("MAGENT_PW_INTERPRET", "0") == "1"
+if INTERPRET:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magent_tpu.ops import window_gather as wg
+
+# battle bench geometry (bench.py: map 200, 2x1000 agents, B=16 envs)
+H = W = 200
+C = 5
+VH = VW = 13
+B = 4 if INTERPRET else 16
+N = 64 if INTERPRET else 2048
+CHUNK = 8 if INTERPRET else 200
+STEPS = 2 if INTERPRET else 64
+CALLS = 1 if INTERPRET else 3
+
+Hp, Wp, LANES_IMG, PAD_Y, PAD_X = wg.padded_geometry(H, W, C, VH, VW)
+VWC = VW * C
+ROWS, LANES = 16, 128
+MINOR = 64
+
+
+def make_inputs(key):
+    kx, ky, kg = jax.random.split(key, 3)
+    x = jax.random.randint(kx, (B, N), 0, W, jnp.int32)
+    y = jax.random.randint(ky, (B, N), 0, H, jnp.int32)
+    tlx = x + PAD_X - VW // 2
+    tly = y + PAD_Y - VH // 2
+    pos = tly * Wp + tlx
+    gfull = jax.random.uniform(kg, (B, Hp, LANES_IMG), jnp.float32)
+    mask = jnp.ones((VH, VWC), jnp.float32)
+    mm_img = jnp.zeros((B, VH, VWC), jnp.float32)
+    mm_mask = jnp.ones((VH, VWC), jnp.float32)
+    act = jnp.ones((B, N), jnp.int32)
+    return gfull, pos, mask, mm_img, mm_mask, act
+
+
+def precompute(pos):
+    """Same packed word/aux scheme as window_gather4."""
+    p = pos
+    yy = p // Wp
+    lane = (p % Wp) * C
+    y8 = (yy // 8) * 8
+    l128 = (lane // 128) * 128
+    ry = yy - y8
+    rl = lane - l128
+    sel_r = (ry >= 4).astype(jnp.int32)
+    sel_l = (rl >= MINOR).astype(jnp.int32)
+    rep = sel_r * 2 + sel_l
+    rry = (ROWS - (ry - sel_r * 4)) % ROWS
+    rrl = (LANES - (rl - sel_l * MINOR)) % LANES
+    word = (rep << 29) | (y8 << 15) | l128
+    aux = (rry << 17) | (rrl << 10)
+    return word, aux
+
+
+def make_reps(gfull):
+    def shift(img, dr, dl):
+        out = img
+        if dr:
+            out = jnp.pad(out[:, dr:], ((0, 0), (0, dr), (0, 0)))
+        if dl:
+            out = jnp.pad(out[:, :, dl:], ((0, 0), (0, 0), (0, dl)))
+        return out
+    return jnp.stack([shift(gfull, 0, 0), shift(gfull, 0, MINOR),
+                      shift(gfull, 4, 0), shift(gfull, 4, MINOR)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("level",))
+def ladder(gfull, pos, mask, *, level):
+    """Variant kernel: includes all cost components up to `level`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    word, aux = precompute(pos)
+    reps = make_reps(gfull)
+    n_pad = wg._ceil_to(N, CHUNK)
+
+    def kernel(word_ref, aux_ref, g_ref, mask_ref, out_ref):
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+        base = b * n_pad + k * CHUNK
+        m = mask_ref[...]
+        const = g_ref[0, 0, :VH, :VWC] * 0.0 + 1.0
+
+        def body(a, _):
+            if level == "floor":
+                out_ref[0, a] = const
+                return 0
+            w = word_ref[base + a]
+            x = aux_ref[base + a]
+            rep = w >> 29
+            y8 = (w >> 15) & 0x3FFF
+            l128 = w & 0x7FFF
+            rry = (x >> 17) & 0xF
+            rrl = (x >> 10) & 0x7F
+            if level == "smem":
+                scalar = (rep + y8 + l128 + rry + rrl).astype(jnp.float32)
+                out_ref[0, a] = const * scalar
+                return 0
+            win = g_ref[
+                rep, 0,
+                pl.ds(pl.multiple_of(y8, 8), ROWS),
+                pl.ds(pl.multiple_of(l128, 128), LANES),
+            ]
+            if level in ("roll1", "roll2", "mask"):
+                win = pltpu.roll(win, rry, 0)
+            if level in ("roll2", "mask"):
+                win = pltpu.roll(win, rrl, 1)
+            out = win[:VH, :VWC]
+            if level == "mask":
+                out = out * m
+            out_ref[0, a] = out
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, body, 0, unroll=CHUNK)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_pad // CHUNK),
+            in_specs=[
+                pl.BlockSpec((4, 1, Hp, LANES_IMG), lambda b, k, w, x: (0, b, 0, 0)),
+                pl.BlockSpec((VH, VWC), lambda b, k, w, x: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, CHUNK, VH, VWC), lambda b, k, w, x: (b, k, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, VH, VWC), jnp.float32),
+        interpret=INTERPRET,
+    )(word.reshape(-1), aux.reshape(-1), reps, mask)
+    return out[:, :N]
+
+
+@jax.jit
+def shared_tile(gfull, pos, mask):
+    """One aligned load per chunk: agents of a chunk share a tile corner.
+
+    Synthetic stand-in for a sorted-by-tile layout: corner taken from the
+    chunk's first agent; per-agent rolls still run (their amounts are the
+    real per-agent residuals, so vector work matches the `mask` level —
+    only per-agent load addressing is removed).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    word, aux = precompute(pos)
+    reps = make_reps(gfull)
+    n_pad = wg._ceil_to(N, CHUNK)
+
+    def kernel(word_ref, aux_ref, g_ref, mask_ref, out_ref):
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+        base = b * n_pad + k * CHUNK
+        m = mask_ref[...]
+        w0 = word_ref[base]
+        win0 = g_ref[
+            w0 >> 29, 0,
+            pl.ds(pl.multiple_of((w0 >> 15) & 0x3FFF, 8), ROWS),
+            pl.ds(pl.multiple_of(w0 & 0x7FFF, 128), LANES),
+        ]
+
+        def body(a, _):
+            x = aux_ref[base + a]
+            win = pltpu.roll(win0, (x >> 17) & 0xF, 0)
+            win = pltpu.roll(win, (x >> 10) & 0x7F, 1)
+            out_ref[0, a] = win[:VH, :VWC] * m
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, body, 0, unroll=CHUNK)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_pad // CHUNK),
+            in_specs=[
+                pl.BlockSpec((4, 1, Hp, LANES_IMG), lambda b, k, w, x: (0, b, 0, 0)),
+                pl.BlockSpec((VH, VWC), lambda b, k, w, x: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, CHUNK, VH, VWC), lambda b, k, w, x: (b, k, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, VH, VWC), jnp.float32),
+        interpret=INTERPRET,
+    )(word.reshape(-1), aux.reshape(-1), reps, mask)
+    return out[:, :N]
+
+
+def timed(name, fn, *args):
+    @jax.jit
+    def run(args):
+        def step(c, _):
+            out = fn(*c)
+            # fold the output back into a carried scalar so the scan can't
+            # hoist the kernel; read a lane-friendly slice per agent
+            sink = jnp.sum(out[:, :, 0, 0])
+            return c, sink
+        _, sinks = jax.lax.scan(step, args, None, length=STEPS)
+        return jnp.sum(sinks)
+
+    print(f"[{time.strftime('%H:%M:%S')}] compiling {name}...", flush=True)
+    s = run(args)
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(CALLS):
+        float(run(args))
+    dt = time.perf_counter() - t0
+    per_call = dt / (STEPS * CALLS) * 1e3
+    print(f"{name:10s} {per_call:7.3f} ms/call   ({B}x{N} agents)", flush=True)
+
+
+def main():
+    which = sys.argv[1:] or [
+        "floor", "smem", "load", "roll1", "roll2", "mask",
+        "shared", "prod", "prod_mm",
+    ]
+    gfull, pos, mask, mm_img, mm_mask, act = make_inputs(jax.random.PRNGKey(0))
+
+    for lvl in ("floor", "smem", "load", "roll1", "roll2", "mask"):
+        if lvl in which:
+            timed(lvl, lambda g, p, m, lvl=lvl: ladder(g, p, m, level=lvl),
+                  gfull, pos, mask)
+    if "shared" in which:
+        timed("shared", shared_tile, gfull, pos, mask)
+    if "prod" in which:
+        timed("prod", lambda g, p, m: wg.window_gather4(
+            g, p * 1024, m, vh=VH, vw=VW, C=C, Wp=Wp, chunk=CHUNK,
+            interpret=INTERPRET), gfull, pos, mask)
+    if "prod_mm" in which:
+        timed("prod_mm", lambda g, p, m: wg.window_gather4(
+            g, p * 1024, m, mm_img, mm_mask, act, vh=VH, vw=VW, C=C, Wp=Wp,
+            chunk=CHUNK, interpret=INTERPRET), gfull, pos, mask)
+
+    # correctness spot-check: mask level == production gather4
+    ref = wg.window_gather4(gfull, pos * 1024, mask, vh=VH, vw=VW, C=C,
+                            Wp=Wp, chunk=CHUNK, interpret=INTERPRET)
+    got = ladder(gfull, pos, mask, level="mask")
+    err = float(jnp.max(jnp.abs(ref - got)))
+    print("ladder(mask) vs window_gather4 max|diff| =", err)
+    assert err == 0.0, err
+
+
+if __name__ == "__main__":
+    main()
