@@ -25,3 +25,18 @@ class Environment:
 
     def get_reward(self, handle):
         pass
+
+    def render_next_file(self):
+        pass
+
+    def get_num(self, handle):
+        pass
+
+    def get_action_space(self, handle):
+        pass
+
+    def get_view_space(self, handle):
+        pass
+
+    def get_feature_space(self, handle):
+        pass

@@ -196,6 +196,38 @@ def download_model(url):
     os.remove(name)
 
 
+def check_model(name):
+    """Ensure a named pretrained model is present, downloading it otherwise
+    (reference: utility.py:242-270).  In network-less environments the
+    download raises with a pointer to the local training example that
+    produces the same checkpoints."""
+    import os
+
+    infos = {
+        "against": (
+            ("save_model/against/dqn_0.npz",),
+            "https://raw.githubusercontent.com/merrymercy/merrymercy."
+            "github.io/master/_data/magent/against-0.tar.gz",
+        ),
+        "battle-game": (
+            ("save_model/trusty-battle-game-l/dqn_0.npz",
+             "save_model/trusty-battle-game-r/dqn_0.npz"),
+            "https://raw.githubusercontent.com/merrymercy/merrymercy."
+            "github.io/master/_data/magent/battle_model.tar.gz",
+        ),
+        "arrange": (
+            ("save_model/arrange/dqn_10.npz",),
+            "https://raw.githubusercontent.com/merrymercy/merrymercy."
+            "github.io/master/_data/magent/arrange_game.tar.gz",
+        ),
+    }
+    if name not in infos:
+        raise RuntimeError("Unknown model name")
+    checks, url = infos[name]
+    if not all(os.path.exists(c) for c in checks):
+        download_model(url)
+
+
 class FontProvider:
     """8x8 pixel font for the arrange demo (reference: utility.py:271-305)."""
 

@@ -226,3 +226,22 @@ def test_drqn_eval_obs_used():
     np.testing.assert_allclose(got, float(np.mean(q)), rtol=1e-6)
     m.eval_obs = None
     assert m._eval(123.0) == 123.0
+
+
+def test_check_model(tmp_path, monkeypatch):
+    """check_model passes when the named checkpoints exist locally and
+    raises a clear error otherwise (reference: utility.py:242-270; this
+    environment has no egress, so the download path must fail loudly)."""
+    from magent_tpu.utility import check_model
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(RuntimeError, match="Unknown model name"):
+        check_model("bogus")
+
+    p = tmp_path / "save_model" / "arrange"
+    p.mkdir(parents=True)
+    (p / "dqn_10.npz").write_bytes(b"")
+    check_model("arrange")  # present -> no download, no raise
+
+    with pytest.raises(RuntimeError):
+        check_model("battle-game")  # absent -> download attempt fails
