@@ -100,7 +100,7 @@ def parse_rgba(style):
     return (r, g, b, a)
 
 
-def draw_frame(cfg, body, cell, out_path, origin=(0, 0)):
+def draw_frame(cfg, body, cell, out_path, origin=(0, 0), ranges=False):
     """Draw one 'f' reply using replay.js's layer rules."""
     ox, oy = origin
     W, H = cfg["width"], cfg["height"]
@@ -128,6 +128,26 @@ def draw_frame(cfg, body, cell, out_path, origin=(0, 0)):
         x, y = map(float, b.split()[:2])
         dr.rectangle([tx(x), ty(y), tx(x) + cell - 1, ty(y) + cell - 1],
                      fill=(210, 180, 80, 255))
+
+    # attack-range sector layer (replay.js sectorPath; below bodies)
+    if ranges and cell >= 4:
+        for a in agents:
+            _id, x, y, group, d, _hp = (int(v) for v in a.split())
+            g = cfg.get("group", [{}] * (group + 1))[group]
+            w, h = g.get("width", 1), g.get("height", 1)
+            if d % 180 != 0:
+                w, h = h, w
+            r = float(g.get("attack-radius", 1)) * cell
+            ang = float(g.get("attack-angle", 360))
+            cx = tx(x) + w * cell / 2.0
+            cy = ty(y) + h * cell / 2.0
+            fill = parse_rgba(g.get("attack-style", "rgba(0,0,0,0.1)"))
+            box = [cx - r, cy - r, cx + r, cy + r]
+            if ang >= 360:
+                dr.ellipse(box, fill=fill)
+            else:
+                center = d - 90  # canvas angles: 0deg = +x, clockwise
+                dr.pieslice(box, center - ang / 2, center + ang / 2, fill=fill)
 
     # body + facing-tick + hp layers
     dir_tick = {0: (1, 0.5), 90: (0.5, 1), 180: (0, 0.5), 270: (0.5, 0)}
@@ -199,6 +219,8 @@ def main():
     ap.add_argument("--out", default="doc/replay_frame.png")
     ap.add_argument("--cell", type=int, default=12)
     ap.add_argument("--port", type=int, default=9535)
+    ap.add_argument("--ranges", action="store_true",
+                    help="draw attack-range sectors (replay.js 'ranges' box)")
     args = ap.parse_args()
 
     if not os.path.exists(RENDER_BIN):
@@ -226,7 +248,7 @@ def main():
         client.send("p%d 0 0 %d %d" % (frame, cfg["width"], cfg["height"]))
         reply = client.recv()
         assert reply[0] == "f", reply[:120]
-        draw_frame(cfg, reply[1:], args.cell, args.out)
+        draw_frame(cfg, reply[1:], args.cell, args.out, ranges=args.ranges)
         print("wrote %s (frame %d/%d, %dx%d cells)"
               % (args.out, frame, nframes, cfg["width"], cfg["height"]))
     finally:

@@ -133,40 +133,90 @@ function drawCounts(ctSection) {
 
 const DIR_TICK = { 0: [1, 0.5], 90: [0.5, 1], 180: [0, 0.5], 270: [0.5, 0] };
 
+// current frame's dynamic content + the previous frame's positions by
+// agent id, for smooth interpolation while playing (reference UI animates
+// agents between frames: render-handle.js _drawAgent(_mapData, _mapLastData))
+let curDyn = null;       // {frame, events, agents, breads}
+let lastPos = null;      // Map id -> [x, y] from the previous frame
+let frameArrived = 0;    // performance.now() when curDyn landed
+
 function drawFrame(body) {
   const parts = body.split(";");
-  const events = splitRecords(parts[0]);
-  const agents = splitRecords(parts[1]);
-  const breads = splitRecords(parts[2]);
-  const obstacles = splitRecords(parts[3]);
+  const agents = splitRecords(parts[1]).map(a => a.split(" ").map(Number));
 
-  drawStatic(obstacles);
+  const prev = curDyn;
+  lastPos = null;
+  if (prev && frame === prev.frame + 1 &&
+      document.getElementById("smooth").checked) {
+    lastPos = new Map(prev.agents.map(f => [f[0], [f[1], f[2]]]));
+  }
+  curDyn = {
+    frame: frame,
+    events: splitRecords(parts[0]).map(e => e.split(" ").map(Number)),
+    agents: agents,
+    breads: splitRecords(parts[2]).map(b => b.split(" ").map(Number)),
+  };
+  frameArrived = performance.now();
+
+  drawStatic(splitRecords(parts[3]));
   drawMinimap(parts[4]);
   drawCounts(parts[5]);
+  drawDynamic(lastPos ? 0 : 1);
+}
 
+function sectorPath(cx, cy, radius, angleDeg, dirDeg) {
+  // attack-range sector, centered on the agent, facing `dir` (NORTH=up at
+  // dir 0; reference render-handle.js:449-467 draws the same arc rotated)
+  const half = (angleDeg / 360) * Math.PI;  // half-angle in radians
+  const center = (dirDeg * Math.PI) / 180 - Math.PI / 2;
+  ctx.beginPath();
+  if (angleDeg < 360) ctx.moveTo(cx, cy);
+  ctx.arc(cx, cy, radius, center - half, center + half, false);
+  if (angleDeg < 360) ctx.closePath();
+  ctx.fill();
+}
+
+function drawDynamic(t) {
+  if (!curDyn) return;
   ctx.clearRect(0, 0, cv.width, cv.height);
+  const showRanges = document.getElementById("ranges").checked && cell >= 4;
 
   // food
   ctx.fillStyle = "rgba(210,180,80,1)";
-  for (const b of breads) {
-    const [x, y] = b.split(" ").map(Number);
-    ctx.fillRect(toX(x), toY(y), cell, cell);
+  for (const b of curDyn.breads) {
+    ctx.fillRect(toX(b[0]), toY(b[1]), cell, cell);
+  }
+
+  // attack-range layer (below bodies, like the reference's range canvas)
+  if (showRanges) {
+    for (const f of curDyn.agents) {
+      const [id, x, y, group, dir] = f;
+      const g = (config.group || [])[group] || {};
+      ctx.fillStyle = g["attack-style"] || "rgba(0,0,0,0.1)";
+      let w = g.width || 1, h = g.height || 1;
+      if (dir % 180 !== 0) { const s = w; w = h; h = s; }
+      sectorPath(toX(x) + w * cell / 2, toY(y) + h * cell / 2,
+                 (Number(g["attack-radius"]) || 1) * cell,
+                 Number(g["attack-angle"]) || 360, dir);
+    }
   }
 
   // agent bodies + hp bars + facing ticks
-  for (const a of agents) {
-    const f = a.split(" ").map(Number);
-    const [id, x, y, group, dir, hp] = f;
+  for (const f of curDyn.agents) {
+    const [id, x1, y1, group, dir, hp] = f;
+    let x = x1, y = y1;
+    const lp = lastPos && lastPos.get(id);
+    if (lp && t < 1) { x = lp[0] + (x1 - lp[0]) * t; y = lp[1] + (y1 - lp[1]) * t; }
     const style = config.group && config.group[group];
     let w = style ? style.width : 1, h = style ? style.height : 1;
-    if (dir % 180 !== 0) { const t = w; w = h; h = t; }
+    if (dir % 180 !== 0) { const s = w; w = h; h = s; }
     ctx.fillStyle = groupStyles[group] || "rgba(0,0,0,1)";
     ctx.fillRect(toX(x), toY(y), w * cell, h * cell);
     if (cell >= 6) {
-      const t = DIR_TICK[((dir % 360) + 360) % 360] || [1, 0.5];
+      const tick = DIR_TICK[((dir % 360) + 360) % 360] || [1, 0.5];
       ctx.fillStyle = "rgba(0,0,0,0.55)";
-      ctx.fillRect(toX(x) + t[0] * (w * cell) - 2,
-                   toY(y) + t[1] * (h * cell) - 2, 3, 3);
+      ctx.fillRect(toX(x) + tick[0] * (w * cell) - 2,
+                   toY(y) + tick[1] * (h * cell) - 2, 3, 3);
     }
     if (cell >= 5) {  // hp layer
       ctx.fillStyle = "rgba(220,40,40,0.8)";
@@ -178,15 +228,25 @@ function drawFrame(body) {
 
   // attack events: "type id x y" — cross on the target cell
   ctx.strokeStyle = config["attack-style"] || "rgba(63,63,63,0.8)";
-  for (const e of events) {
-    const [type, id, x, y] = e.split(" ").map(Number);
-    const cx = toX(x), cy = toY(y);
+  for (const e of curDyn.events) {
+    const cx = toX(e[2]), cy = toY(e[3]);
     ctx.beginPath();
     ctx.moveTo(cx, cy); ctx.lineTo(cx + cell, cy + cell);
     ctx.moveTo(cx + cell, cy); ctx.lineTo(cx, cy + cell);
     ctx.stroke();
   }
 }
+
+// interpolation loop: while a fresh frame is <1 frame-period old, redraw
+// the dynamic layer at the fractional position between frames
+(function animate() {
+  if (lastPos && curDyn) {
+    const t = Math.min(1, (performance.now() - frameArrived) * fps / 1000);
+    drawDynamic(t);
+    if (t >= 1) lastPos = null;
+  }
+  window.requestAnimationFrame(animate);
+})();
 
 function toX(x) { return (x - originX) * cell; }
 function toY(y) { return (y - originY) * cell; }
@@ -207,6 +267,9 @@ scrub.addEventListener("input", () => {
   frame = Number(scrub.value);
   requestFrame();
 });
+
+document.getElementById("ranges").addEventListener("change", () => drawDynamic(1));
+document.getElementById("smooth").addEventListener("change", () => drawDynamic(1));
 
 setInterval(() => {
   if (playing && nFrames > 0) {
