@@ -1,0 +1,196 @@
+"""Randomized differential fuzz: reference C++ engine vs the sequential
+(bit-exact) engine mode, over RANDOM configs — beyond the 14 fixed golden
+scenarios.
+
+Each seed draws a config (agent-type attributes, modes, reward rules,
+walls, populations), drives BOTH engines with the identical seeded action
+stream, and compares the full getter surface every step (num / ids / pos /
+alive / rewards bit-wise, hp-dependent rewards to 1e-5) plus the first
+step's observations.
+
+Requires the reference build (see CLAUDE.md):
+    cp -r /root/reference /tmp/refbuild
+    cmake -S /tmp/refbuild -B /tmp/refbuild/build -G Ninja
+    ninja -C /tmp/refbuild/build magent
+
+Usage:
+    OMP_NUM_THREADS=1 python scripts/test/fuzz_reference.py \
+        [--seeds 25] [--start 0] [--steps 8] [--reference /tmp/refbuild]
+
+The reference attack loop is an OpenMP merge reduction; OMP_NUM_THREADS=1
+makes its event order deterministic (same requirement as
+tests/golden/generate_golden.py).
+"""
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+
+def random_config(gw, rng):
+    """Draw a reference-legal 2-group config with random attributes, modes
+    and reward rules (attribute ranges follow the builtin configs)."""
+    map_size = rng.choice([20, 28, 36, 48])
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size})
+    cfg.set({"embedding_size": rng.choice([0, 4, 10])})
+    if rng.random() < 0.35:
+        cfg.set({"minimap_mode": True})
+    if rng.random() < 0.35:
+        cfg.set({"food_mode": True})
+    turn = rng.random() < 0.25
+    if turn:
+        cfg.set({"turn_mode": True})
+
+    def rand_type(name):
+        w = rng.choice([1, 1, 1, 2]) if turn else 1
+        attrs = {
+            "width": w, "length": w,
+            "hp": rng.choice([3, 5, 10, 15]),
+            "speed": rng.choice([1, 1, 2, 3]),
+            "view_range": gw.CircleRange(rng.choice([1, 2, 4, 6])),
+            "attack_range": gw.CircleRange(rng.choice([0, 1, 1, 1.5, 2])),
+            "damage": rng.choice([0, 1, 2, 4]),
+            "step_recover": rng.choice([-0.5, -0.1, 0, 0.1, 0.2]),
+            "step_reward": rng.choice([0, -0.01, 1]),
+            "kill_reward": rng.choice([0, 5, 100]),
+            "dead_penalty": rng.choice([0, -0.1, -1]),
+            "attack_penalty": rng.choice([0, -0.1]),
+            "kill_supply": rng.choice([0, 0, 8]),
+            "attack_in_group": rng.random() < 0.25,
+        }
+        return cfg.register_agent_type(name, attrs)
+
+    g0 = cfg.add_group(rand_type("t0"))
+    g1 = cfg.add_group(rand_type("t1"))
+    a = gw.AgentSymbol(g0, index="any")
+    b = gw.AgentSymbol(g1, index="any")
+    for sub, obj in ((a, b), (b, a)):
+        if rng.random() < 0.8:
+            cfg.add_reward_rule(gw.Event(sub, "attack", obj), receiver=sub,
+                                value=round(rng.uniform(0.1, 1), 2))
+        if rng.random() < 0.4:
+            cfg.add_reward_rule(gw.Event(sub, "kill", obj), receiver=sub,
+                                value=rng.choice([1, 4]))
+    if rng.random() < 0.3:
+        # conjunctive pair rule (double_attack shape)
+        a2 = gw.AgentSymbol(g0, index="any")
+        e1 = gw.Event(a, "attack", b)
+        e2 = gw.Event(a2, "attack", b)
+        cfg.add_reward_rule(e1 & e2, receiver=[a, a2], value=[1, 1])
+    if rng.random() < 0.3:
+        half = map_size // 2
+        cfg.add_reward_rule(
+            gw.Event(a, "in", ((1, 1), (half, half))), receiver=a, value=0.5)
+    return cfg, map_size
+
+
+def drive(magent_module, cfg_builder, seed, steps, record_views):
+    """Build + drive one engine; returns the per-step getter trace."""
+    gw = magent_module.gridworld
+    rng = random.Random(seed)
+    cfg, map_size = cfg_builder(gw, rng)
+    env = magent_module.GridWorld(cfg)
+    handles = env.get_handles()
+    env.reset()
+    n_walls = rng.choice([0, 0, 8, 20])
+    if n_walls:
+        env.add_walls(method="random", n=n_walls)
+    n0 = rng.randrange(8, 30)
+    n1 = rng.randrange(8, 30)
+    env.add_agents(handles[0], method="random", n=n0)
+    env.add_agents(handles[1], method="random", n=n1)
+
+    trace = []
+    arng = np.random.RandomState(10_000 + seed)
+    done = False
+    for step in range(steps):
+        if done:
+            break
+        rec = {}
+        for i, h in enumerate(handles):
+            view, feat = env.get_observation(h)
+            if record_views and step == 0:
+                rec["view0_%d" % i] = np.array(view, np.float32, copy=True)
+                rec["feat0_%d" % i] = np.array(feat, np.float32, copy=True)
+            n = env.get_num(h)
+            acts = arng.randint(0, env.get_action_space(h)[0], n).astype(np.int32)
+            env.set_action(h, acts)
+        done = bool(env.step())
+        for i, h in enumerate(handles):
+            rec["num_%d" % i] = env.get_num(h)
+            rec["ids_%d" % i] = np.asarray(env.get_agent_id(h), np.int32).copy()
+            rec["pos_%d" % i] = np.asarray(env.get_pos(h), np.int32).copy()
+            rec["rew_%d" % i] = np.asarray(env.get_reward(h), np.float32).copy()
+            rec["alive_%d" % i] = np.asarray(env.get_alive(h), bool).copy()
+        rec["done"] = done
+        trace.append(rec)
+        env.clear_dead()
+    return trace
+
+
+def compare(seed, ref_trace, our_trace):
+    assert len(ref_trace) == len(our_trace), (
+        "seed %d: episode length %d vs %d"
+        % (seed, len(ref_trace), len(our_trace)))
+    for step, (r, o) in enumerate(zip(ref_trace, our_trace)):
+        assert set(r) == set(o), (seed, step, set(r) ^ set(o))
+        for key, rv in r.items():
+            ov = o[key]
+            where = "seed %d step %d %s" % (seed, step, key)
+            if key.startswith(("rew", "view0", "feat0")):
+                np.testing.assert_allclose(ov, rv, atol=1e-5, err_msg=where)
+            elif key.startswith(("num", "done")):
+                assert ov == rv, "%s: %s vs %s" % (where, ov, rv)
+            else:
+                np.testing.assert_array_equal(ov, rv, err_msg=where)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--reference", default="/tmp/refbuild")
+    parser.add_argument("--seeds", type=int, default=25)
+    parser.add_argument("--start", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--views", action="store_true",
+                        help="also compare first-step observations")
+    args = parser.parse_args()
+
+    os.environ["OMP_NUM_THREADS"] = "1"
+    sys.path.insert(0, os.path.join(args.reference, "python"))
+    import magent as ref_magent  # the reference package
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import magent_tpu
+
+    class SeqTPU:
+        """magent_tpu facade pinning engine_mode='sequential'."""
+        gridworld = magent_tpu.gridworld
+
+        @staticmethod
+        def GridWorld(cfg, **kw):
+            return magent_tpu.GridWorld(cfg, engine_mode="sequential", **kw)
+
+    failures = 0
+    for seed in range(args.start, args.start + args.seeds):
+        ref = drive(ref_magent, random_config, seed, args.steps, args.views)
+        ours = drive(SeqTPU, random_config, seed, args.steps, args.views)
+        try:
+            compare(seed, ref, ours)
+            print("seed %d ok (%d steps)" % (seed, len(ref)), flush=True)
+        except AssertionError as e:
+            failures += 1
+            print("seed %d FAILED: %s" % (seed, str(e)[:500]), flush=True)
+    print("done: %d/%d seeds passed" % (args.seeds - failures, args.seeds))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
