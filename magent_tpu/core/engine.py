@@ -157,8 +157,9 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
     else:
         tgt = jnp.where(is_attack & in_board, state.cell_slot[tyc, txc], -1)
     if spec.food_mode:
-        food_amount = jnp.where(is_attack & in_board, state.cell_food[tyc, txc], 0.0)
-        food_target = is_attack & (tgt < 0) & (food_amount > 0.0)
+        food_amount = jnp.where(is_attack & in_board, state.cell_food[tyc, txc], -1.0)
+        # presence is >= 0: a 0-value corpse is still attackable food
+        food_target = is_attack & (tgt < 0) & (food_amount >= 0.0)
 
     # target group from boundary compares on the contiguous per-group slot
     # ranges (free), never a gather
@@ -352,7 +353,9 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
         n_eaters = jnp.zeros(H * W + 1, jnp.int32).at[f_cell].add(
             f_ok.astype(jnp.int32))[: H * W]
         flat_food = flat_food - eaten_tot
-        flat_food = jnp.where((flat_food < 0.1) & (n_eaters > 0), 0.0,
+        # an eat leaving <0.1 DELETES the food (cell becomes blank,
+        # Map.cc:299-303); uneaten sub-0.1 food persists and still blocks
+        flat_food = jnp.where((flat_food < 0.1) & (n_eaters > 0), -1.0,
                               flat_food)
         cell_food = flat_food.reshape(H, W)
 
@@ -465,7 +468,7 @@ def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
     # "blocked?" and "by whom?" (gathers are index-cost-dominated on TPU)
     enc = jnp.where(state.cell_wall, -2, state.cell_slot)
     if spec.food_mode:
-        enc = jnp.where(state.cell_food > 0.0, -3, enc)
+        enc = jnp.where(state.cell_food >= 0.0, -3, enc)
     for i in range(MB):
         for j in range(MB):
             cell_ok = is_move & (i < bw) & (j < bh)
@@ -630,7 +633,7 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
     blank = is_turn & in_bounds
     enc = jnp.where(state.cell_wall, -2, state.cell_slot)
     if spec.food_mode:
-        enc = jnp.where(state.cell_food > 0.0, -3, enc)
+        enc = jnp.where(state.cell_food >= 0.0, -3, enc)
     for i in range(MB):
         for j in range(MB):
             cell_ok = is_turn & (i < nbw) & (j < nbh)

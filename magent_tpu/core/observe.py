@@ -99,7 +99,7 @@ def make_grids(spec: speclib.GameSpec):
         )
         if spec.food_mode:
             base = base.at[pad_y : pad_y + H, pad_x : pad_x + W].min(
-                jnp.where(state.cell_food > 0.0, 1 << _HP_SHIFT, C << _HP_SHIFT)
+                jnp.where(state.cell_food >= 0.0, 1 << _HP_SHIFT, C << _HP_SHIFT)
             )
 
         ok_agent = state.active & ~state.dead
@@ -415,7 +415,7 @@ def _make_observe_rotating(spec: speclib.GameSpec, group: int, *,
         agent_ch = base + jnp.asarray(group_of_slot)[occ_c] * scale
         ch = jnp.where(
             state.cell_wall, 0,
-            jnp.where(state.cell_food > 0.0, 1 if spec.food_mode else -1,
+            jnp.where(state.cell_food >= 0.0, 1 if spec.food_mode else -1,
                       jnp.where(is_agent_cell, agent_ch, -1)),
         )
         perm_ext = jnp.concatenate([jnp.asarray(perm), jnp.asarray([C], jnp.int32)])

@@ -246,7 +246,7 @@ class SequentialEngine:
         """(kind, payload): 'agent' slot, 'food', or None."""
         if S["cell_slot"][y, x] >= 0:
             return "agent", int(S["cell_slot"][y, x])
-        if self.spec.food_mode and S["cell_food"][y, x] > 0.0:
+        if self.spec.food_mode and S["cell_food"][y, x] >= 0.0:
             return "food", None
         return None, None
 
@@ -297,7 +297,8 @@ class SequentialEngine:
             S["hp"][slot] = min(f32(t.hp), f32(S["hp"][slot]) + add)
             S["cell_food"][ty, tx] = f32(S["cell_food"][ty, tx]) - add
             if S["cell_food"][ty, tx] < 0.1:
-                S["cell_food"][ty, tx] = 0.0
+                # deletion on eat (Map.cc:299-303): cell becomes blank
+                S["cell_food"][ty, tx] = -1.0
             S["next_reward"][slot] = f32(S["next_reward"][slot]) + (f32(0.0) + f32(penalty))
 
     def _body_rect(self, S, slot):
@@ -321,7 +322,7 @@ class SequentialEngine:
                 occ = S["cell_slot"][y + j, x + i]
                 if occ >= 0 and occ != self_slot:
                     return False
-                if spec.food_mode and S["cell_food"][y + j, x + i] > 0.0:
+                if spec.food_mode and S["cell_food"][y + j, x + i] >= 0.0:
                     return False
         return True
 

@@ -27,7 +27,8 @@ class State:
     # grid (indexed [y, x])
     cell_slot: jnp.ndarray  # int32 [H, W], occupying agent slot or -1
     cell_wall: jnp.ndarray  # bool  [H, W]
-    cell_food: jnp.ndarray  # float32 [H, W], food hp (food_mode), 0 = none
+    cell_food: jnp.ndarray  # float32 [H, W], food hp; -1 = none (a 0-value
+    # corpse still OCCUPIES its cell in the reference, Map.cc:277-284)
 
     # agents (capacity A)
     x: jnp.ndarray  # int32 [A], stored top-left of body rect ("save" coords)
@@ -69,7 +70,7 @@ def init_state(spec: speclib.GameSpec, seed: int | None = None) -> State:
     return State(
         cell_slot=jnp.full((H, W), -1, dtype=jnp.int32),
         cell_wall=wall,
-        cell_food=jnp.zeros((H, W), dtype=jnp.float32),
+        cell_food=jnp.full((H, W), -1.0, dtype=jnp.float32),
         x=jnp.zeros(A, dtype=jnp.int32),
         y=jnp.zeros(A, dtype=jnp.int32),
         dir=jnp.full(A, speclib.NORTH, dtype=jnp.int32),

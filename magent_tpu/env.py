@@ -250,7 +250,7 @@ class GridWorld:
         occ = np.asarray(self.state.cell_slot)
         wall = np.asarray(self.state.cell_wall)
         food = np.asarray(self.state.cell_food)
-        return wall | (occ >= 0) | (food > 0), wall
+        return wall | (occ >= 0) | (food >= 0), wall
 
     def add_agents(self, handle, method, **kwargs):
         group = handle.value if isinstance(handle, Handle) else int(handle)

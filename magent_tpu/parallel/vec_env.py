@@ -119,7 +119,7 @@ def _make_device_reset(spec: speclib.GameSpec, placements=None):
         return State(
             cell_slot=cell,
             cell_wall=jnp.asarray(wall),
-            cell_food=jnp.zeros((H, W), jnp.float32),
+            cell_food=jnp.full((H, W), -1.0, jnp.float32),
             x=x,
             y=y,
             dir=d,

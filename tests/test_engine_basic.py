@@ -248,7 +248,7 @@ def test_food_crumb_clamp_matches_sequential():
             [at[(1, 0)], at[(0, 1)], at[(-1, 0)]], np.int32))
         env.step()
         results[mode] = (np.asarray(env.state.hp[:3], np.float32).copy(),
-                         np.asarray(env.state.cell_food).sum())
+                         int((np.asarray(env.state.cell_food) >= 0).sum()))
 
     hp_fast, food_fast = results["fast"]
     hp_seq, food_seq = results["sequential"]
@@ -256,7 +256,7 @@ def test_food_crumb_clamp_matches_sequential():
     # so compare order-invariant outcomes: two eaters clamp at hp_max, the
     # third gets a destroyed crumb (0, NOT 0.06) in both engines
     np.testing.assert_allclose(np.sort(hp_fast), np.sort(hp_seq), atol=1e-5)
-    assert food_fast == food_seq == 0.0  # the 0.06 crumb is destroyed
+    assert food_fast == food_seq == 0  # the 0.06 crumb cell is destroyed
 
 
 def test_negative_kill_supply_matches_sequential():
@@ -356,3 +356,77 @@ def test_custom_placement_invalid_dir_raises():
     h0, _h1 = env.get_handles()
     with pytest.raises(ValueError):
         env.add_agents(h0, method="custom", pos=[[3, 3, 7]])
+
+
+def test_zero_value_corpse_blocks_and_is_attackable():
+    """In food_mode a kill turns the victim's cell into a Food occupier EVEN
+    when food_supply is 0 (Map.cc:277-284 allocates the Food object
+    unconditionally): the cell blocks movement and shows on the food
+    channel until an attack 'eats' it (min(eat,0)=0 leaves it <0.1 and
+    deletes it, Map.cc:292-303).  Both engines must agree."""
+    gw = magent.gridworld
+
+    def make_env(mode):
+        cfg = gw.Config()
+        cfg.set({"map_width": 16, "map_height": 16, "food_mode": True,
+                 "embedding_size": 4})
+        hunter = cfg.register_agent_type(
+            "hunter",
+            {'width': 1, 'length': 1, 'hp': 40, 'speed': 1,
+             'view_range': gw.CircleRange(4), 'attack_range': gw.CircleRange(1),
+             'damage': 5, 'step_recover': 0, 'eat_ability': 4,
+             'food_supply': 0, 'kill_supply': 0, 'attack_in_group': True})
+        prey = cfg.register_agent_type(
+            "prey",
+            {'width': 1, 'length': 1, 'hp': 4, 'speed': 1,
+             'view_range': gw.CircleRange(2), 'attack_range': gw.CircleRange(0),
+             'food_supply': 0, 'step_recover': 0})
+        g0 = cfg.add_group(hunter)
+        g1 = cfg.add_group(prey)
+        env = magent.GridWorld(cfg, engine_mode=mode)
+        h0, h1 = env.get_handles()
+        env.add_agents(h0, method="custom", pos=[[4, 5]])
+        env.add_agents(h1, method="custom", pos=[[5, 5]])
+        return env, h0, h1
+
+    for mode in ("fast", "sequential"):
+        env, h0, h1 = make_env(mode)
+        v2a_base, v2a = env.get_view2attack(h0)
+        cy = cx = v2a.shape[0] // 2
+        att_e = v2a_base + v2a[cy, cx + 1]  # attack (dx=+1)
+        sdx = np.asarray(env.spec.s_move_dx)
+        sdy = np.asarray(env.spec.s_move_dy)
+        move_e = int(np.flatnonzero((sdx[0] == 1) & (sdy[0] == 0))[0])
+        stay = int(np.flatnonzero((sdx[0] == 0) & (sdy[0] == 0))[0])
+        p_off = env.spec.groups[1].offset
+        stay_p = int(np.flatnonzero(
+            (sdx[p_off] == 0) & (sdy[p_off] == 0))[0])
+
+        # kill the prey -> zero-value corpse food at (5,5)
+        env.set_action(h0, np.array([att_e], np.int32))
+        env.set_action(h1, np.array([stay_p], np.int32))
+        env.step()
+        env.clear_dead()
+        food = np.asarray(env.state.cell_food)
+        assert food[5, 5] == 0.0, (mode, food[5, 5])  # present, value 0
+
+        # the corpse blocks the move onto (5,5)
+        env.set_action(h0, np.array([move_e], np.int32))
+        env.step()
+        assert np.asarray(env.state.x)[0] == 4, mode
+
+        # the corpse shows on the food channel of observations
+        view, _ = env.get_observation(h0)
+        assert view[0].max() > 0  # some food visible (channel 1 = food)
+        assert view[0, :, :, 1].sum() > 0, mode
+
+        # attacking the corpse eats/destroys it (min(eat, 0) = 0 -> <0.1)
+        env.set_action(h0, np.array([att_e], np.int32))
+        env.step()
+        food = np.asarray(env.state.cell_food)
+        assert food[5, 5] == -1.0, (mode, food[5, 5])
+
+        # now the move succeeds
+        env.set_action(h0, np.array([move_e], np.int32))
+        env.step()
+        assert np.asarray(env.state.x)[0] == 5, mode
