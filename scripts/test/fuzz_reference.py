@@ -78,6 +78,12 @@ def random_config(gw, rng):
         if rng.random() < 0.4:
             cfg.add_reward_rule(gw.Event(sub, "kill", obj), receiver=sub,
                                 value=rng.choice([1, 4]))
+        if rng.random() < 0.25:
+            cfg.add_reward_rule(gw.Event(sub, "collide", obj), receiver=sub,
+                                value=-0.3)
+        if rng.random() < 0.25:
+            cfg.add_reward_rule(gw.Event(sub, "die"), receiver=sub,
+                                value=-2.0)
     if rng.random() < 0.3:
         # conjunctive pair rule (double_attack shape)
         a2 = gw.AgentSymbol(g0, index="any")

@@ -69,3 +69,27 @@ def test_sequential_engine_matches_reference(name):
                 trace["feat0_%d" % g], golden["feat0_%d" % g],
                 atol=1e-5, err_msg="step-0 features of group %d diverged" % g,
             )
+
+
+REFBUILD = "/tmp/refbuild"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFBUILD, "build", "libmagent.so")),
+    reason="reference C++ build missing (see CLAUDE.md: cp -r /root/reference"
+           " /tmp/refbuild && cmake+ninja)")
+def test_randomized_differential_fuzz_sample():
+    """A small sample of the randomized reference-vs-sequential fuzz
+    (scripts/test/fuzz_reference.py) — random configs beyond the fixed
+    golden scenarios.  Runs in a subprocess: the fuzzer loads the reference
+    ctypes package alongside magent_tpu and pins OMP_NUM_THREADS=1."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts", "test",
+                          "fuzz_reference.py")
+    env = dict(os.environ, OMP_NUM_THREADS="1", JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, script, "--seeds", "3", "--start", "49",
+         "--steps", "8", "--views"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
