@@ -478,7 +478,11 @@ SNAKE_SCENARIOS = {
 
 
 def run_snake_scenario(magent_module, name, engine_mode=None):
-    spec = SNAKE_SCENARIOS[name]
+    return run_snake_spec(magent_module, SNAKE_SCENARIOS[name],
+                          engine_mode=engine_mode)
+
+
+def run_snake_spec(magent_module, spec, engine_mode=None):
     import importlib
     ds = importlib.import_module(magent_module.__name__ + ".discrete_snake")
     conf = {"map_width": spec["map_width"], "map_height": spec["map_height"],
