@@ -69,6 +69,11 @@ def random_config(gw, rng):
 
     g0 = cfg.add_group(rand_type("t0"))
     g1 = cfg.add_group(rand_type("t1"))
+    if rng.random() < 0.25:  # third group (train_multi-style worlds)
+        g2 = cfg.add_group(rand_type("t2"))
+        c = gw.AgentSymbol(g2, index="any")
+        cfg.add_reward_rule(gw.Event(c, "attack", gw.AgentSymbol(g0, "any")),
+                            receiver=c, value=0.3)
     a = gw.AgentSymbol(g0, index="any")
     b = gw.AgentSymbol(g1, index="any")
     for sub, obj in ((a, b), (b, a)):
@@ -108,10 +113,16 @@ def drive(magent_module, cfg_builder, seed, steps, record_views):
     n_walls = rng.choice([0, 0, 8, 20])
     if n_walls:
         env.add_walls(method="random", n=n_walls)
-    n0 = rng.randrange(8, 30)
-    n1 = rng.randrange(8, 30)
-    env.add_agents(handles[0], method="random", n=n0)
-    env.add_agents(handles[1], method="random", n=n1)
+    for k, h in enumerate(handles):
+        if rng.random() < 0.2:
+            # fill placement (train_battle generate_map idiom)
+            side = rng.randrange(3, 6)
+            x0 = rng.randrange(1, map_size - 2 * side)
+            y0 = rng.randrange(1, map_size - 2 * side)
+            env.add_agents(h, method="fill", pos=[x0, y0],
+                           size=[side, side])
+        else:
+            env.add_agents(h, method="random", n=rng.randrange(8, 30))
 
     trace = []
     arng = np.random.RandomState(10_000 + seed)
