@@ -43,3 +43,21 @@ def test_sequential_snake_matches_reference(name):
                                atol=1e-5)
     np.testing.assert_allclose(trace["view0"], golden["view0"], atol=1e-5)
     np.testing.assert_allclose(trace["feat0"], golden["feat0"], atol=1e-5)
+
+
+def test_randomized_snake_fuzz_sample():
+    """Two seeds of the randomized snake differential fuzz
+    (scripts/test/fuzz_snake.py) — fresh subprocesses per engine pin the
+    per-process glibc random() stream."""
+    import subprocess
+
+    refbuild = "/tmp/refbuild"
+    if not os.path.exists(os.path.join(refbuild, "build", "libmagent.so")):
+        pytest.skip("reference C++ build missing (see CLAUDE.md)")
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts", "test",
+                          "fuzz_snake.py")
+    proc = subprocess.run(
+        [sys.executable, script, "--seeds", "2"],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, OMP_NUM_THREADS="1", JAX_PLATFORMS="cpu"))
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
