@@ -169,6 +169,51 @@ def compare(seed, ref_trace, our_trace):
                 np.testing.assert_array_equal(ov, rv, err_msg=where)
 
 
+def _trace_to_flat(trace):
+    flat = {"n_steps": np.asarray(len(trace))}
+    for step, rec in enumerate(trace):
+        for key, val in rec.items():
+            flat["s%d/%s" % (step, key)] = np.asarray(val)
+    return flat
+
+
+def _flat_to_trace(flat):
+    n = int(flat["n_steps"])
+    trace = [{} for _ in range(n)]
+    for key, val in flat.items():
+        if key == "n_steps":
+            continue
+        step, name = key.split("/", 1)
+        v = val
+        if name.startswith(("num", "done")):
+            v = val.item()
+        trace[int(step[1:])][name] = v
+    return trace
+
+
+def child_main(args):
+    os.environ["OMP_NUM_THREADS"] = "1"
+    if args.child == "ref":
+        sys.path.insert(0, os.path.join(args.reference, "python"))
+        import magent as mod
+    else:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import magent_tpu
+
+        class mod:
+            """magent_tpu facade pinning engine_mode='sequential'."""
+            gridworld = magent_tpu.gridworld
+
+            @staticmethod
+            def GridWorld(cfg, **kw):
+                return magent_tpu.GridWorld(cfg, engine_mode="sequential",
+                                            **kw)
+
+    trace = drive(mod, random_config, args.seed, args.steps, args.views)
+    np.savez_compressed(args.out, **_trace_to_flat(trace))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--reference", default="/tmp/refbuild")
@@ -177,35 +222,64 @@ def main():
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--views", action="store_true",
                         help="also compare first-step observations")
+    parser.add_argument("--child", choices=["ref", "tpu"],
+                        help="internal: produce one engine's trace")
+    parser.add_argument("--seed", type=int)
+    parser.add_argument("--out")
     args = parser.parse_args()
 
-    os.environ["OMP_NUM_THREADS"] = "1"
-    sys.path.insert(0, os.path.join(args.reference, "python"))
-    import magent as ref_magent  # the reference package
+    if args.child:
+        child_main(args)
+        return
 
-    import jax
-    jax.config.update("jax_platforms", "cpu")
-    import magent_tpu
+    # each engine runs in its own subprocess: some random configs SEGFAULT
+    # the reference C++ engine (e.g. seed 937: turn_mode 2x2 bodies) — a
+    # reference crash is recorded, compare skipped, and OUR engine is still
+    # required to complete the episode without crashing
+    import subprocess
+    import tempfile
 
-    class SeqTPU:
-        """magent_tpu facade pinning engine_mode='sequential'."""
-        gridworld = magent_tpu.gridworld
-
-        @staticmethod
-        def GridWorld(cfg, **kw):
-            return magent_tpu.GridWorld(cfg, engine_mode="sequential", **kw)
-
-    failures = 0
+    failures = ref_crashes = 0
     for seed in range(args.start, args.start + args.seeds):
-        ref = drive(ref_magent, random_config, seed, args.steps, args.views)
-        ours = drive(SeqTPU, random_config, seed, args.steps, args.views)
+        with tempfile.TemporaryDirectory() as td:
+            traces = {}
+            crashed = False
+            for engine in ("ref", "tpu"):
+                out = os.path.join(td, engine + ".npz")
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--child", engine, "--seed", str(seed),
+                       "--steps", str(args.steps), "--out", out,
+                       "--reference", args.reference]
+                if args.views:
+                    cmd.append("--views")
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=900,
+                    env=dict(os.environ, OMP_NUM_THREADS="1",
+                             JAX_PLATFORMS="cpu"))
+                if proc.returncode != 0:
+                    if engine == "ref":
+                        ref_crashes += 1
+                        crashed = True
+                        print("seed %d: REFERENCE crashed (rc %d) — compare "
+                              "skipped" % (seed, proc.returncode), flush=True)
+                        continue
+                    failures += 1
+                    print("seed %d: OUR engine failed (rc %d):\n%s" % (
+                        seed, proc.returncode, proc.stderr[-1500:]),
+                        flush=True)
+                    break
+                traces[engine] = _flat_to_trace(dict(np.load(out)))
+        if "tpu" not in traces or (crashed and "tpu" in traces):
+            continue
         try:
-            compare(seed, ref, ours)
-            print("seed %d ok (%d steps)" % (seed, len(ref)), flush=True)
+            compare(seed, traces["ref"], traces["tpu"])
+            print("seed %d ok (%d steps)" % (seed, len(traces["ref"])),
+                  flush=True)
         except AssertionError as e:
             failures += 1
             print("seed %d FAILED: %s" % (seed, str(e)[:500]), flush=True)
-    print("done: %d/%d seeds passed" % (args.seeds - failures, args.seeds))
+    print("done: %d/%d seeds passed (%d reference crashes skipped)"
+          % (args.seeds - failures, args.seeds, ref_crashes))
     sys.exit(1 if failures else 0)
 
 
