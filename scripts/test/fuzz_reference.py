@@ -146,6 +146,10 @@ def drive(magent_module, cfg_builder, seed, steps, record_views):
             rec["pos_%d" % i] = np.asarray(env.get_pos(h), np.int32).copy()
             rec["rew_%d" % i] = np.asarray(env.get_reward(h), np.float32).copy()
             rec["alive_%d" % i] = np.asarray(env.get_alive(h), bool).copy()
+            rec["mean_%d" % i] = np.asarray(
+                env.get_mean_info(h), np.float32).copy()
+        rec["gmm"] = np.asarray(
+            env.get_global_minimap(8, 8), np.float32).copy()
         rec["done"] = done
         trace.append(rec)
         env.clear_dead()
@@ -161,7 +165,7 @@ def compare(seed, ref_trace, our_trace):
         for key, rv in r.items():
             ov = o[key]
             where = "seed %d step %d %s" % (seed, step, key)
-            if key.startswith(("rew", "view0", "feat0")):
+            if key.startswith(("rew", "view0", "feat0", "mean", "gmm")):
                 np.testing.assert_allclose(ov, rv, atol=1e-5, err_msg=where)
             elif key.startswith(("num", "done")):
                 assert ov == rv, "%s: %s vs %s" % (where, ov, rv)
