@@ -189,6 +189,11 @@ class SequentialEngine:
                     move_buf.append((k, act))
 
         # ---- Fisher-Yates shuffle with the engine rng (GridWorld.cc:464-468)
+        # exact per-step render attack events, in buffer order, recorded the
+        # way the reference does (GridWorld.cc:476-486: after the mid-phase
+        # dead check, before the target checks — blank/out-of-board attacks
+        # included)
+        self.attack_events = []
         for i in range(len(attack_buf)):
             j = lcg() % (i + 1)
             attack_buf[i], attack_buf[j] = attack_buf[j], attack_buf[i]
@@ -260,6 +265,7 @@ class SequentialEngine:
         ax, ay = _save_to_real(int(S["x"][slot]), int(S["y"][slot]), d,
                                t.width, t.length)
         tx, ty = _rela_to_abs(ax, ay, d, t.att_x_offset + dx, t.att_y_offset + dy)
+        self.attack_events.append((int(S["id"][slot]), int(tx), int(ty)))
         W, H = spec.width, spec.height
         penalty = t.attack_penalty
         if not (0 <= tx < W and 0 <= ty < H):

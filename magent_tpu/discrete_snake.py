@@ -115,6 +115,16 @@ class DiscreteSnake:
 
     # ------------------------------------------------------------------ state
     def reset(self):
+        # the reference bumps the replay file number on EVERY reset
+        # (DiscreteSnake.cc:43 render_generator.next_file()), so the first
+        # user reset dumps video_1.txt (the constructor's internal reset
+        # does not count: the reference constructor never resets)
+        gen = getattr(self, "_render_gen", None)
+        if gen is not None:
+            gen.file_ct += 1
+            gen.frame_ct = 0
+        else:
+            self._render_reset_ct = getattr(self, "_render_reset_ct", -1) + 1
         H, W, A, L = self.height, self.width, self.caps, self.max_length
         wall = np.zeros((H, W), bool)
         wall[0, :] = wall[-1, :] = wall[:, 0] = wall[:, -1] = True
@@ -532,6 +542,7 @@ class DiscreteSnake:
 
         self._render_dir = name
         self._render_gen = SnakeRenderGenerator(name)
+        self._render_gen.file_ct = getattr(self, "_render_reset_ct", 0)
         self._render_gen.gen_config(self)
 
     def render(self):

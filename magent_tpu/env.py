@@ -67,7 +67,12 @@ class GridWorld:
         self._lcg = lcg.HostLCG(int(config.config_dict.get("seed", 0)))
         self._render_dir = None
         self._render_gen = None
+        self._render_reset_ct = 0  # resets before the generator exists
         self._first_render = True
+        # the reference records per-step attack events only after rendering
+        # was activated by the first render()/render_window_info call
+        # (GridWorld.cc:18,484,798,944) — never reset by reset()
+        self._render_ever = False
         self._attack_events = np.zeros((0, 3), np.int32)
         self._pre_step_dead = None
         self._goals = {}
@@ -213,8 +218,13 @@ class GridWorld:
         if self._dead_ct is not None:
             self._dead_ct[:] = 0
         self._first_render = True
+        # the reference bumps the video file number on EVERY reset
+        # (GridWorld.cc:97 render_generator.next_file()), so the first
+        # episode dumps video_1.txt, the second video_2.txt, ...
         if self._render_gen is not None:
             self._render_gen.next_file()
+        else:
+            self._render_reset_ct += 1
 
     def set_seed(self, seed):
         self._lcg.seed(seed)
@@ -465,6 +475,7 @@ class GridWorld:
             "next_reward": np.asarray(st.next_reward).copy(),
             "last_op": np.asarray(st.last_op).copy(),
             "op_obj": np.asarray(st.op_obj).copy(),
+            "id": np.asarray(st.id),
             "cell_slot": np.asarray(st.cell_slot).copy(),
             "cell_wall": np.asarray(st.cell_wall),
             "cell_food": np.asarray(st.cell_food).copy(),
@@ -472,6 +483,9 @@ class GridWorld:
             "dead_ct": self._dead_ct,
         }
         done = self._seq.step(S, self._lcg)
+        # exact event list for render/get_both_attack (fast mode
+        # reconstructs instead, render/generator.py:attack_events)
+        self._last_attack_events = list(self._seq.attack_events)
         self.state = st.replace(
             x=jnp.asarray(S["x"]),
             y=jnp.asarray(S["y"]),
@@ -627,10 +641,12 @@ class GridWorld:
 
         if self._render_gen is None:
             self._render_gen = RenderGenerator(self._render_dir or "render")
+            self._render_gen.file_ct = self._render_reset_ct
         if self._first_render:
             self._first_render = False
             self._render_gen.gen_config(self)
-        self._render_gen.render_a_frame(self)
+        self._render_gen.render_a_frame(self, include_events=self._render_ever)
+        self._render_ever = True
 
     def _get_groups_info(self):
         colors = [(192, 64, 64), (64, 64, 192), (64, 192, 64), (64, 64, 64)]
@@ -648,6 +664,17 @@ class GridWorld:
         return np.stack([xs, ys], axis=1).astype(np.int32)
 
     def _get_render_info(self, x_range, y_range):
+        # querying render info activates event capture, like the first
+        # render() (reference: GridWorld.cc:797-798): the first query
+        # returns no events, later ones return last step's attack events
+        from .render.generator import attack_events
+
+        if self._render_ever:
+            ev = attack_events(self)
+            self._attack_events = (
+                np.asarray(ev, np.int32).reshape(-1, 3)
+                if ev else np.zeros((0, 3), np.int32))
+        self._render_ever = True
         agent_info = {}
         for handle in self.group_handles:
             sl = self._group_slice(handle)

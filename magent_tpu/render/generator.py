@@ -39,6 +39,10 @@ def attack_events(env):
     from ..core import geometry as geo
     from .. import spec as speclib
 
+    seq_events = getattr(env, "_last_attack_events", None)
+    if seq_events is not None:
+        # sequential engine mode: the exact buffer-order event list
+        return list(seq_events)
     spec = env.spec
     events = []
     st = env.state
@@ -141,9 +145,13 @@ class RenderGenerator:
     def _attack_events(self, env):
         return attack_events(env)
 
-    def render_a_frame(self, env):
+    def render_a_frame(self, env, include_events=True):
         """reference: RenderGenerator::render_a_frame
-        (RenderGenerator.cc:108-185)"""
+        (RenderGenerator.cc:108-185).  ``include_events=False`` replicates
+        the very first frame of a session: the reference captures attack
+        events during step() only once rendering has been ACTIVATED
+        (GridWorld.cc:484 ``if (!first_render)``), so the frame rendered
+        right after the first activation carries none."""
         spec = env.spec
         st = env.state
         path = os.path.join(self.save_dir, "video_%d.txt" % self.file_ct)
@@ -157,7 +165,7 @@ class RenderGenerator:
             for i in range(len(xs)):
                 out.append("%d %d" % (xs[i], ys[i]))
 
-        events = self._attack_events(env)
+        events = self._attack_events(env) if include_events else []
 
         # agents (can_absorb types render only absorbed members,
         # RenderGenerator.cc:137-163)

@@ -212,8 +212,10 @@ def draw_frame(cfg, body, cell, out_path, origin=(0, 0), ranges=False):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("replay_dir", help="dir with config.json + video_0.txt")
-    ap.add_argument("--video", default="video_0.txt")
+    ap.add_argument("replay_dir", help="dir with config.json + video_N.txt")
+    ap.add_argument("--video", default=None,
+                    help="video file name (default: lowest-numbered "
+                         "video_*.txt in the replay dir)")
     ap.add_argument("--frame", type=int, default=None,
                     help="frame index (default: middle frame)")
     ap.add_argument("--out", default="doc/replay_frame.png")
@@ -225,6 +227,14 @@ def main():
 
     if not os.path.exists(RENDER_BIN):
         sys.exit("render server not built: cmake -B build -G Ninja && ninja -C build")
+
+    if args.video is None:
+        import glob
+        vids = sorted(glob.glob(os.path.join(args.replay_dir, "video_*.txt")),
+                      key=lambda p: int(re.search(r"video_(\d+)", p).group(1)))
+        if not vids:
+            sys.exit("no video_*.txt in " + args.replay_dir)
+        args.video = os.path.basename(vids[0])
 
     proc = subprocess.Popen([RENDER_BIN, "--port", str(args.port), "--quiet"])
     try:

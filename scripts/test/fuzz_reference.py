@@ -102,13 +102,16 @@ def random_config(gw, rng):
     return cfg, map_size
 
 
-def drive(magent_module, cfg_builder, seed, steps, record_views):
+def drive(magent_module, cfg_builder, seed, steps, record_views,
+          render_dir=None):
     """Build + drive one engine; returns the per-step getter trace."""
     gw = magent_module.gridworld
     rng = random.Random(seed)
     cfg, map_size = cfg_builder(gw, rng)
     env = magent_module.GridWorld(cfg)
     handles = env.get_handles()
+    if render_dir:
+        env.set_render_dir(render_dir)
     env.reset()
     n_walls = rng.choice([0, 0, 8, 20])
     if n_walls:
@@ -152,6 +155,8 @@ def drive(magent_module, cfg_builder, seed, steps, record_views):
             env.get_global_minimap(8, 8), np.float32).copy()
         rec["done"] = done
         trace.append(rec)
+        if render_dir:
+            env.render()
         env.clear_dead()
     return trace
 
@@ -214,7 +219,8 @@ def child_main(args):
                 return magent_tpu.GridWorld(cfg, engine_mode="sequential",
                                             **kw)
 
-    trace = drive(mod, random_config, args.seed, args.steps, args.views)
+    trace = drive(mod, random_config, args.seed, args.steps, args.views,
+                  render_dir=args.render_dir)
     np.savez_compressed(args.out, **_trace_to_flat(trace))
 
 
@@ -226,10 +232,13 @@ def main():
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--views", action="store_true",
                         help="also compare first-step observations")
+    parser.add_argument("--render", action="store_true",
+                        help="also dump + byte-compare the replay files")
     parser.add_argument("--child", choices=["ref", "tpu"],
                         help="internal: produce one engine's trace")
     parser.add_argument("--seed", type=int)
     parser.add_argument("--out")
+    parser.add_argument("--render-dir")
     args = parser.parse_args()
 
     if args.child:
@@ -256,6 +265,10 @@ def main():
                        "--reference", args.reference]
                 if args.views:
                     cmd.append("--views")
+                if args.render:
+                    rdir = os.path.join(td, engine + "_render")
+                    os.makedirs(rdir, exist_ok=True)
+                    cmd += ["--render-dir", rdir]
                 proc = subprocess.run(
                     cmd, capture_output=True, text=True, timeout=900,
                     env=dict(os.environ, OMP_NUM_THREADS="1",
@@ -273,7 +286,24 @@ def main():
                         flush=True)
                     break
                 traces[engine] = _flat_to_trace(dict(np.load(out)))
+            render_ok = True
+            if args.render and len(traces) == 2 and not crashed:
+                # the first episode dumps video_1.txt (reset bumps the
+                # file counter before the first frame, GridWorld.cc:97)
+                for fn in ("config.json", "video_1.txt"):
+                    pa = os.path.join(td, "ref_render", fn)
+                    pb = os.path.join(td, "tpu_render", fn)
+                    da = open(pa, "rb").read() if os.path.exists(pa) else None
+                    db = open(pb, "rb").read() if os.path.exists(pb) else None
+                    if da is None or da != db:
+                        render_ok = False
+                        failures += 1
+                        print("seed %d FAILED: replay %s bytes differ"
+                              % (seed, fn), flush=True)
+                        break
         if "tpu" not in traces or (crashed and "tpu" in traces):
+            continue
+        if args.render and not render_ok:
             continue
         try:
             compare(seed, traces["ref"], traces["tpu"])

@@ -32,7 +32,7 @@ def test_render_dump_format(tmp_path):
     assert len(cfg["group"]) == 2
     assert cfg["group"][0]["style"].startswith("rgba(")
 
-    lines = open(tmp_path / "video_0.txt").read().strip().split("\n")
+    lines = open(tmp_path / "video_1.txt").read().strip().split("\n")
     assert lines[0].startswith("W ")
     n_wall = int(lines[0].split()[1])
     assert n_wall >= 4 * 16 - 4  # border walls
@@ -63,7 +63,7 @@ def test_render_next_file_on_reset(tmp_path):
     env.add_agents(h0, method="random", n=2)
     env.add_agents(h1, method="random", n=2)
     env.render()
-    assert os.path.exists(tmp_path / "video_0.txt")
+    assert os.path.exists(tmp_path / "video_1.txt")
     assert os.path.exists(tmp_path / "video_1.txt")
 
 

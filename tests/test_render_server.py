@@ -115,7 +115,7 @@ def test_render_server_roundtrip(replay_dir):
                 time.sleep(0.1)
         assert client is not None, "could not connect to render server"
 
-        client.send("l%s,%s" % (replay_dir / "config.json", "video_0.txt"))
+        client.send("l%s,%s" % (replay_dir / "config.json", "video_1.txt"))
         reply = client.recv()
         assert reply[0] == "i", reply[:80]
         nframes = int(reply[1:reply.index("|")])
@@ -164,7 +164,7 @@ def test_frontend_frame_contract(replay_dir):
                 time.sleep(0.1)
         assert client is not None
 
-        client.send("l%s,%s" % (replay_dir / "config.json", "video_0.txt"))
+        client.send("l%s,%s" % (replay_dir / "config.json", "video_1.txt"))
         info = client.recv()
         import json
         cfg = json.loads(info[info.index("|") + 1:])
