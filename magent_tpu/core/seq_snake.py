@@ -73,6 +73,16 @@ class SequentialSnake:
 
     # ----------------------------------------------------------------- setup
     def reset(self):
+        # the reference bumps the replay file number on every reset
+        # (DiscreteSnake.cc:43); same deferred-counter scheme as the
+        # vectorized DiscreteSnake (the constructor's internal reset does
+        # not count)
+        gen = getattr(self, "_render_gen", None)
+        if gen is not None:
+            gen.file_ct += 1
+            gen.frame_ct = 0
+        else:
+            self._render_reset_ct = getattr(self, "_render_reset_ct", -1) + 1
         W, H = self.width, self.height
         self.id_counter = 0
         self.phantom_foods = 0
@@ -208,6 +218,38 @@ class SequentialSnake:
 
     def get_reward(self, handle=0):
         return np.asarray([a.next_reward for a in self.agents], np.float32)
+
+    # ---------------------------------------------------------------- render
+    def wall_mask(self):
+        W, H = self.width, self.height
+        return (np.asarray(self.occ_type).reshape(W, H).T == OCC_WALL)
+
+    def set_render_dir(self, name):
+        from ..render.generator import SnakeRenderGenerator
+
+        self._render_dir = name
+        self._render_gen = SnakeRenderGenerator(name)
+        self._render_gen.file_ct = getattr(self, "_render_reset_ct", 0)
+        self._render_gen.gen_config(self)
+
+    def render(self):
+        """Dump one frame in the reference snake format (reference:
+        src/discrete_snake/RenderGenerator.cc:146-203; food order follows
+        this engine's creation order — the reference iterates a
+        std::set<Food*> keyed by heap addresses, which is not reproducible
+        even across its own runs)."""
+        gen = getattr(self, "_render_gen", None)
+        if gen is None:
+            return
+        foods = [(x, y) for (x, y, v) in self.foods.values()]
+        bodies = [list(a.body)[::-1] for a in self.agents if not a.dead]
+        gen.write_frame(foods, bodies)
+
+    def render_next_file(self):
+        gen = getattr(self, "_render_gen", None)
+        if gen is not None:
+            gen.file_ct += 1
+            gen.frame_ct = 0
 
     def get_view_space(self, handle=0):
         return (self.view_height, self.view_width, CHANNEL_NUM)

@@ -276,7 +276,9 @@ class SnakeRenderGenerator:
         with open(os.path.join(self.save_dir, "config.json"), "w") as f:
             f.write("\n".join(lines) + "\n")
 
-        wall = np.asarray(env.state.cell_wall)
+        st = getattr(env, "state", None)
+        wall = (np.asarray(st.cell_wall) if st is not None
+                else env.wall_mask())
         ys, xs = np.nonzero(wall)
         with open(os.path.join(self.save_dir, "static.map"), "w") as f:
             f.write("%d\n" % len(xs))
@@ -287,9 +289,6 @@ class SnakeRenderGenerator:
         """reference: RenderGenerator::render_a_frame (snake,
         RenderGenerator.cc:146-203)"""
         st = env.state
-        path = os.path.join(self.save_dir, "video_%d.txt" % self.file_ct)
-        mode = "w" if self.frame_ct == 0 else "a"
-
         alive = np.asarray(st.active & st.alive)
         length = np.asarray(st.length)
         head = np.asarray(st.head)
@@ -299,21 +298,35 @@ class SnakeRenderGenerator:
         L = body_x.shape[1]
 
         fys, fxs = np.nonzero(food > 0)
-        n_snake = int(np.sum(length[alive]))
-        out = ["F %d 0 0" % (n_snake + len(fxs))]
-
-        hp, angle = 100, 270
-        for fx, fy in zip(fxs, fys):
-            out.append("%d %d %d %d %d 1" % (self.id_ct, hp, angle, fx, fy))
-            self.id_ct += 1
+        bodies = []
         for s in np.nonzero(alive)[0]:
             n = int(length[s])
-            for k in range(n - 1, -1, -1):  # tail -> head
-                ring = (int(head[s]) - k) % L
-                group = 0 if k == 0 else 2
+            bodies.append([
+                (int(body_x[s, (int(head[s]) - k) % L]),
+                 int(body_y[s, (int(head[s]) - k) % L]))
+                for k in range(n - 1, -1, -1)  # tail -> head
+            ])
+        self.write_frame(list(zip(fxs.tolist(), fys.tolist())), bodies)
+
+    def write_frame(self, foods, bodies):
+        """Shared frame writer: ``foods`` = [(x, y), ...]; ``bodies`` =
+        one list per live snake of (x, y) segments tail -> head (the last
+        segment is the head, rendered as group 0 — the reference walks the
+        deque rbegin->rend, RenderGenerator.cc:187-197)."""
+        path = os.path.join(self.save_dir, "video_%d.txt" % self.file_ct)
+        mode = "w" if self.frame_ct == 0 else "a"
+        n_snake = sum(len(b) for b in bodies)
+        out = ["F %d 0 0" % (n_snake + len(foods))]
+
+        hp, angle = 100, 270
+        for fx, fy in foods:
+            out.append("%d %d %d %d %d 1" % (self.id_ct, hp, angle, fx, fy))
+            self.id_ct += 1
+        for body in bodies:
+            for k, (bx, by) in enumerate(body):
+                group = 0 if k == len(body) - 1 else 2
                 out.append("%d %d %d %d %d %d" % (
-                    self.id_ct, hp, angle,
-                    int(body_x[s, ring]), int(body_y[s, ring]), group))
+                    self.id_ct, hp, angle, bx, by, group))
                 self.id_ct += 1
 
         with open(path, mode) as f:

@@ -44,7 +44,7 @@ def random_spec(seed):
     )
 
 
-def child(engine, spec, out, reference):
+def child(engine, spec, out, reference, render_dir=None):
     sys.path.insert(0, GOLDEN)
     sys.path.insert(0, REPO)
     from scenarios import flatten_snake_trace, run_snake_spec
@@ -58,8 +58,61 @@ def child(engine, spec, out, reference):
         jax.config.update("jax_platforms", "cpu")
         import magent_tpu as mod
     mode = "sequential" if engine == "tpu" else None
-    trace = run_snake_spec(mod, spec, engine_mode=mode)
+    trace = run_snake_spec(mod, spec, engine_mode=mode,
+                           render_dir=render_dir)
     np.savez_compressed(out, **flatten_snake_trace(trace))
+
+
+def compare_replays(ref_dir, tpu_dir):
+    """Structural replay comparison.  The reference's food block iterates a
+    std::set<Food*> keyed by HEAP ADDRESSES (RenderGenerator.cc:175), so
+    its order is not reproducible even across its own runs: food lines
+    compare as multisets of (x, y); snake segments compare as the exact
+    sequence; static.map compares as a wall set."""
+    def walls(path):
+        lines = open(path).read().split()
+        return sorted(zip(lines[1::2], lines[2::2]))
+
+    wa = os.path.join(ref_dir, "static.map")
+    wb = os.path.join(tpu_dir, "static.map")
+    if not (os.path.exists(wa) and os.path.exists(wb)):
+        return "static.map missing (%s %s)" % (
+            os.path.exists(wa), os.path.exists(wb))
+    if walls(wa) != walls(wb):
+        return "static.map wall sets differ"
+
+    va = os.path.join(ref_dir, "video_1.txt")
+    vb = os.path.join(tpu_dir, "video_1.txt")
+    if not (os.path.exists(va) and os.path.exists(vb)):
+        return "video_1.txt missing (ref %s, tpu %s)" % (
+            os.path.exists(va), os.path.exists(vb))
+
+    def frames(path):
+        out = []
+        for line in open(path):
+            parts = line.split()
+            if parts[0] == "F":
+                out.append({"header": tuple(parts[1:]), "food": [],
+                            "snake": []})
+            else:
+                _id, hp, d, x, y, group = parts
+                rec = (hp, d, x, y, group)
+                (out[-1]["food"] if group == "1"
+                 else out[-1]["snake"]).append(rec)
+        return out
+
+    fa, fb = frames(va), frames(vb)
+    if len(fa) != len(fb):
+        return "frame counts differ: %d vs %d" % (len(fa), len(fb))
+    for k, (a, b) in enumerate(zip(fa, fb)):
+        if a["header"] != b["header"]:
+            return "frame %d headers differ: %s vs %s" % (
+                k, a["header"], b["header"])
+        if sorted(a["food"]) != sorted(b["food"]):
+            return "frame %d food sets differ" % k
+        if a["snake"] != b["snake"]:
+            return "frame %d snake segments differ" % k
+    return None
 
 
 def main():
@@ -67,26 +120,36 @@ def main():
     parser.add_argument("--reference", default="/tmp/refbuild")
     parser.add_argument("--seeds", type=int, default=10)
     parser.add_argument("--start", type=int, default=0)
+    parser.add_argument("--render", action="store_true",
+                        help="also dump + structurally compare replays")
     parser.add_argument("--child", choices=["ref", "tpu"])
     parser.add_argument("--spec")
     parser.add_argument("--out")
+    parser.add_argument("--render-dir")
     args = parser.parse_args()
 
     if args.child:
-        child(args.child, json.loads(args.spec), args.out, args.reference)
+        child(args.child, json.loads(args.spec), args.out, args.reference,
+              render_dir=args.render_dir)
         return
 
     failures = 0
     for seed in range(args.start, args.start + args.seeds):
         spec = random_spec(seed)
         traces = {}
+        render_fail = None
         with tempfile.TemporaryDirectory() as td:
             for engine in ("ref", "tpu"):
                 out = os.path.join(td, engine + ".npz")
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--child", engine, "--spec", json.dumps(spec),
+                       "--out", out, "--reference", args.reference]
+                if args.render:
+                    rdir = os.path.join(td, engine + "_render")
+                    os.makedirs(rdir, exist_ok=True)
+                    cmd += ["--render-dir", rdir]
                 proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--child", engine, "--spec", json.dumps(spec),
-                     "--out", out, "--reference", args.reference],
+                    cmd,
                     capture_output=True, text=True, timeout=600,
                     env=dict(os.environ, OMP_NUM_THREADS="1",
                              JAX_PLATFORMS="cpu"),
@@ -96,8 +159,16 @@ def main():
                         seed, engine, proc.stderr[-1500:]), flush=True)
                     break
                 traces[engine] = dict(np.load(out))
+            if args.render and len(traces) == 2:
+                render_fail = compare_replays(
+                    os.path.join(td, "ref_render"),
+                    os.path.join(td, "tpu_render"))
         if len(traces) != 2:
             failures += 1
+            continue
+        if render_fail:
+            failures += 1
+            print("seed %d FAILED: %s" % (seed, render_fail), flush=True)
             continue
         ref, ours = traces["ref"], traces["tpu"]
         try:

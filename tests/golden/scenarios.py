@@ -482,7 +482,7 @@ def run_snake_scenario(magent_module, name, engine_mode=None):
                           engine_mode=engine_mode)
 
 
-def run_snake_spec(magent_module, spec, engine_mode=None):
+def run_snake_spec(magent_module, spec, engine_mode=None, render_dir=None):
     import importlib
     ds = importlib.import_module(magent_module.__name__ + ".discrete_snake")
     conf = {"map_width": spec["map_width"], "map_height": spec["map_height"],
@@ -534,6 +534,13 @@ def run_snake_spec(magent_module, spec, engine_mode=None):
         env.get_num = types.MethodType(_get_num, env)
         env.get_food_num = types.MethodType(_get_food_num, env)
         env.get_alive = types.MethodType(_get_alive, env)
+        if render_dir is not None:
+            # the wrapper's set_render_dir passes a str to ctypes
+            # (truncated under Python 3) — push the encoded key directly
+            _LIB = ds._LIB
+            _LIB.env_config_game(
+                env.game, ctypes.c_char_p(b"render_dir"),
+                ctypes.c_char_p(render_dir.encode("ascii")))
     else:
         cfg = ds.Config()
         cfg.set(conf)
@@ -541,6 +548,8 @@ def run_snake_spec(magent_module, spec, engine_mode=None):
         if engine_mode is not None:
             kwargs["engine_mode"] = engine_mode
         env = ds.DiscreteSnake(cfg, **kwargs)
+        if render_dir is not None:
+            env.set_render_dir(render_dir)
     env.reset()
     env.add_food(method="random", n=spec["n_food"])
     env.add_agent(method="random", n=spec["n_agents"])
@@ -565,6 +574,8 @@ def run_snake_spec(magent_module, spec, engine_mode=None):
         trace["length"].append(np.asarray(env.get_length(), np.int32))
         trace["alive"].append(np.asarray(env.get_alive(), bool))
         trace["rew"].append(np.asarray(env.get_reward(), np.float32))
+        if render_dir is not None:
+            env.render()
         env.clear_dead()
         trace["steps"] = step + 1
     return trace
