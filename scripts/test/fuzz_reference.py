@@ -103,7 +103,7 @@ def random_config(gw, rng):
 
 
 def drive(magent_module, cfg_builder, seed, steps, record_views,
-          render_dir=None):
+          render_dir=None, all_views=False):
     """Build + drive one engine; returns the per-step getter trace."""
     gw = magent_module.gridworld
     rng = random.Random(seed)
@@ -136,7 +136,7 @@ def drive(magent_module, cfg_builder, seed, steps, record_views,
         rec = {}
         for i, h in enumerate(handles):
             view, feat = env.get_observation(h)
-            if record_views and step == 0:
+            if record_views and (step == 0 or all_views):
                 rec["view0_%d" % i] = np.array(view, np.float32, copy=True)
                 rec["feat0_%d" % i] = np.array(feat, np.float32, copy=True)
             n = env.get_num(h)
@@ -220,7 +220,7 @@ def child_main(args):
                                             **kw)
 
     trace = drive(mod, random_config, args.seed, args.steps, args.views,
-                  render_dir=args.render_dir)
+                  render_dir=args.render_dir, all_views=args.all_views)
     np.savez_compressed(args.out, **_trace_to_flat(trace))
 
 
@@ -232,6 +232,9 @@ def main():
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--views", action="store_true",
                         help="also compare first-step observations")
+    parser.add_argument("--all-views", action="store_true",
+                        help="compare observations EVERY step (slow; "
+                             "exercises hp/death/food channel updates)")
     parser.add_argument("--render", action="store_true",
                         help="also dump + byte-compare the replay files")
     parser.add_argument("--child", choices=["ref", "tpu"],
@@ -265,6 +268,8 @@ def main():
                        "--reference", args.reference]
                 if args.views:
                     cmd.append("--views")
+                if args.all_views:
+                    cmd += ["--views", "--all-views"]
                 if args.render:
                     rdir = os.path.join(td, engine + "_render")
                     os.makedirs(rdir, exist_ok=True)
