@@ -199,6 +199,9 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     rows_margin = wg._ceil_to(vh + 7, 8)
     band_fits = (band_rows + rows_margin) * lanes * 4 <= 8 * 1024 * 1024
     backend_ok = wg.supports_pallas() or interpret
+    # MAGENT_OBS_KERNEL=xla forces the plain-gather path (small-population
+    # measurements; cf. MAGENT_ATTACK_PATH / MAGENT_GRIDLESS)
+    force_xla = force_xla or os.environ.get("MAGENT_OBS_KERNEL", "auto") == "xla"
     use_pallas = (not force_xla) and fits_vmem and backend_ok
     use_banded = (not force_xla) and not fits_vmem and band_fits and backend_ok
     # replica variant: minimum-size loads, 4x image VMEM (see window_gather4)
