@@ -162,6 +162,46 @@ def main():
             return (state, key), s
         timed("grids+render", body, state, key)
 
+    if grids_fn is not None and "one_group" in which:
+        def body(carry, _):
+            state, key = carry
+            view, feat = venv._observe1[0](state)
+            state = state.replace(hp=state.hp + 1e-6)
+            return (state, key), jnp.sum(view[:, :, 0, 0, 0]) + jnp.sum(feat[:, 0, 0])
+        timed("one_group", body, state, key)
+
+    if grids_fn is not None and "view_only" in which:
+        # grids + render + window kernel (fused epilogue path) for BOTH
+        # groups, but no minimap pooling / feature assembly: isolates the
+        # kernel's in-loop cost from the rest of observe
+        from magent_tpu.ops import window_gather as wg
+        Hp, Wp, lanes, pad_y, pad_x = grids_fn.geometry
+
+        def body(carry, _):
+            state, key = carry
+            g = grids_fn(state)
+            s = 0.0
+            for grp in range(spec.n_groups):
+                t = spec.groups[grp].type
+                gs = spec.groups[grp]
+                vr = t.view_range
+                vh, vw = vr.height, vr.width
+                C = spec.n_channel
+                import numpy as np
+                mask = jnp.asarray(np.repeat(vr.mask.astype(np.float32), C, axis=1))
+                img = observe._render_image(spec, grp, g, lanes)
+                sl = slice(gs.offset, gs.offset + gs.cap)
+                tlx = state.x[:, sl] + t.view_x_offset + vr.x1 + pad_x
+                tly = state.y[:, sl] + t.view_y_offset + vr.y1 + pad_y
+                pos = tly * Wp + tlx
+                view = wg.window_gather4(
+                    img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                    chunk=min(200, (gs.cap + 3) // 4 * 4))
+                s = s + jnp.sum(view[:, :, 0, 0])
+            state = state.replace(hp=state.hp + 1e-6)
+            return (state, key), s
+        timed("view_only", body, state, key)
+
     if grids_fn is not None and "kernel_only" in which:
         # full observe minus minimap work: compare spec with minimap off
         cfg2 = battle.get_config(MAP_SIZE)
