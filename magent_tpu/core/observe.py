@@ -39,6 +39,20 @@ def _batched(state: State) -> bool:
     return state.x.ndim == 2
 
 
+_OBS_KERNEL_VALUES = ("auto", "xla", "roll")
+
+
+def _obs_kernel_env() -> str:
+    """Validated MAGENT_OBS_KERNEL knob — a typo ('XLA', 'gather') silently
+    measuring the default path would corrupt forced-path comparisons."""
+    v = os.environ.get("MAGENT_OBS_KERNEL", "auto").lower()
+    if v not in _OBS_KERNEL_VALUES:
+        raise ValueError(
+            f"MAGENT_OBS_KERNEL={v!r}: expected one of {_OBS_KERNEL_VALUES}"
+        )
+    return v
+
+
 def _channel_tables(spec: speclib.GameSpec, group: int):
     """Constant per-observed-channel source tables.
 
@@ -146,6 +160,36 @@ def _render_image(spec, group, packed, lanes):
     return jnp.pad(img, ((0, 0), (0, 0), (0, lanes - Wp * C)))
 
 
+def window_layout(spec: speclib.GameSpec, group: int, geometry):
+    """Static window math for one observer group, shared with the profiling
+    scripts so they measure exactly the production path (ADVICE r2).
+
+    ``geometry`` is ``grids_fn.geometry``.  Returns a dict with ``vh``,
+    ``vw``, ``mask`` ([vh, vw*C] f32), ``chunk`` (production chunk size),
+    ``replica_ok`` (whether :func:`window_gather4`'s size constraints hold)
+    and ``pos_fn(state) -> [B, cap]`` packed top-left cell indices
+    (NORTH-only fast path; matches observe_batched).
+    """
+    t = spec.groups[group].type
+    gs = spec.groups[group]
+    vr = t.view_range
+    C = spec.n_channel
+    Hp, Wp, lanes, pad_y, pad_x = geometry
+    mask = jnp.asarray(np.repeat(vr.mask.astype(np.float32), C, axis=1))
+    sl = slice(gs.offset, gs.offset + gs.cap)
+
+    def pos_fn(state: State):
+        tlx = state.x[:, sl] + t.view_x_offset + vr.x1 + pad_x
+        tly = state.y[:, sl] + t.view_y_offset + vr.y1 + pad_y
+        return tly * Wp + tlx
+
+    return dict(
+        vh=vr.height, vw=vr.width, mask=mask, pos_fn=pos_fn,
+        chunk=min(200, wg._ceil_to(gs.cap, 4)),
+        replica_ok=(vr.height <= 13 and vr.width * C <= 65),
+    )
+
+
 def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
                  interpret: bool = False, obs_dtype=jnp.float32):
     """Build the observe function for one group.
@@ -177,10 +221,10 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     grids_fn = make_grids(spec)
     Hp, Wp, lanes, pad_y, pad_x = grids_fn.geometry
 
-    # window mask: range mask expanded over channels
-    mask = jnp.asarray(
-        np.repeat(vr.mask.astype(np.float32), C, axis=1)
-    )  # [vh, vw*C]
+    # window mask + position math shared with the profiling scripts
+    layout = window_layout(spec, group, grids_fn.geometry)
+    mask = layout["mask"]  # [vh, vw*C]
+    kchunk = layout["chunk"]
 
     # minimap pooling factors (GridWorld.cc:328-329)
     scale_h = (H + vh - 1) // vh
@@ -201,14 +245,15 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     backend_ok = wg.supports_pallas() or interpret
     # MAGENT_OBS_KERNEL=xla forces the plain-gather path (small-population
     # measurements; cf. MAGENT_ATTACK_PATH / MAGENT_GRIDLESS)
-    force_xla = force_xla or os.environ.get("MAGENT_OBS_KERNEL", "auto") == "xla"
+    obs_kernel = _obs_kernel_env()
+    force_xla = force_xla or obs_kernel == "xla"
     use_pallas = (not force_xla) and fits_vmem and backend_ok
     use_banded = (not force_xla) and not fits_vmem and band_fits and backend_ok
     # replica variant: minimum-size loads, 4x image VMEM (see window_gather4)
     use_replica = (
         use_pallas and vh <= 13 and vw * C <= 65
         and 4 * image_bytes <= 12 * 1024 * 1024
-        and os.environ.get("MAGENT_OBS_KERNEL", "auto") != "roll"
+        and obs_kernel != "roll"
     )
 
     def observe_batched(state: State, grids=None):
@@ -222,9 +267,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
         x = state.x[:, sl]
         y = state.y[:, sl]
         # window top-left in padded map cells (NORTH-only fast path)
-        tlx = x + t.view_x_offset + vr.x1 + pad_x
-        tly = y + t.view_y_offset + vr.y1 + pad_y
-        pos = tly * Wp + tlx
+        pos = layout["pos_fn"](state)
 
         # --- minimap content (GridWorld.cc:327-384): the pooled global maps
         # are identical for every agent of the group; the kernel adds them
@@ -296,13 +339,13 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
                 img, pos * 1024 + self_cell, mask, mm_img, mm_mask2d,
                 act.astype(jnp.int32),
                 vh=vh, vw=vw, C=C, Wp=Wp,
-                chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+                chunk=kchunk, interpret=interpret,
                 out_dtype=obs_dtype,
             )
         elif use_replica:
             view = wg.window_gather4(
                 img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
-                chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+                chunk=kchunk, interpret=interpret,
                 out_dtype=obs_dtype,
             )
         elif use_pallas:
@@ -311,7 +354,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
             # ~16 extra vector ops per agent — so the kernel only gathers
             view = wg.window_gather(
                 img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
-                chunk=min(200, wg._ceil_to(gs.cap, 4)), interpret=interpret,
+                chunk=kchunk, interpret=interpret,
                 out_dtype=obs_dtype,
             )
         elif use_banded:

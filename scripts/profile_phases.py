@@ -173,34 +173,30 @@ def main():
     if grids_fn is not None and "view_only" in which:
         # grids + render + window kernel (fused epilogue path) for BOTH
         # groups, but no minimap pooling / feature assembly: isolates the
-        # kernel's in-loop cost from the rest of observe
+        # kernel's in-loop cost from the rest of observe.  Window math comes
+        # from observe.window_layout — the SAME code production uses.
         from magent_tpu.ops import window_gather as wg
         Hp, Wp, lanes, pad_y, pad_x = grids_fn.geometry
-
-        def body(carry, _):
-            state, key = carry
-            g = grids_fn(state)
-            s = 0.0
-            for grp in range(spec.n_groups):
-                t = spec.groups[grp].type
-                gs = spec.groups[grp]
-                vr = t.view_range
-                vh, vw = vr.height, vr.width
-                C = spec.n_channel
-                import numpy as np
-                mask = jnp.asarray(np.repeat(vr.mask.astype(np.float32), C, axis=1))
-                img = observe._render_image(spec, grp, g, lanes)
-                sl = slice(gs.offset, gs.offset + gs.cap)
-                tlx = state.x[:, sl] + t.view_x_offset + vr.x1 + pad_x
-                tly = state.y[:, sl] + t.view_y_offset + vr.y1 + pad_y
-                pos = tly * Wp + tlx
-                view = wg.window_gather4(
-                    img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
-                    chunk=min(200, (gs.cap + 3) // 4 * 4))
-                s = s + jnp.sum(view[:, :, 0, 0])
-            state = state.replace(hp=state.hp + 1e-6)
-            return (state, key), s
-        timed("view_only", body, state, key)
+        layouts = [observe.window_layout(spec, grp, grids_fn.geometry)
+                   for grp in range(spec.n_groups)]
+        if all(lo["replica_ok"] for lo in layouts):
+            def body(carry, _):
+                state, key = carry
+                g = grids_fn(state)
+                s = 0.0
+                for grp, lo in enumerate(layouts):
+                    img = observe._render_image(spec, grp, g, lanes)
+                    pos = lo["pos_fn"](state)
+                    view = wg.window_gather4(
+                        img, pos * 1024, lo["mask"], vh=lo["vh"], vw=lo["vw"],
+                        C=spec.n_channel, Wp=Wp, chunk=lo["chunk"])
+                    s = s + jnp.sum(view[:, :, 0, 0])
+                state = state.replace(hp=state.hp + 1e-6)
+                return (state, key), s
+            timed("view_only", body, state, key)
+        else:
+            print("view_only: skipped (window_gather4 size constraints "
+                  "not met for this geometry)")
 
     if grids_fn is not None and "kernel_only" in which:
         # full observe minus minimap work: compare spec with minimap off

@@ -286,7 +286,10 @@ def main():
     got = ladder(gfull, pos, mask, level="mask")
     lerr = float(jnp.max(jnp.abs(prod - got)))
     print("ladder(mask) vs window_gather4 max|diff| =", lerr, "(informational)")
-    assert err == 0.0, err
+    # bit-exact on-chip today (f32 out); keep a tiny tolerance so a future
+    # legitimate reassociation (bf16 out, epilogue change) degrades to a
+    # reported diff instead of aborting the whole profiling run
+    assert err <= 1e-6, err
 
 
 if __name__ == "__main__":
