@@ -108,10 +108,13 @@ def _use_quad(A: int) -> bool:
 
 def _gridless_capable(spec: speclib.GameSpec) -> bool:
     """Config shapes whose occupancy questions are pairwise-answerable:
-    1x1 bodies, no food cells, no rotation footprints, no absorb demo."""
+    no food cells, no rotation footprints, no absorb demo.  Multi-cell
+    bodies are fine — with turn_mode off every direction is NORTH, so each
+    footprint is a static per-slot rectangle and the occupancy questions
+    become pairwise interval-intersection tests (ops.attack_prefix rect
+    kernels)."""
     return (
-        spec.max_body_w == 1
-        and not spec.food_mode
+        not spec.food_mode
         and not spec.turn_mode
         and not bool(spec.g_can_absorb.any())
     )
@@ -148,7 +151,18 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
     in_board = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H)
     txc = jnp.clip(tx, 0, W - 1)
     tyc = jnp.clip(ty, 0, H - 1)
-    if gridless:
+    if gridless and spec.max_body_w > 1:
+        # rect-containment occupant lookup (multi-cell bodies; dir is
+        # always NORTH here so footprints are static per slot)
+        bw_a, bh_a = geo.size_for_dir(state.dir, w, l)
+        is_q = is_attack & in_board
+        tgt, hp_t_occ = ap.occupant_rect(
+            jnp.where(is_q, txc, -2**20), jnp.where(is_q, tyc, -2**20),
+            state.x, state.y,
+            jnp.where(alive, bw_a, 0), jnp.where(alive, bh_a, 0),
+            state.hp,
+        )
+    elif gridless:
         # sentinels: queries use 2**30, dead agents' cells 2**29 — distinct
         # so dead cells never satisfy a (sentinel) query
         acell = jnp.where(is_attack & in_board, tyc * W + txc, 2**30)
@@ -401,6 +415,81 @@ def _starve_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
     return state.replace(hp=hp, dead=dead, next_reward=next_reward, cell_slot=cell_slot)
 
 
+def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
+                              bw, bh, alive):
+    """Gridless move resolution for multi-cell bodies (static NORTH
+    footprints): two pairwise rect sweeps reproduce the grid path's
+    semantics cell-for-cell —
+
+    1. blocking: per target-rect cell, the unique CURRENT occupant
+       (excluding self) in the grid path's (i outer, j inner) scan order
+       (the ``enc`` gather loop in :func:`_move_phase`);
+    2. claims: per target-rect cell, the min-slot blank claimant covering
+       it (the grid path's ``claim.at[...].min`` arbitration); a mover wins
+       iff it is the min at every own cell, and a loser collides with the
+       winner of its FIRST lost cell.
+
+    Unlike the 1x1 gridless path, blocking must resolve BEFORE claims: a
+    blocked mover never claims in the grid path, but with rect overlap a
+    blocked mover's claim could otherwise outrank a blank one's.
+    """
+    A = spec.n_agents_cap
+    W, H = spec.width, spec.height
+    MB = spec.max_body_w
+    slots = jnp.arange(A, dtype=jnp.int32)
+
+    # border walls live at x==0 / y==0 (in_bounds excludes the far edges:
+    # nx + bw < W keeps every body cell off the border columns)
+    wall_blocked = (nx == 0) | (ny == 0)
+    ok = is_move & in_bounds & ~wall_blocked
+    stay = ok & (nx == state.x) & (ny == state.y)
+
+    # ---- sweep 1: per-cell blocking occupants (current rects) ----
+    q_ok = ok & ~stay
+    occ_cells = ap.rect_cell_min(
+        jnp.where(q_ok, nx, -2**20), jnp.where(q_ok, ny, -2**20),
+        jnp.where(q_ok, bw, 0), jnp.where(q_ok, bh, 0),
+        state.x, state.y,
+        jnp.where(alive, bw, 0), jnp.where(alive, bh, 0),
+        max_body=MB, exclude_self=True,
+    )
+    coll_occ = jnp.full(A, -1, jnp.int32)
+    occupied = jnp.zeros(A, bool)
+    for occ_k in occ_cells:  # first occupied cell in (i, j) scan order
+        hit = occ_k < ap._NONE
+        coll_occ = jnp.where(~occupied & hit, occ_k, coll_occ)
+        occupied = occupied | hit
+    blank = q_ok & ~occupied
+
+    # ---- sweep 2: per-cell claim winners among blank movers ----
+    head_cells = ap.rect_cell_min(
+        jnp.where(blank, nx, -2**20), jnp.where(blank, ny, -2**20),
+        jnp.where(blank, bw, 0), jnp.where(blank, bh, 0),
+        jnp.where(blank, nx, -2**20), jnp.where(blank, ny, -2**20),
+        jnp.where(blank, bw, 0), jnp.where(blank, bh, 0),
+        max_body=MB, exclude_self=False,
+    )
+    lose_to = jnp.full(A, -1, jnp.int32)
+    lost = jnp.zeros(A, bool)
+    for head_k in head_cells:  # first lost cell in (i, j) scan order
+        lost_k = blank & (head_k < slots)
+        lose_to = jnp.where(~lost & lost_k, head_k, lose_to)
+        lost = lost | lost_k
+    wins = blank & ~lost
+
+    success = wins | stay
+    coll_obj = jnp.where(blank & ~wins, lose_to,
+                         jnp.where(occupied, coll_occ, -1))
+    collide = is_move & ~success & in_bounds & (coll_obj >= 0)
+    last_op = jnp.where(collide, OP_COLLIDE, state.last_op)
+    op_obj = jnp.where(collide, coll_obj, state.op_obj)
+    return state.replace(
+        x=jnp.where(success, nx, state.x),
+        y=jnp.where(success, ny, state.y),
+        last_op=last_op, op_obj=op_obj,
+    )
+
+
 def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
     """Resolve all move actions (reference: GridWorld.cc:573-613,
     Map::do_move Map.cc:313-358).
@@ -430,6 +519,10 @@ def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
     l = jnp.asarray(spec.s_length)
     bw, bh = geo.size_for_dir(state.dir, w, l)
     in_bounds = (nx >= 0) & (ny >= 0) & (nx + bw < W) & (ny + bh < H)  # Map.cc:454-455
+
+    if gridless and MB > 1:
+        return _move_phase_gridless_rect(
+            spec, state, is_move, in_bounds, nx, ny, bw, bh, alive)
 
     if gridless:
         # border walls live at x==0 / y==0 (in_bounds already excludes the

@@ -250,9 +250,12 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     use_pallas = (not force_xla) and fits_vmem and backend_ok
     use_banded = (not force_xla) and not fits_vmem and band_fits and backend_ok
     # replica variant: minimum-size loads, 4x image VMEM (see window_gather4)
+    # the 4 replicas double-buffer like the single image does, so they get
+    # the same ~6MB budget (12MB was observed to OOM scoped VMEM at
+    # map=279/C=5 geometry: 4x2.35MB image + output blocks > 16MB)
     use_replica = (
         use_pallas and vh <= 13 and vw * C <= 65
-        and 4 * image_bytes <= 12 * 1024 * 1024
+        and 4 * image_bytes <= 6 * 1024 * 1024
         and obs_kernel != "roll"
     )
 

@@ -385,3 +385,206 @@ def move_resolve(tcell, cell, *, interpret=False):
     if supports_pallas() or interpret:
         return move_resolve_tpu(tcell, cell, interpret=interpret)
     return move_resolve_xla(tcell, cell)
+
+
+# ------------------------------------------------- multi-cell (rect) kernels
+# With turn_mode off every direction is NORTH, so each agent's footprint is a
+# STATIC per-slot rectangle [x, x+bw) x [y, y+bh) (reference: multi-cell
+# bodies Map.cc:75-97; direction forced NORTH GridWorld.cc:230,253).  The
+# same pairwise questions then become interval-intersection tests, which
+# lets forest/pursuit-class configs (2x2 predators) run gridless too.
+# Sentinel convention: non-participants carry an EMPTY rect (bw = bh = 0) —
+# an empty rect contains no cell and intersects nothing, including other
+# empty rects at the same coordinates.
+
+def occupant_rect_xla(qx, qy, x, y, bw, bh, hp, *, exclude_self=False):
+    """(slot whose rect contains (qx_j, qy_j) or -1, its hp).  Bodies are
+    disjoint, so at most one column matches per query."""
+    A = qx.shape[-1]
+    slots = jnp.arange(A, dtype=jnp.int32)
+    m = (
+        (qx[..., None, :] >= x[..., :, None])
+        & (qx[..., None, :] < (x + bw)[..., :, None])
+        & (qy[..., None, :] >= y[..., :, None])
+        & (qy[..., None, :] < (y + bh)[..., :, None])
+    )
+    if exclude_self:
+        m = m & (slots[:, None] != slots[None, :])
+    tgt = jnp.max(jnp.where(m, slots[:, None], -1), axis=-2)
+    hp_t = jnp.sum(jnp.where(m, hp[..., :, None], 0.0), axis=-2)
+    return tgt, hp_t
+
+
+@functools.partial(jax.jit, static_argnames=("exclude_self", "interpret"))
+def occupant_rect_tpu(qx, qy, x, y, bw, bh, hp, *, exclude_self=False,
+                      interpret=False):
+    """Pairwise rect-containment occupant lookup (single env; vmap for
+    batches).  qx/qy: [A] int32 query cell per agent (any value when the
+    corresponding bw/bh say empty — queries are gated by the CALLER setting
+    qx = -2**20 for non-queries); x/y/bw/bh: [A] int32 current rects (EMPTY
+    rect bw=0 for dead agents); hp: [A] f32.
+    Returns (tgt [A] int32 — occupant slot or -1, hp_t [A] f32).
+    """
+    from jax.experimental import pallas as pl
+
+    (A,) = qx.shape
+    Ap, (qx_p, qy_p, x_p, y_p, bw_p, bh_p, hp_p) = _pad_operands(
+        A, [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
+            (x, jnp.int32(0)), (y, jnp.int32(0)),
+            (bw, jnp.int32(0)), (bh, jnp.int32(0)), (hp, jnp.float32(0))])
+
+    def kernel(x_ref, y_ref, bw_ref, bh_ref, h_ref, qx_ref, qy_ref,
+               tgt_ref, hpt_ref):
+        i = pl.program_id(1)
+        j = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            tgt_ref[...] = jnp.full_like(tgt_ref, -1)
+            hpt_ref[...] = jnp.zeros_like(hpt_ref)
+
+        xc = x_ref[...]
+        yc = y_ref[...]
+        qxr = qx_ref[...]
+        qyr = qy_ref[...]
+        m = (
+            (qxr >= xc) & (qxr < xc + bw_ref[...])
+            & (qyr >= yc) & (qyr < yc + bh_ref[...])
+        )
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
+        if exclude_self:
+            slot_row = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
+            )
+            m = m & (slot_col != slot_row)
+        tgt_ref[...] = jnp.maximum(
+            tgt_ref[...],
+            jnp.max(jnp.where(m, slot_col, -1), axis=0, keepdims=True))
+        hpt_ref[...] += jnp.sum(jnp.where(m, h_ref[...], 0.0), axis=0,
+                                keepdims=True)
+
+    tgt, hp_t = _pair_grid_call(
+        kernel, [x_p, y_p, bw_p, bh_p, hp_p], [qx_p, qy_p], 2,
+        [jnp.int32, jnp.float32], Ap, interpret)
+    return tgt[0, :A], hp_t[0, :A]
+
+
+def occupant_rect(qx, qy, x, y, bw, bh, hp, *, exclude_self=False,
+                  interpret=False):
+    if supports_pallas() or interpret:
+        return occupant_rect_tpu(qx, qy, x, y, bw, bh, hp,
+                                 exclude_self=exclude_self,
+                                 interpret=interpret)
+    return occupant_rect_xla(qx, qy, x, y, bw, bh, hp,
+                             exclude_self=exclude_self)
+
+
+_NONE = 2**30  # "no slot" sentinel for min-slot accumulation
+
+
+def rect_cell_min_xla(qx, qy, tbw, tbh, x, y, bw, bh, max_body,
+                      exclude_self):
+    """Per query cell (k = i*max_body + j — the grid path's scan order,
+    engine._move_phase): the MINIMUM slot whose rect [x, x+bw) x [y, y+bh)
+    covers cell (qx+i, qy+j), or 2**30; cells beyond the querier's own
+    (tbw, tbh) footprint return 2**30.  Returns a list of max_body^2 [A]
+    int32 arrays.
+
+    Two uses in the gridless multi-cell move phase: blocking occupants
+    (rects = current bodies, exclude_self=True; bodies are disjoint so the
+    min IS the unique occupant) and claim arbitration (rects = blank movers'
+    target rects, exclude_self=False; min slot == the grid path's
+    scatter-min claim winner per cell).
+    """
+    A = qx.shape[-1]
+    slots = jnp.arange(A, dtype=jnp.int32)
+    outs = []
+    for i in range(max_body):
+        for j in range(max_body):
+            cqx = qx + i
+            cqy = qy + j
+            m = (
+                (i < tbw)[..., None, :]
+                & (j < tbh)[..., None, :]
+                & (cqx[..., None, :] >= x[..., :, None])
+                & (cqx[..., None, :] < (x + bw)[..., :, None])
+                & (cqy[..., None, :] >= y[..., :, None])
+                & (cqy[..., None, :] < (y + bh)[..., :, None])
+            )
+            if exclude_self:
+                m = m & (slots[:, None] != slots[None, :])
+            outs.append(jnp.min(jnp.where(m, slots[:, None], _NONE), axis=-2))
+    return outs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_body", "exclude_self", "interpret"))
+def rect_cell_min_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
+                      exclude_self, interpret=False):
+    """All max_body^2 per-cell min-slot lookups in ONE pair sweep
+    (single env; vmap for batches).  See :func:`rect_cell_min_xla`."""
+    from jax.experimental import pallas as pl
+
+    (A,) = qx.shape
+    MB = max_body
+    Ap, (qx_p, qy_p, tbw_p, tbh_p, x_p, y_p, bw_p, bh_p) = _pad_operands(
+        A, [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
+            (tbw, jnp.int32(0)), (tbh, jnp.int32(0)),
+            (x, jnp.int32(0)), (y, jnp.int32(0)),
+            (bw, jnp.int32(0)), (bh, jnp.int32(0))])
+
+    def kernel(x_ref, y_ref, bw_ref, bh_ref, qx_ref, qy_ref, tbw_ref,
+               tbh_ref, *out_refs):
+        i = pl.program_id(1)
+        j = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in out_refs:
+                ref[...] = jnp.full_like(ref, _NONE)
+
+        xc = x_ref[...]
+        yc = y_ref[...]
+        xe = xc + bw_ref[...]
+        ye = yc + bh_ref[...]
+        qxr = qx_ref[...]
+        qyr = qy_ref[...]
+        tbwr = tbw_ref[...]
+        tbhr = tbh_ref[...]
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
+        gate = jnp.ones((_TI, 1), bool)
+        if exclude_self:
+            slot_row = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
+            )
+            gate = slot_col != slot_row
+        for di in range(MB):
+            for dj in range(MB):
+                cqx = qxr + di
+                cqy = qyr + dj
+                m = (
+                    (di < tbwr) & (dj < tbhr)
+                    & (cqx >= xc) & (cqx < xe) & (cqy >= yc) & (cqy < ye)
+                    & gate
+                )
+                ref = out_refs[di * MB + dj]
+                ref[...] = jnp.minimum(
+                    ref[...],
+                    jnp.min(jnp.where(m, slot_col, _NONE), axis=0,
+                            keepdims=True))
+
+    outs = _pair_grid_call(
+        kernel, [x_p, y_p, bw_p, bh_p], [qx_p, qy_p, tbw_p, tbh_p],
+        MB * MB, [jnp.int32] * (MB * MB), Ap, interpret)
+    return [o[0, :A] for o in outs]
+
+
+def rect_cell_min(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body, exclude_self,
+                  interpret=False):
+    if supports_pallas() or interpret:
+        return rect_cell_min_tpu(qx, qy, tbw, tbh, x, y, bw, bh,
+                                 max_body=max_body,
+                                 exclude_self=exclude_self,
+                                 interpret=interpret)
+    return rect_cell_min_xla(qx, qy, tbw, tbh, x, y, bw, bh, max_body,
+                             exclude_self)

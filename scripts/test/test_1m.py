@@ -134,19 +134,30 @@ def run_vectorized(args):
     per_env = max(agent_number // n_envs, 4)
     map_size = int(math.sqrt(per_env * 20))
     cfg = load_forest(map_size)
-    # host-side placements: the 2x2 predators occupy spaced blocks along the
-    # top; prey fill random distinct interior cells (identical layout per
-    # lockstep env instance)
-    n_pred = 2
+    # host-side placements matching the reference protocol's population mix
+    # (test_1m.py:72-74: n/2 predators + n/2 prey, both placed at random):
+    # 2x2 predators rejection-sampled as free 2x2 blocks, 1x1 prey on free
+    # cells (identical layout per lockstep env instance).  Deviation from
+    # the reference protocol: its n/10 random interior WALLS are omitted —
+    # the vectorized reset builds border-only walls (the gridless step's
+    # precondition); walls are obstacles only and don't change the obs/step
+    # work per agent.
+    n_pred = per_env // 2
     n_prey = per_env - n_pred
     rng = np.random.RandomState(7)
-    preds = [[2 + 4 * i, 2, 0] for i in range(n_pred)]
-    taken = {(x + dx, y + dy) for x, y, _ in preds
-             for dx in range(2) for dy in range(2)}
+    taken = set()
+    preds = []
+    while len(preds) < n_pred:
+        x = int(rng.randint(1, map_size - 3))
+        y = int(rng.randint(1, map_size - 3))
+        block = [(x + dx, y + dy) for dx in range(2) for dy in range(2)]
+        if not any(c in taken for c in block):
+            taken.update(block)
+            preds.append([x, y, 0])
     prey = []
     while len(prey) < n_prey:
         x = int(rng.randint(1, map_size - 2))
-        y = int(rng.randint(6, map_size - 2))
+        y = int(rng.randint(1, map_size - 2))
         if (x, y) not in taken:
             taken.add((x, y))
             prey.append([x, y, 0])
