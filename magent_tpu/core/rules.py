@@ -20,6 +20,7 @@ vectorized plans; evaluation is pure array ops inside the jitted step:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import AgentSymbol, EventNode
@@ -300,9 +301,11 @@ class GeneralRule(_BaseRule):
     inferring subject), 'any' symbols iterate their group with
     involved-agent exclusivity, and receivers are paid once per triggering
     binding tuple.  Here each 'any' input symbol becomes a dense tensor
-    axis (<= 3), object bindings become per-axis slot expressions, and the
-    AST evaluates to a boolean trigger tensor whose reductions give every
-    per-receiver multiplicity.
+    axis, object bindings become per-axis slot expressions, and the AST
+    evaluates to a boolean trigger tensor whose reductions give every
+    per-receiver multiplicity.  Joins whose full tensor would exceed
+    ``MAX_TENSOR`` (many axes or large groups) are evaluated block-by-block
+    under one ``lax.scan`` — no rule shape ever leaves jit.
 
     Reference quirks replicated exactly:
 
@@ -316,9 +319,9 @@ class GeneralRule(_BaseRule):
       groups (RewardEngine.cc:223-234).
     """
 
-    MAX_AXES = 3
-    # per-ENV cap: the vectorized path vmaps rules over the env batch,
-    # so a B-env loop materializes B of these (4M f32 = 16MB/env)
+    # per-ENV block cap: the vectorized path vmaps rules over the env
+    # batch, so a B-env loop materializes B join blocks (4M f32 = 16MB/env);
+    # joins larger than this are evaluated in chunks under one lax.scan
     MAX_TENSOR = 1 << 22
 
     def __init__(self, spec, on, receivers, values, is_terminal, sym_index):
@@ -343,19 +346,24 @@ class GeneralRule(_BaseRule):
         self.infer_obj = infer_obj
 
         self.axes = [s for s in input_symbols if s.is_any()]
-        if len(self.axes) > self.MAX_AXES:
-            raise NotImplementedError(
-                "reward rule with %d 'any' symbols exceeds the vectorized "
-                "join limit (%d); use engine_mode='sequential'"
-                % (len(self.axes), self.MAX_AXES))
+        # chunked join: each 'any' axis gets a block size; oversized joins
+        # (many axes or big groups) are evaluated block-by-block under one
+        # lax.scan so ANY rule AST stays inside jit (the reference DFS,
+        # RewardEngine.cc:373-443, has no size cliff either).  The common
+        # all-fits case remains a single statically-sliced block.
         caps = [spec.groups[s.group].cap for s in self.axes]
-        size = 1
-        for c in caps:
-            size *= c
-        if size > self.MAX_TENSOR:
-            raise NotImplementedError(
-                "reward rule join tensor %s too large; use "
-                "engine_mode='sequential'" % (caps,))
+        csz = list(caps)
+
+        def _prod(v):
+            size = 1
+            for c in v:
+                size *= c
+            return size
+
+        while _prod(csz) > self.MAX_TENSOR:
+            j = max(range(len(csz)), key=lambda i: csz[i])
+            csz[j] = (csz[j] + 1) // 2
+        self.chunk_sizes = csz
 
         # the reference asserts binary-leaf objects are never groups
         # (RewardEngine.cc:223); fail at compile instead of at runtime
@@ -395,20 +403,13 @@ class GeneralRule(_BaseRule):
             return next_reward, group_reward, jnp.asarray(False)
 
         axes = self.axes
-        shape = tuple(spec.groups[s.group].cap for s in axes)
+        caps = tuple(spec.groups[s.group].cap for s in axes)
+        shape = tuple(self.chunk_sizes)  # per-BLOCK tensor shape
         offs = [spec.groups[s.group].offset for s in axes]
-
-        def bcast(vec, axis):
-            """Lift a per-axis vector (or a scalar for axis None) onto the
-            full tensor shape."""
-            if axis is None:
-                return jnp.broadcast_to(vec, shape) if shape else vec
-            view = [1] * len(shape)
-            view[axis] = shape[axis]
-            return jnp.broadcast_to(vec.reshape(view), shape)
-
-        def axis_slots(i):
-            return offs[i] + jnp.arange(shape[i], dtype=jnp.int32)
+        nchunks = [-(-caps[i] // shape[i]) for i in range(len(axes))]
+        n_iter = 1
+        for nc in nchunks:
+            n_iter *= nc
 
         def first_member_slot(group):
             """Slot of groups[g].get_agents()[0] (first active slot)."""
@@ -416,30 +417,18 @@ class GeneralRule(_BaseRule):
             act = state.active[off : off + cap]
             return off + jnp.argmax(act), jnp.any(act)
 
-        def binding(sym):
-            """(axis_or_None, slot-values) for a bound (non-'all') symbol."""
-            if sym in axes:
-                i = axes.index(sym)
-                return i, axis_slots(i)
+        def binding_global(sym):
+            """Slot value for a block-independent bound symbol (inferred by a
+            non-'any' symbol, or a fixed input symbol)."""
             t = self.last_inferrer.get(sym)
             if t is not None:
-                if t.is_any():
-                    i = axes.index(t)
-                    return i, state.op_obj[offs[i] : offs[i] + shape[i]]
                 if t.is_all():
                     first, _ = first_member_slot(t.group)
-                    return None, state.op_obj[first]
+                    return state.op_obj[first]
                 toff, _ = _group_slice(spec, t.group)
-                return None, state.op_obj[toff + int(t.index)]
-            # fixed input symbol bound to its own slot
+                return state.op_obj[toff + int(t.index)]
             soff, _ = _group_slice(spec, sym.group)
-            return None, jnp.asarray(soff + int(sym.index), jnp.int32)
-
-        def take(per_slot, sym):
-            """Gather a per-slot array at a symbol's bound slots -> tensor."""
-            i, slots = binding(sym)
-            safe = jnp.clip(slots, 0, A - 1)
-            return bcast(per_slot[safe], i)
+            return jnp.asarray(soff + int(sym.index), jnp.int32)
 
         def members_of(group):
             g = jnp.asarray(spec.group_of_slot)
@@ -464,122 +453,213 @@ class GeneralRule(_BaseRule):
                 return align > 1
             return _unary_pred(spec, state, leaf, None)
 
-        def eval_node(node):
-            if node.op == OP_AND:
-                return eval_node(node.inputs[0]) & eval_node(node.inputs[1])
-            if node.op == OP_OR:
-                return eval_node(node.inputs[0]) | eval_node(node.inputs[1])
-            if node.op == OP_NOT:
-                return ~eval_node(node.inputs[0])
-            if node.op in BINARY_OPS:
-                sub, obj = node.inputs[0], node.inputs[1]
-                oi, ovals = binding(obj)
-                obj_t = bcast(ovals, oi)
-                if sub.is_all():
-                    # forall members: last_op==op and op_obj==obj
-                    mem = members_of(sub.group)
-                    n_mem = jnp.sum(mem.astype(jnp.int32))
-                    hit = mem & (state.last_op == node.op)
-                    cnt_at = jnp.zeros(A + 1, jnp.int32).at[
-                        jnp.where(hit & (state.op_obj >= 0), state.op_obj, A)
-                    ].add(1)[:A]
-                    padded = jnp.concatenate([cnt_at, jnp.zeros(1, jnp.int32)])
-                    safe = jnp.where((obj_t >= 0) & (obj_t < A), obj_t, A)
-                    return padded[safe] == n_mem  # vacuous True when empty
-                sub_op = take(state.last_op, sub) == node.op
-                sub_obj = take(state.op_obj, sub)
-                return sub_op & (sub_obj == obj_t)
-            # unary leaf
-            sym = node.inputs[0]
-            if node.op == OP_IN_A_LINE or sym.is_all():
-                pred = _unary_pred(spec, state, node, None) \
-                    if node.op == OP_IN_A_LINE else unary_vec(node)
-                if node.op == OP_IN_A_LINE:
-                    verdict = pred[_group_slice(spec, sym.group)[0]]
-                else:  # forall members (vacuous True when empty)
-                    mem = members_of(sym.group)
-                    verdict = jnp.all(~mem | pred)
-                return bcast(verdict, None)
-            return take(unary_vec(node), sym)
+        def eval_block(starts, next_reward):
+            """Evaluate one join block (axis i covers group slots
+            ``starts[i] .. starts[i]+shape[i]`` within its group) and pay the
+            block-local receivers ('any' axes and objects inferred by an
+            'any' axis).  ``starts`` of Python ints compile to static slices
+            — the all-fits case is exactly the old single-tensor program.
+            Returns (next_reward, block trigger count)."""
+            static = all(isinstance(s, int) for s in starts)
 
-        T = eval_node(self.on)
-        if shape:
-            T = jnp.broadcast_to(T, shape)
+            def bcast(vec, axis):
+                """Lift a per-axis vector (or a scalar for axis None) onto
+                the block tensor shape."""
+                if axis is None:
+                    return jnp.broadcast_to(vec, shape) if shape else vec
+                view = [1] * len(shape)
+                view[axis] = shape[axis]
+                return jnp.broadcast_to(vec.reshape(view), shape)
 
-        # ---- binding masks (DFS-level pruning, applied to every branch)
-        def bind_mask(sub, obj):
-            """op_obj of `sub` binds `obj`: non-null + group/index check
-            (bind_with_check, RewardEngine.cc:14-23)."""
-            if sub.is_any():
-                i = axes.index(sub)
-                oo = state.op_obj[offs[i] : offs[i] + shape[i]]
-                ax = i
-            elif sub.is_all():
-                first, nonempty = first_member_slot(sub.group)
-                oo = state.op_obj[first]
-                ax = None
-            else:
-                soff, _ = _group_slice(spec, sub.group)
-                oo = state.op_obj[soff + int(sub.index)]
-                ax = None
-            ok = oo >= 0
-            og, oidx = _group_slot_of(spec, jnp.clip(oo, 0, A - 1))
-            ok = ok & (og == obj.group)
-            if obj.index >= 0:
-                ok = ok & (oidx == obj.index)
-            if sub.is_all():
-                ok = ok & nonempty
-            return bcast(ok, ax)
+            def axis_slots(i):
+                return offs[i] + starts[i] + jnp.arange(
+                    shape[i], dtype=jnp.int32)
 
-        for sub, obj in zip(self.input_symbols, self.infer_obj):
-            if obj is not None:
-                T = T & bind_mask(sub, obj)
-            if sub.is_any():
-                i = axes.index(sub)
-                T = T & bcast(state.active[offs[i] : offs[i] + shape[i]], i)
-            elif not sub.is_all():  # fixed: index must be within group size
-                soff, cap = _group_slice(spec, sub.group)
-                k = int(sub.index)
-                in_size = (k < cap) and jnp.asarray(True)
-                n_g = jnp.sum(members_of(sub.group).astype(jnp.int32))
-                T = T & bcast((k < n_g) & in_size, None)
+            def axis_valid(i):
+                return starts[i] + jnp.arange(shape[i]) < caps[i]
 
-        # involved-agent exclusivity between same-group 'any' axes
-        for i in range(len(axes)):
-            for j in range(i + 1, len(axes)):
-                if axes[i].group == axes[j].group:
-                    T = T & (bcast(axis_slots(i), i) != bcast(axis_slots(j), j))
+            def axis_take(per_slot, i):
+                """Block slice per_slot[offs[i]+starts[i] :][: shape[i]]
+                (ragged tails read clamped garbage — every use is masked by
+                axis_valid through T)."""
+                if static:
+                    lo = offs[i] + starts[i]
+                    return per_slot[lo : lo + shape[i]]
+                return jax.lax.dynamic_slice_in_dim(
+                    per_slot, offs[i] + starts[i], shape[i])
 
-        Tf = T.astype(jnp.float32)
-        n_trig = jnp.sum(Tf)
-
-        def axis_multiplicity(i):
-            other = tuple(k for k in range(len(axes)) if k != i)
-            return jnp.sum(Tf, axis=other) if other else Tf
-
-        for sym, val in zip(self.receivers, self.values):
-            if sym.is_all():
-                group_reward = group_reward.at[sym.group].add(val * n_trig)
-            elif sym in axes:
-                i = axes.index(sym)
-                m = axis_multiplicity(i)
-                next_reward = next_reward.at[
-                    offs[i] : offs[i] + shape[i]
-                ].add(val * m)
-            elif sym in self.last_inferrer:
-                t = self.last_inferrer[sym]
-                if t.is_any():
+            def binding(sym):
+                """(axis_or_None, slot-values) for a bound (non-'all')
+                symbol."""
+                if sym in axes:
+                    i = axes.index(sym)
+                    return i, axis_slots(i)
+                t = self.last_inferrer.get(sym)
+                if t is not None and t.is_any():
                     i = axes.index(t)
+                    return i, axis_take(state.op_obj, i)
+                return None, binding_global(sym)
+
+            def take(per_slot, sym):
+                """Gather a per-slot array at a symbol's bound slots."""
+                i, slots = binding(sym)
+                safe = jnp.clip(slots, 0, A - 1)
+                return bcast(per_slot[safe], i)
+
+            def eval_node(node):
+                if node.op == OP_AND:
+                    return eval_node(node.inputs[0]) & eval_node(node.inputs[1])
+                if node.op == OP_OR:
+                    return eval_node(node.inputs[0]) | eval_node(node.inputs[1])
+                if node.op == OP_NOT:
+                    return ~eval_node(node.inputs[0])
+                if node.op in BINARY_OPS:
+                    sub, obj = node.inputs[0], node.inputs[1]
+                    oi, ovals = binding(obj)
+                    obj_t = bcast(ovals, oi)
+                    if sub.is_all():
+                        # forall members: last_op==op and op_obj==obj
+                        mem = members_of(sub.group)
+                        n_mem = jnp.sum(mem.astype(jnp.int32))
+                        hit = mem & (state.last_op == node.op)
+                        cnt_at = jnp.zeros(A + 1, jnp.int32).at[
+                            jnp.where(hit & (state.op_obj >= 0),
+                                      state.op_obj, A)
+                        ].add(1)[:A]
+                        padded = jnp.concatenate(
+                            [cnt_at, jnp.zeros(1, jnp.int32)])
+                        safe = jnp.where((obj_t >= 0) & (obj_t < A), obj_t, A)
+                        return padded[safe] == n_mem  # vacuous True if empty
+                    sub_op = take(state.last_op, sub) == node.op
+                    sub_obj = take(state.op_obj, sub)
+                    return sub_op & (sub_obj == obj_t)
+                # unary leaf
+                sym = node.inputs[0]
+                if node.op == OP_IN_A_LINE or sym.is_all():
+                    pred = _unary_pred(spec, state, node, None) \
+                        if node.op == OP_IN_A_LINE else unary_vec(node)
+                    if node.op == OP_IN_A_LINE:
+                        verdict = pred[_group_slice(spec, sym.group)[0]]
+                    else:  # forall members (vacuous True when empty)
+                        mem = members_of(sym.group)
+                        verdict = jnp.all(~mem | pred)
+                    return bcast(verdict, None)
+                return take(unary_vec(node), sym)
+
+            T = eval_node(self.on)
+            if shape:
+                T = jnp.broadcast_to(T, shape)
+            for i in range(len(axes)):  # mask ragged block tails
+                T = T & bcast(axis_valid(i), i)
+
+            # ---- binding masks (DFS-level pruning, applied to every branch)
+            def bind_mask(sub, obj):
+                """op_obj of `sub` binds `obj`: non-null + group/index check
+                (bind_with_check, RewardEngine.cc:14-23)."""
+                if sub.is_any():
+                    i = axes.index(sub)
+                    oo = axis_take(state.op_obj, i)
+                    ax = i
+                elif sub.is_all():
+                    first, nonempty = first_member_slot(sub.group)
+                    oo = state.op_obj[first]
+                    ax = None
+                else:
+                    soff, _ = _group_slice(spec, sub.group)
+                    oo = state.op_obj[soff + int(sub.index)]
+                    ax = None
+                ok = oo >= 0
+                og, oidx = _group_slot_of(spec, jnp.clip(oo, 0, A - 1))
+                ok = ok & (og == obj.group)
+                if obj.index >= 0:
+                    ok = ok & (oidx == obj.index)
+                if sub.is_all():
+                    ok = ok & nonempty
+                return bcast(ok, ax)
+
+            for sub, obj in zip(self.input_symbols, self.infer_obj):
+                if obj is not None:
+                    T = T & bind_mask(sub, obj)
+                if sub.is_any():
+                    i = axes.index(sub)
+                    T = T & bcast(axis_take(state.active, i), i)
+                elif not sub.is_all():  # fixed: index must be within group
+                    soff, cap = _group_slice(spec, sub.group)
+                    k = int(sub.index)
+                    in_size = (k < cap) and jnp.asarray(True)
+                    n_g = jnp.sum(members_of(sub.group).astype(jnp.int32))
+                    T = T & bcast((k < n_g) & in_size, None)
+
+            # involved-agent exclusivity between same-group 'any' axes
+            for i in range(len(axes)):
+                for j in range(i + 1, len(axes)):
+                    if axes[i].group == axes[j].group:
+                        T = T & (bcast(axis_slots(i), i)
+                                 != bcast(axis_slots(j), j))
+
+            Tf = T.astype(jnp.float32)
+            n_trig = jnp.sum(Tf)
+
+            def axis_multiplicity(i):
+                other = tuple(k for k in range(len(axes)) if k != i)
+                return jnp.sum(Tf, axis=other) if other else Tf
+
+            # block-local receivers: per-slot multiplicities live here
+            for sym, val in zip(self.receivers, self.values):
+                if sym in axes:
+                    i = axes.index(sym)
                     m = axis_multiplicity(i)
-                    oo = state.op_obj[offs[i] : offs[i] + shape[i]]
+                    if static and shape[i] == caps[i]:
+                        lo = offs[i] + starts[i]
+                        next_reward = next_reward.at[
+                            lo : lo + shape[i]].add(val * m)
+                    else:
+                        next_reward = next_reward.at[
+                            jnp.where(axis_valid(i), axis_slots(i), A)
+                        ].add(val * m, mode="drop")
+                elif (sym in self.last_inferrer
+                      and self.last_inferrer[sym].is_any()):
+                    i = axes.index(self.last_inferrer[sym])
+                    m = axis_multiplicity(i)
+                    oo = axis_take(state.op_obj, i)
                     next_reward = next_reward.at[
                         jnp.where(m > 0, jnp.clip(oo, 0, A - 1), A)
                     ].add(val * m, mode="drop")
-                else:
-                    _, v = binding(sym)
-                    next_reward = next_reward.at[
-                        jnp.where(n_trig > 0, jnp.clip(v, 0, A - 1), A)
-                    ].add(val * n_trig, mode="drop")
+            return next_reward, n_trig
+
+        if n_iter == 1:  # everything fits: one statically-sliced block
+            next_reward, n_trig = eval_block([0] * len(axes), next_reward)
+        else:  # chunked join: scan the block grid (np.indices of chunk ids)
+            import numpy as _onp
+
+            grid = _onp.stack(
+                _onp.meshgrid(*[_onp.arange(nc) * c
+                                for nc, c in zip(nchunks, shape)],
+                              indexing="ij"),
+                axis=-1,
+            ).reshape(-1, len(axes)).astype(_onp.int32)
+
+            def body(carry, st):
+                nr, acc = carry
+                nr, nt = eval_block(
+                    [st[i] for i in range(len(axes))], nr)
+                return (nr, acc + nt), None
+
+            (next_reward, n_trig), _ = jax.lax.scan(
+                body, (next_reward, jnp.float32(0.0)), jnp.asarray(grid))
+
+        # ---- block-independent receivers (need the TOTAL trigger count)
+        for sym, val in zip(self.receivers, self.values):
+            if sym.is_all():
+                group_reward = group_reward.at[sym.group].add(val * n_trig)
+            elif sym in axes or (sym in self.last_inferrer
+                                 and self.last_inferrer[sym].is_any()):
+                pass  # paid per block above
+            elif sym in self.last_inferrer:
+                v = binding_global(sym)
+                next_reward = next_reward.at[
+                    jnp.where(n_trig > 0, jnp.clip(v, 0, A - 1), A)
+                ].add(val * n_trig, mode="drop")
             else:  # fixed input symbol bound to its own slot
                 soff, _ = _group_slice(spec, sym.group)
                 next_reward = next_reward.at[soff + int(sym.index)].add(

@@ -201,7 +201,7 @@ def _one_case(seed, force_general):
             spec = speclib.compile_spec(cfg, CAPS)
             plans = spec.compiled_rules()
         except NotImplementedError:
-            return None  # >MAX_AXES joins are out of scope for the fast path
+            return None  # receiver shapes without defined semantics
         except ValueError:
             return None  # shapes the reference itself asserts on
         S0 = _random_state(rng, spec)
@@ -224,6 +224,67 @@ def test_random_rules_match_sequential(force_general):
         if _one_case(seed, force_general):
             ran += 1
     assert ran > 60, f"only {ran} cases were evaluable"
+
+
+def test_chunked_join_matches_sequential(monkeypatch):
+    """Joins larger than MAX_TENSOR take the lax.scan block path
+    (rules.GeneralRule.eval_block): shrink the cap so EVERY multi-axis join
+    chunks (incl. ragged tails — 5/6 caps vs power-of-two blocks) and re-run
+    the property sweep against the reference-order DFS."""
+    from magent_tpu.core.rules import GeneralRule
+
+    monkeypatch.setattr(GeneralRule, "MAX_TENSOR", 8)
+    ran = 0
+    for seed in range(60):
+        if _one_case(seed, True):
+            ran += 1
+    assert ran > 30, f"only {ran} cases were evaluable"
+
+
+@pytest.mark.parametrize("max_tensor", [None, 8])
+def test_four_any_axes(monkeypatch, max_tensor):
+    """Rules with >3 'any' symbols used to raise NotImplementedError; the
+    chunked join handles any rank (dense when it fits, scanned blocks when
+    forced small)."""
+    from magent_tpu.core.rules import GeneralRule
+
+    if max_tensor is not None:
+        monkeypatch.setattr(GeneralRule, "MAX_TENSOR", max_tensor)
+    cfg = _base_config()
+    syms = [AgentSymbol(0, "any"), AgentSymbol(1, "any"),
+            AgentSymbol(0, "any"), AgentSymbol(1, "any")]
+    leaves = []
+    # IN bounds are strict, so every box must span >=3 to be non-empty;
+    # overlapping-but-distinct boxes keep the conjunction satisfiable while
+    # still exercising per-axis predicates
+    boxes = [(0, 0, MAP - 1, MAP - 1), (0, 0, MAP - 1, MAP - 1),
+             (0, 0, 8, 8), (2, 2, MAP - 1, MAP - 1)]
+    for s, box in zip(syms, boxes):
+        node = EventNode()
+        node.op = OP_IN
+        node.inputs = [s, *box]
+        leaves.append(node)
+    n1 = EventNode(); n1.op = OP_AND; n1.inputs = leaves[:2]
+    n2 = EventNode(); n2.op = OP_AND; n2.inputs = leaves[2:]
+    root = EventNode(); root.op = OP_AND; root.inputs = [n1, n2]
+    cfg.add_reward_rule(root, receiver=[syms[0], syms[3]],
+                        value=[0.5, -0.25])
+    spec = speclib.compile_spec(cfg, CAPS)
+    assert spec.compiled_rules()  # must compile, not raise
+    fired = 0
+    for seed in range(8):
+        srng = random.Random(100 + seed)
+        S0 = _random_state(srng, spec)
+        # exclusivity needs >=2 DISTINCT live agents per group to bind the
+        # four axes at once; random prefixes are often too sparse
+        S0["active"][:] = True
+        nr_f, gr_f = _eval_fast(spec, S0)
+        nr_s, gr_s = _eval_seq(spec, S0)
+        np.testing.assert_allclose(nr_f, nr_s, atol=2e-4,
+                                   err_msg=f"seed {seed}")
+        np.testing.assert_allclose(gr_f, gr_s, atol=2e-4)
+        fired += int(np.any(nr_s != 0))
+    assert fired, "the 4-axis rule never fired; widen the IN boxes"
 
 
 def test_fixed_receiver_outside_event_rejected():
