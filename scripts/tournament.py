@@ -12,49 +12,38 @@ import magent_tpu as magent
 from magent_tpu.builtin.jax_model import DeepQNetwork
 
 
-def play(env, handles, models, map_size, leftID, rightID, eps=0.05):
+def play(env, handles, models, map_size, leftID, rightID, eps=0.05,
+         max_steps=550):
+    """One evaluation game: battle start squares, near-greedy play, returns
+    the surviving head-count per group."""
     env.reset()
-    width = height = map_size
-    init_num = map_size * map_size * 0.04
+    side_len = int(math.sqrt(map_size * map_size * 0.04)) * 2
     gap = 3
+    y0 = (map_size - side_len) // 2
 
-    side = int(math.sqrt(init_num)) * 2
-    pos = []
-    for x in range(width // 2 - gap - side, width // 2 - gap - side + side, 2):
-        for y in range((height - side) // 2, (height - side) // 2 + side, 2):
-            pos.append([x, y, 0])
-    env.add_agents(handles[leftID], method="custom", pos=pos)
+    def square(x0):
+        return [[x, y, 0]
+                for x in range(x0, x0 + side_len, 2)
+                for y in range(y0, y0 + side_len, 2)]
 
-    pos = []
-    for x in range(width // 2 + gap, width // 2 + gap + side, 2):
-        for y in range((height - side) // 2, (height - side) // 2 + side, 2):
-            pos.append([x, y, 0])
-    env.add_agents(handles[rightID], method="custom", pos=pos)
+    env.add_agents(handles[leftID], method="custom",
+                   pos=square(map_size // 2 - gap - side_len))
+    env.add_agents(handles[rightID], method="custom",
+                   pos=square(map_size // 2 + gap))
 
-    step_ct = 0
-    done = False
-    n = 2
-    obs = [None] * n
-    ids = [None] * n
-    acts = [None] * n
-    nums = [env.get_num(handle) for handle in handles]
-
-    while not done:
-        for i in range(n):
-            obs[i] = env.get_observation(handles[i])
-            ids[i] = env.get_agent_id(handles[i])
-            acts[i] = models[i].infer_action(obs[i], ids[i], 'e_greedy', eps)
-            env.set_action(handles[i], acts[i])
-
+    survivors = [env.get_num(h) for h in handles]
+    for _ in range(max_steps):
+        for handle, model in zip(handles, models):
+            view_feat = env.get_observation(handle)
+            ids = env.get_agent_id(handle)
+            env.set_action(
+                handle, model.infer_action(view_feat, ids, 'e_greedy', eps))
         done = env.step()
-        nums = [env.get_num(handle) for handle in handles]
+        survivors = [env.get_num(h) for h in handles]
         env.clear_dead()
-
-        step_ct += 1
-        if step_ct > 550:
+        if done:
             break
-
-    return nums
+    return survivors
 
 
 def extract_checkpoints(savedir, name, begin=0, pick_every=4):
