@@ -41,6 +41,11 @@ class PyGameRenderer(BaseRenderer):
         running = True
         paused = False
         last_data = None
+        prev_pos = None  # previous frame's positions for interpolation
+        # animation_total ticks lerp between consecutive env frames, then
+        # animation_stop ticks hold the final pose before the next fetch
+        # (matches reference pygame_renderer.py:237-264)
+        anim_progress = 0
         while running:
             width, height = screen.get_size()
             x_range = (int(origin_x), int(origin_x + width / cell) + 1)
@@ -105,18 +110,39 @@ class PyGameRenderer(BaseRenderer):
 
             # only advance the env while running: the live servers STEP the
             # game inside get_data, so calling it while paused or during a
-            # status=False hold would silently play on behind a frozen UI
-            if status is True and not paused:
+            # status=False hold would silently play on behind a frozen UI;
+            # between fetches, anim_progress sub-frames interpolate
+            if status is True and not paused and (
+                last_data is None
+                or anim_progress > animation_total + animation_stop
+            ):
                 data = server.get_data(frame_id, x_range, y_range)
                 if data is None:
                     frame_id += 1
                     continue
+                prev_pos = last_data[0] if last_data is not None else None
                 last_data = data
+                frame_id += 1
+                # no previous frame -> draw the new pose directly
+                anim_progress = 0 if prev_pos is not None else animation_total
             if last_data is None:  # nothing fetched yet (e.g. pre-game hold)
                 pygame.display.flip()
                 clock.tick(fps)
                 continue
             pos, events = last_data
+            rate = (min(1.0, anim_progress / animation_total)
+                    if animation_total > 0 else 1.0)
+
+            def lerp(aid, x, y):
+                """Blend toward the previous frame's position of the same
+                agent (dict-keyed data only; fresh agents snap)."""
+                if rate >= 1.0 or not hasattr(prev_pos, "get"):
+                    return x, y
+                old = prev_pos.get(aid) if prev_pos is not None else None
+                if old is None:
+                    return x, y
+                return (old[0] * (1 - rate) + x * rate,
+                        old[1] * (1 - rate) + y * rate)
 
             # map border + walls
             import pygame.draw as draw
@@ -131,12 +157,12 @@ class PyGameRenderer(BaseRenderer):
                 draw.rect(screen, (127, 127, 127),
                           (px, py, max(1, int(cell)), max(1, int(cell))))
 
-            # agents
+            # agents (positions eased toward this frame's pose)
             for aid, (x, y, g) in (pos.items() if hasattr(pos, "items")
                                    else enumerate(pos)):
                 color = group_colors[g % len(group_colors)]
                 w, h = group_sizes[g % len(group_sizes)]
-                px, py = to_px(x, y)
+                px, py = to_px(*lerp(aid, x, y))
                 draw.rect(screen, color,
                           (px, py, max(1, int(w * cell)), max(1, int(h * cell))))
 
@@ -161,7 +187,7 @@ class PyGameRenderer(BaseRenderer):
             pygame.display.flip()
 
             if status is True and not paused:
-                frame_id += 1
+                anim_progress += 1
             if max_frames and frame_id >= max_frames:
                 running = False
             clock.tick(fps)
