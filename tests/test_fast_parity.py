@@ -79,14 +79,17 @@ def _winner(num0, num1):
 
 
 @pytest.mark.parametrize("name", CONTENDED)
-def test_fast_engine_invariants_on_contended_scenarios(name):
+def test_fast_engine_episode_invariants_on_contended_scenarios(name):
+    """Episode-level invariants vs the reference golden trace: the same
+    group goes extinct (or none does) and the episode length stays in the
+    same regime.  Statistical equivalence of the curves is pinned by
+    :func:`test_fast_matches_sequential_distribution` below."""
     golden = _load(name)
     trace = flatten_trace(run_scenario(magent_tpu, name), 2)
 
     g_steps, f_steps = int(golden["steps"]), int(trace["steps"])
     budget = SCENARIOS[name]["steps"]
 
-    # same extinction outcome (or neither extinct)
     g_win = _winner(golden["num_0"], golden["num_1"])
     f_win = _winner(trace["num_0"], trace["num_1"])
     assert f_win == g_win, (
@@ -99,28 +102,95 @@ def test_fast_engine_invariants_on_contended_scenarios(name):
     else:
         assert abs(f_steps - g_steps) <= max(5, budget // 3)
 
-    # population envelope: compare over the common prefix
-    common = min(g_steps, f_steps)
-    for g in range(2):
-        gn = np.asarray(golden["num_%d" % g][:common], np.float64)
-        fn = np.asarray(trace["num_%d" % g][:common], np.float64)
-        n0 = max(gn[0], 1.0)
-        dev = np.max(np.abs(gn - fn)) / n0
-        assert dev <= 0.35, (
-            "population curve of group %d deviates %.0f%% (> 35%%)"
-            % (g, 100 * dev))
 
-    # per-step mean reward in the same regime (catches sign flips / runaway
-    # reward bugs without demanding trajectory equality)
-    for g in range(2):
-        g_tot = sum(np.sum(r) for r in np.split(
-            golden["rew_%d_data" % g], [0])) / max(g_steps, 1)
-        f_tot = sum(np.sum(r) for r in np.split(
-            trace["rew_%d_data" % g], [0])) / max(f_steps, 1)
-        scale = max(abs(g_tot), abs(f_tot), 1.0)
-        assert abs(g_tot - f_tot) / scale <= 0.6, (
-            "per-step reward of group %d: fast %.3f vs reference %.3f"
-            % (g, f_tot, g_tot))
+# ---------------------------------------------------------------------------
+# Distributional equivalence: the fast engine's deterministic batched
+# arbitration must be statistically indistinguishable from the reference
+# order on contended scenarios (VERDICT r2 #4).  N seeds of random-action
+# episodes run on BOTH engines from identical placements; the per-step MEAN
+# population and reward curves and the kill/collide event totals must agree
+# within a few percent.
+# ---------------------------------------------------------------------------
+
+def _episode_stats(env, handles, seed, steps, counts):
+    """One random-action episode -> (pop [steps, G], reward [steps, G],
+    kills, collides).  Deterministic per (engine, seed)."""
+    from magent_tpu.spec import OP_COLLIDE, OP_KILL
+
+    env.set_seed(1000 + seed)  # same placements in both engines
+    env.reset()
+    for h, n in zip(handles, counts):
+        env.add_agents(h, method="random", n=n)
+    arng = np.random.RandomState(seed)
+    G = len(handles)
+    pop = np.zeros((steps, G))
+    rew = np.zeros((steps, G))
+    kills = collides = 0
+    for t in range(steps):
+        for h in handles:
+            env.set_action(h, arng.randint(
+                0, env.get_action_space(h)[0], env.get_num(h)
+            ).astype(np.int32))
+        env.step()
+        st = env.state
+        lo = np.asarray(st.last_op)
+        act = np.asarray(st.active) & ~np.asarray(st.dead)
+        kills += int(np.sum((lo == OP_KILL) & act))
+        collides += int(np.sum((lo == OP_COLLIDE) & act))
+        for g, h in enumerate(handles):
+            rew[t, g] = float(np.sum(env.get_reward(h)))
+        env.clear_dead()
+        for g, h in enumerate(handles):
+            pop[t, g] = env.get_num(h)
+    return pop, rew, kills, collides
+
+
+@pytest.mark.parametrize("game,map_size,counts", [
+    ("battle", 20, (45, 45)),   # dense 1x1 melee: move + attack contention
+    ("forest", 24, (15, 40)),   # 2x2 predators: rect-body contention
+])
+def test_fast_matches_sequential_distribution(game, map_size, counts):
+    N_SEEDS = 60  # measured: max-over-curve deviations are noise-dominated
+    STEPS = 12    # below ~40 seeds (battle reward 17% @ N=20 -> 3.8% @ N=60)
+    stats = {}
+    for mode in ("fast", "sequential"):
+        env = magent_tpu.GridWorld(game, map_size=map_size, engine_mode=mode)
+        handles = env.get_handles()
+        runs = [_episode_stats(env, handles, s, STEPS, counts)
+                for s in range(N_SEEDS)]
+        stats[mode] = dict(
+            pop=np.mean([r[0] for r in runs], axis=0),
+            rew=np.mean([r[1] for r in runs], axis=0),
+            kills=np.mean([r[2] for r in runs]),
+            collides=np.mean([r[3] for r in runs]),
+        )
+    f, s = stats["fast"], stats["sequential"]
+
+    # mean population curves within 5% of the initial population
+    # (measured <=0.6% on both games)
+    n0 = s["pop"][0].max()
+    dev = np.max(np.abs(f["pop"] - s["pop"])) / n0
+    assert dev <= 0.05, f"mean population curves deviate {100 * dev:.1f}%"
+
+    # mean per-step group-total reward curves within 5% of the curve's
+    # typical magnitude (measured 3.8% battle / 0.01% forest at N=60)
+    scale = max(float(np.abs(s["rew"]).max()), 1.0)
+    rdev = float(np.max(np.abs(f["rew"] - s["rew"]))) / scale
+    assert rdev <= 0.05, f"mean reward curves deviate {100 * rdev:.1f}%"
+
+    # mean kill totals within 15% (or one event: kills are near-zero in
+    # 12-step episodes)
+    a, b = f["kills"], s["kills"]
+    assert abs(a - b) <= max(0.15 * max(a, b), 1.0), (
+        f"kills: fast {a:.2f} vs sequential {b:.2f}")
+
+    # collide events: the fast engine legitimately reports MORE collides
+    # than reference order (batched arbitration has no chain moves — a
+    # mover into a cell being vacated this step blocks, engine.py:17-22).
+    # Measured +14-17% on both games; bound the divergence at 25%.
+    a, b = f["collides"], s["collides"]
+    assert abs(a - b) <= 0.25 * max(a, b), (
+        f"collides: fast {a:.2f} vs sequential {b:.2f}")
 
 
 def test_fast_matches_sequential_on_sparse_random_worlds():

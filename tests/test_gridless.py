@@ -26,12 +26,14 @@ def test_gridless_matches_grid_path():
 
     s1 = v_grid.reset(jax.random.PRNGKey(0))
     s2 = jax.tree.map(lambda a: a, s1)
+    t_grid = jax.jit(v_grid.transition)  # compile once, not per step
+    t_free = jax.jit(v_free.transition)
     key = jax.random.PRNGKey(1)
     for _ in range(25):
         key, akey = jax.random.split(key)
         acts = v_grid.random_actions(akey)
-        s1, r1, a1, d1 = v_grid.transition(s1, acts)
-        s2, r2, a2, d2 = v_free.transition(s2, acts)
+        s1, r1, a1, d1 = t_grid(s1, acts)
+        s2, r2, a2, d2 = t_free(s2, acts)
         for name in ("x", "y", "hp", "dead", "last_op", "op_obj",
                      "last_reward", "next_reward"):
             np.testing.assert_array_equal(
@@ -106,13 +108,15 @@ def test_lockstep_last_reward_excludes_group_reward():
 
     venv = VecGridWorld(cfg, [12, 12], n_envs=2)
     state = jax.jit(venv.reset)(jax.random.PRNGKey(0))
+    step_j = jax.jit(venv.step)
+    trans_j = jax.jit(venv.transition)
     key = jax.random.PRNGKey(1)
     saw_group_reward = False
     for _ in range(12):
         key, akey = jax.random.split(key)
         acts = venv.random_actions(akey)
-        stepped = venv.step(state, acts)
-        nxt, rewards, alive, done = venv.transition(state, acts)
+        stepped = step_j(state, acts)
+        nxt, rewards, alive, done = trans_j(state, acts)
         if not bool(np.any(done)):
             np.testing.assert_allclose(
                 np.asarray(nxt.last_reward), np.asarray(stepped.next_reward),
@@ -200,6 +204,10 @@ def test_gridless_rect_matches_grid_path():
 
     s1 = v_grid.reset(jax.random.PRNGKey(0))
     s2 = jax.tree.map(lambda a: a, s1)
+    step_grid = jax.jit(v_grid.step)
+    step_free = jax.jit(v_free.step)
+    t_grid = jax.jit(v_grid.transition)
+    t_free = jax.jit(v_free.transition)
     key = jax.random.PRNGKey(1)
     saw_collide = saw_attack = False
     from magent_tpu.spec import OP_COLLIDE, OP_ATTACK
@@ -209,8 +217,8 @@ def test_gridless_rect_matches_grid_path():
         # compare the RAW stepped states too — transition rotates last_op /
         # op_obj to NULL, so only the pre-rotation state exposes the
         # collide-object identities the rect path must reproduce
-        st1 = v_grid.step(s1, acts)
-        st2 = v_free.step(s2, acts)
+        st1 = step_grid(s1, acts)
+        st2 = step_free(s2, acts)
         for name in ("x", "y", "hp", "dead", "last_op", "op_obj",
                      "next_reward"):
             np.testing.assert_array_equal(
@@ -218,8 +226,8 @@ def test_gridless_rect_matches_grid_path():
                 np.asarray(getattr(st2, name)), err_msg="step:" + name)
         saw_collide |= bool(np.any(np.asarray(st1.last_op) == OP_COLLIDE))
         saw_attack |= bool(np.any(np.asarray(st1.last_op) == OP_ATTACK))
-        s1, r1, a1, d1 = v_grid.transition(s1, acts)
-        s2, r2, a2, d2 = v_free.transition(s2, acts)
+        s1, r1, a1, d1 = t_grid(s1, acts)
+        s2, r2, a2, d2 = t_free(s2, acts)
         for name in ("x", "y", "hp", "dead", "last_reward", "next_reward"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name)),
