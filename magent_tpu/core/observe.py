@@ -206,7 +206,9 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     (Map.cc:129-207 fills float buffers).
     """
     if spec.turn_mode:
-        return _make_observe_rotating(spec, group, obs_dtype=obs_dtype)
+        return _make_observe_rotating(spec, group, obs_dtype=obs_dtype,
+                                      force_xla=force_xla,
+                                      interpret=interpret)
 
     t = spec.groups[group].type
     gs = spec.groups[group]
@@ -436,7 +438,223 @@ def _dir_offset_tables(t: "speclib.AgentTypeSpec"):
 
 
 def _make_observe_rotating(spec: speclib.GameSpec, group: int, *,
-                           obs_dtype=jnp.float32):
+                           obs_dtype=jnp.float32, force_xla: bool = False,
+                           interpret: bool = False):
+    """Rotation-capable observations (turn_mode).
+
+    Kernel path: render the packed cell grid once into a square frame,
+    derive all four view-frame rotations by transpose/flip (int32 array
+    ops), stack them row-wise into ONE padded channel image
+    ``[B, 4*Hp, lanes]``, and slice each agent's axis-aligned (vh, vw*C)
+    window from its direction's band with the same Pallas window kernel the
+    NORTH-only path uses — rotation costs four cheap image rotations
+    instead of per-agent rotated gathers (reference rotates inside the
+    per-agent scan, Map.cc:129-207 via the offset tables of
+    Map.cc:515-532).  Oversized frames and non-TPU backends fall back to
+    the legacy per-direction XLA gather below."""
+    t_ = spec.groups[group].type
+    vr_ = t_.view_range
+    S = max(spec.height, spec.width)
+    geom = wg.padded_geometry(S, S, spec.n_channel, vr_.height, vr_.width)
+    stacked_bytes = 4 * geom[0] * geom[2] * 4
+    fits_vmem = stacked_bytes <= 6 * 1024 * 1024
+    # big maps: the stacked image lives in HBM and the banded kernel walks
+    # it in row bands (same budget rule as the NORTH-only path)
+    rows_margin = wg._ceil_to(vr_.height + 7, 8)
+    band_fits = (32 + rows_margin) * geom[2] * 4 <= 8 * 1024 * 1024
+    backend_ok = wg.supports_pallas() or interpret
+    kernel_ok = (
+        backend_ok and not force_xla
+        and _obs_kernel_env() != "xla"
+        and (fits_vmem or band_fits)
+    )
+    if kernel_ok:
+        return _make_observe_rotating_kernel(
+            spec, group, geom, obs_dtype=obs_dtype, interpret=interpret,
+            banded=not fits_vmem)
+    return _make_observe_rotating_xla(spec, group, obs_dtype=obs_dtype)
+
+
+def _make_observe_rotating_kernel(spec: speclib.GameSpec, group: int, geom, *,
+                                  obs_dtype=jnp.float32, interpret=False,
+                                  banded=False):
+    """Stacked-rotations kernel path (see :func:`_make_observe_rotating`).
+
+    Band order follows the direction enum (EAST, SOUTH, WEST, NORTH = 0..3);
+    with eye (ex, ey) from ``save_to_real``/``rela_to_abs`` and view bounds
+    (x1, y1), the window top-left inside band d is::
+
+        EAST  frame(x', S-1-y'):  ty = S-1-ex + y1   tx = ey + x1
+        SOUTH frame(S-1-y',S-1-x'): ty = S-1-ey + y1 tx = S-1-ex + x1
+        WEST  frame(S-1-x', y'):  ty = ex + y1       tx = S-1-ey + x1
+        NORTH frame(y', x'):      ty = ey + y1       tx = ex + x1
+
+    (derived from the rotation tables, Map.cc:515-532: view cell (vy, vx)
+    of an agent facing d reads map cell eye + R_d(vx + x1, vy + y1)).
+    """
+    t = spec.groups[group].type
+    gs = spec.groups[group]
+    vr = t.view_range
+    vh, vw = vr.height, vr.width
+    C = spec.n_channel
+    H, W, G = spec.height, spec.width, spec.n_groups
+    S = max(H, W)
+    emb = spec.embedding_size
+    n_action = t.n_action
+    perm = spec.channel_perm(group)
+    Hp, Wp, lanes, pad_y, pad_x = geom
+    A = spec.n_agents_cap
+    MB = spec.max_body_w
+
+    mask = jnp.asarray(np.repeat(vr.mask.astype(np.float32), C, axis=1))
+    kchunk = min(200, wg._ceil_to(gs.cap, 4))
+    scale_h = (H + vh - 1) // vh
+    scale_w = (W + vw - 1) // vw
+    gof = spec.group_of_slot
+    agent_ch = (spec.channel_base
+                + spec.group_of_slot * spec.channel_scale).astype(np.int32)
+    hp_max = np.asarray(spec.s_hp_max, np.float32)
+    w_all = jnp.asarray(spec.s_width)
+    l_all = jnp.asarray(spec.s_length)
+
+    def frame_one(state: State):
+        """Unpadded square packed grid [S, S] (same cell encoding as
+        :func:`make_grids`, body footprints via the direction rects)."""
+        base = jnp.full((S, S), C << _HP_SHIFT, jnp.int32)
+        base = base.at[:H, :W].set(
+            jnp.where(state.cell_wall, 0, C << _HP_SHIFT))
+        if spec.food_mode:
+            base = base.at[:H, :W].min(
+                jnp.where(state.cell_food >= 0.0, 1 << _HP_SHIFT,
+                          C << _HP_SHIFT))
+        ok_agent = state.active & ~state.dead
+        bw, bh = geo.size_for_dir(state.dir, w_all, l_all)
+        q = jnp.clip(
+            jnp.round(state.hp / jnp.asarray(hp_max) * _HP_SCALE
+                      ).astype(jnp.int32), 0, _HP_MASK)
+        vals = (jnp.asarray(agent_ch) << _HP_SHIFT) | q
+        flat = base.reshape(-1)
+        for i in range(MB):
+            for j in range(MB):
+                ok = ok_agent & (i < bw) & (j < bh)
+                cell = jnp.where(ok, (state.y + j) * S + (state.x + i), S * S)
+                flat = flat.at[cell].set(vals, mode="drop")
+        return flat.reshape(S, S)
+
+    def stacked_image(state: State):
+        """[B, 4*Hp, lanes] channel image: one padded band per direction."""
+        F = jax.vmap(frame_one)(state)  # [B, S, S]
+        rots = [
+            F.transpose(0, 2, 1)[:, ::-1, :],   # EAST:  frame(x', S-1-y')
+            F[:, ::-1, ::-1],                   # SOUTH: frame(S-1-y', S-1-x')
+            jnp.flip(F, 1).transpose(0, 2, 1),  # WEST:  frame(S-1-x', y')
+            F,                                  # NORTH: identity
+        ]
+        B = F.shape[0]
+        bands = jnp.full((B, 4 * Hp, Wp), C << _HP_SHIFT, jnp.int32)
+        for d, r in enumerate(rots):
+            bands = bands.at[:, d * Hp + pad_y : d * Hp + pad_y + S,
+                             pad_x : pad_x + S].set(r)
+        return _render_image(spec, group, bands, lanes)
+
+    def observe_batched(state: State, grids=None):
+        B = state.x.shape[0]
+        img = stacked_image(state)
+
+        sl = slice(gs.offset, gs.offset + gs.cap)
+        d = state.dir[:, sl]
+        ax_, ay_ = geo.save_to_real(
+            state.x[:, sl], state.y[:, sl], d, t.width, t.length)
+        ex, ey = geo.rela_to_abs(ax_, ay_, d, t.view_x_offset, t.view_y_offset)
+        is_e = d == speclib.EAST
+        is_s = d == speclib.SOUTH
+        is_w = d == speclib.WEST
+        ty = jnp.where(is_e, S - 1 - ex,
+                       jnp.where(is_s, S - 1 - ey,
+                                 jnp.where(is_w, ex, ey))) + vr.y1
+        tx = jnp.where(is_e, ey,
+                       jnp.where(is_s, S - 1 - ex,
+                                 jnp.where(is_w, S - 1 - ey, ex))) + vr.x1
+        pos = (d * Hp + pad_y + ty) * Wp + (pad_x + tx)
+
+        if banded:
+            view = wg.window_gather_banded(
+                img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                chunk=min(40, wg._ceil_to(gs.cap, 8)), band_rows=32,
+                interpret=interpret, out_dtype=obs_dtype)
+        else:
+            view = wg.window_gather(
+                img, pos * 1024, mask, vh=vh, vw=vw, C=C, Wp=Wp,
+                chunk=kchunk, interpret=interpret, out_dtype=obs_dtype)
+        view = view.reshape(B, gs.cap, vh, vw, C)
+
+        if spec.minimap_mode:
+            px = jnp.clip(state.x // scale_w, 0, vw - 1)
+            py = jnp.clip(state.y // scale_h, 0, vh - 1)
+            counted = state.active & ~state.dead
+            if t.can_absorb:  # observer type gates this (GridWorld.cc:341-347)
+                counted = counted & ~state.absorbed
+            gof_j = jnp.asarray(gof)
+
+            def pool_one(pxe, pye, counte):
+                flat = jnp.zeros((G, vh * vw), jnp.float32).at[
+                    gof_j, pye * vw + pxe
+                ].add(counte.astype(jnp.float32))
+                totals = jnp.maximum(jnp.sum(flat, axis=1), 1.0)
+                return (flat / totals[:, None]).reshape(G, vh, vw)
+
+            pooled = jax.vmap(pool_one)(px, py, counted)  # [B, G, vh, vw]
+            chan_src = np.full(C, -1, np.int32)
+            for gg in range(G):
+                chan_src[perm[spec.group2channel(gg)] + 2] = gg
+            pooled_ext = jnp.concatenate(
+                [pooled, jnp.zeros((B, 1, vh, vw), jnp.float32)], axis=1)
+            mm = pooled_ext[:, jnp.asarray(np.where(chan_src < 0, G, chan_src))]
+            mm = jnp.moveaxis(mm, 1, -1)  # [B, vh, vw, C]
+            self_cell = (py[:, sl] * vw + px[:, sl])
+            self_mark = jax.nn.one_hot(self_cell, vh * vw, dtype=jnp.float32)
+            self_mark = self_mark.reshape(B, gs.cap, vh, vw)
+            mm_maskc = jnp.asarray((chan_src >= 0).astype(np.float32))
+            view = (
+                view.astype(jnp.float32)
+                + mm[:, None]
+                + self_mark[..., None] * mm_maskc[None, None, None, None, :]
+            )
+
+        ids = state.id[:, sl]
+        feats = []
+        if emb > 0:
+            bits = (ids[..., None] >> jnp.arange(emb)[None, None, :]) & 1
+            feats.append(bits.astype(jnp.float32))
+        feats.append(jax.nn.one_hot(
+            state.last_action[:, sl], n_action, dtype=jnp.float32))
+        feats.append(state.last_reward[:, sl][..., None])
+        if spec.minimap_mode:
+            feats.append((state.x[:, sl] / W)[..., None].astype(jnp.float32))
+            feats.append((state.y[:, sl] / H)[..., None].astype(jnp.float32))
+        if spec.goal_mode:
+            feats.append(jnp.zeros((B, gs.cap, 2), jnp.float32))
+        feature = jnp.concatenate(feats, axis=-1)
+
+        act = state.active[:, sl]
+        view = view * act[:, :, None, None, None]
+        if view.dtype != obs_dtype:
+            view = view.astype(obs_dtype)
+        feature = feature * act[:, :, None]
+        return view, feature
+
+    def observe(state: State, grids=None):
+        if _batched(state):
+            return observe_batched(state)
+        state_b = jax.tree.map(lambda a: a[None], state)
+        view, feat = observe_batched(state_b)
+        return view[0], feat[0]
+
+    return observe
+
+
+def _make_observe_rotating_xla(spec: speclib.GameSpec, group: int, *,
+                               obs_dtype=jnp.float32):
     """Legacy rotation-capable path (turn_mode): per-direction window gather
     (XLA); correct for all directions, slower than the kernel path."""
     t = spec.groups[group].type

@@ -198,3 +198,93 @@ def test_smem_split_gather4_single_env(monkeypatch):
     g4 = wg.window_gather4(gfull, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                            chunk=4, interpret=True)
     np.testing.assert_allclose(np.asarray(g4), np.asarray(ref), atol=1e-6)
+
+
+# ---------------------------------------------------------------- turn mode
+def _turn_env(map_size=20, minimap=False):
+    """turn_mode config with 2x1 bodies (rotating footprints), walls and an
+    attack rule — every rotation-path feature in one env."""
+    gw = magent.gridworld
+    cfg = gw.Config()
+    cfg.set({"map_width": map_size, "map_height": map_size,
+             "turn_mode": True, "embedding_size": 4,
+             "minimap_mode": minimap})
+    big = cfg.register_agent_type(
+        "big", {'width': 1, 'length': 2, 'hp': 6, 'speed': 1,
+                'view_range': gw.CircleRange(5),
+                'attack_range': gw.CircleRange(2), 'damage': 1})
+    small = cfg.register_agent_type(
+        "small", {'width': 1, 'length': 1, 'hp': 4, 'speed': 1,
+                  'view_range': gw.CircleRange(4),
+                  'attack_range': gw.CircleRange(1), 'damage': 1})
+    g0 = cfg.add_group(big)
+    g1 = cfg.add_group(small)
+    a, b = gw.AgentSymbol(g0, 'any'), gw.AgentSymbol(g1, 'any')
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=a, value=0.3)
+    env = magent.GridWorld(cfg)
+    h0, h1 = env.get_handles()
+    env.reset()
+    env.add_walls(method="custom", pos=[[10, y] for y in range(8, 14)])
+    env.add_agents(h0, method="custom",
+                   pos=[[4 + 3 * i, 5 + 3 * j, (i + j) % 4]
+                        for i in range(3) for j in range(3)])
+    env.add_agents(h1, method="custom",
+                   pos=[[13 + 2 * i, 6 + 3 * j, (i + 3 * j) % 4]
+                        for i in range(3) for j in range(3)])
+    return env, (h0, h1)
+
+
+# group 0 exercises the big-body channel permutation with minimap channels;
+# group 1 the small-body one without — the cross combos add only interpret
+# time, not coverage
+@pytest.mark.parametrize("group,minimap", [(0, True), (1, False)])
+def test_rotating_kernel_matches_rotating_xla(group, minimap):
+    """The stacked-rotations kernel path (turn_mode observations through the
+    Pallas window kernel) must match the legacy per-direction XLA gather —
+    all four directions, rotating 2x1 footprints, walls, hp, minimap."""
+    env, handles = _turn_env(minimap=minimap)
+    _step_random(env, handles, steps=3)
+    spec, state = env.spec, env.state
+
+    dirs = np.asarray(state.dir)[np.asarray(state.active)]
+    assert set(np.unique(dirs)) == {0, 1, 2, 3}, "need all four directions"
+
+    legacy = obs_mod._make_observe_rotating_xla(spec, group)
+    geom_S = max(spec.height, spec.width)
+    from magent_tpu.ops import window_gather as wg
+    t = spec.groups[group].type
+    geom = wg.padded_geometry(geom_S, geom_S, spec.n_channel,
+                              t.view_range.height, t.view_range.width)
+    kernel = obs_mod._make_observe_rotating_kernel(
+        spec, group, geom, interpret=True)
+
+    v_leg, f_leg = jax.jit(legacy)(state)
+    v_ker, f_ker = kernel(state)
+    np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_leg),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_ker), np.asarray(f_leg),
+                               atol=1e-6)
+
+
+def test_rotating_kernel_banded_matches_xla():
+    """Big turn-mode maps route the stacked-rotations image through the
+    banded window kernel; force that variant on a small env."""
+    env, handles = _turn_env(minimap=False)
+    _step_random(env, handles, steps=2)
+    spec, state = env.spec, env.state
+
+    from magent_tpu.ops import window_gather as wg
+    t = spec.groups[0].type
+    S = max(spec.height, spec.width)
+    geom = wg.padded_geometry(S, S, spec.n_channel,
+                              t.view_range.height, t.view_range.width)
+    legacy = obs_mod._make_observe_rotating_xla(spec, 0)
+    kernel = obs_mod._make_observe_rotating_kernel(
+        spec, 0, geom, interpret=True, banded=True)
+
+    v_leg, f_leg = jax.jit(legacy)(state)
+    v_ker, f_ker = kernel(state)
+    np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_leg),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_ker), np.asarray(f_leg),
+                               atol=1e-6)
