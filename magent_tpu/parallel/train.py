@@ -18,24 +18,44 @@ from .vec_env import VecGridWorld
 
 
 def _egreedy_actions(venv, nets, params, state, key, eps,
-                     return_obs=False):
+                     return_obs=False, train_groups=None):
     """e-greedy actions for every group over the full slot axis; optionally
-    also returns the rendered (views, feats) for trajectory storage."""
+    also returns the rendered (views, feats) for trajectory storage.
+
+    ``train_groups``: groups OUTSIDE this set act uniformly at random and
+    skip observation rendering + policy inference entirely (scripted
+    opponents: tiger's wandering deer, gather's inert food — reference
+    runs a RandomActor for these, builtin/rule_model)."""
     spec = venv.spec
     B = venv.n_envs
     A = spec.n_agents_cap
+    tg = (set(range(spec.n_groups)) if train_groups is None
+          else set(train_groups))
     actions = jnp.zeros((B, A), jnp.int32)
     views, feats = [], []
-    all_obs = venv.observe_all(state)
+    if train_groups is None:
+        all_obs = venv.observe_all(state)
+    else:  # render only the policy groups, sharing one grid pass
+        grids_fn = getattr(venv._observe1[0], "grids_fn", None)
+        grids = grids_fn(state) if grids_fn is not None else None
+        all_obs = [venv.observe(state, g, grids) if g in tg else None
+                   for g in range(spec.n_groups)]
     for g, gs in enumerate(spec.groups):
-        view, feat = all_obs[g]  # [B, cap, vh, vw, C], [B, cap, F]
         n_act = gs.type.n_action
+        kg, kr = jax.random.split(jax.random.fold_in(key, g))
+        if g not in tg:
+            act = jax.random.randint(kg, (B, gs.cap), 0, n_act, jnp.int32)
+            actions = actions.at[:, gs.offset : gs.offset + gs.cap].set(act)
+            if return_obs:
+                views.append(None)
+                feats.append(None)
+            continue
+        view, feat = all_obs[g]  # [B, cap, vh, vw, C], [B, cap, F]
         q = nets[g].apply(
             {"params": params[g]},
             view.reshape((-1,) + view.shape[2:]),
             feat.reshape((-1,) + feat.shape[2:]),
         ).reshape(B, gs.cap, n_act)
-        kg, kr = jax.random.split(jax.random.fold_in(key, g))
         greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
         rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
         act = jnp.where(jax.random.uniform(kr, greedy.shape) < eps,
@@ -57,9 +77,15 @@ def make_dqn_train_step(
     rollout_len: int = 8,
     use_double: bool = True,
     train_minibatch: int | None = None,
+    train_groups=None,
 ):
     """Build ``train_step(params, target_params, opt_states, env_state, key,
     eps) -> (params, opt_states, env_state, metrics)``.
+
+    ``train_groups``: optional iterable of group ids that act with (and
+    train) their nets; every other group acts uniformly at random, renders
+    no observations, and keeps its params/opt state untouched (loss 0 in
+    the metrics) — scripted opponents inside the fused program.
 
     ``nets``/``params`` are per-group (length ``n_groups``) and train
     INDEPENDENTLY: passing the same pytree for two groups does NOT share a
@@ -94,7 +120,8 @@ def make_dqn_train_step(
             # previous step's end-of-step `alive` belongs to the OLD episode
             alive_in = state.active & ~state.dead
             actions, views, feats = _egreedy_actions(
-                venv, nets, params, state, akey, eps, return_obs=True)
+                venv, nets, params, state, akey, eps, return_obs=True,
+                train_groups=train_groups)
             next_state, rewards, alive, done = venv.transition(state, actions)
             out = dict(
                 views=tuple(views),
@@ -217,8 +244,14 @@ def make_dqn_train_step(
         key, rkey = jax.random.split(key)
         env_state, traj = rollout(params, env_state, rkey, eps)
 
+        tg = set(range(G)) if train_groups is None else set(train_groups)
         new_params, new_opts, losses = [], [], []
         for g in range(G):
+            if g not in tg:  # scripted group: params untouched
+                new_params.append(params[g])
+                new_opts.append(opt_states[g])
+                losses.append(jnp.float32(0.0))
+                continue
             if train_minibatch is not None:
                 loss, grads = jax.value_and_grad(group_loss_sampled)(
                     params[g], target_params[g], g, traj,

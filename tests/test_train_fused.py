@@ -271,3 +271,33 @@ def test_dqn_train_step_with_mid_rollout_resets():
         resets_seen += int(np.asarray(state.step_ct).min() < 16 * (k + 1))
         assert alive.sum() >= 1
     assert resets_seen > 0, "no episode ever ended; scenario too gentle"
+
+
+def test_train_groups_scripted_opponent():
+    """train_groups: the scripted group's params stay bit-identical, its
+    loss reports 0, and the trained group still moves (the tiger/gather
+    regime: random-acting opponents inside the fused program)."""
+    venv = VecGridWorld(battle.get_config(20), [6, 6], n_envs=4)
+    spec = venv.spec
+    nets = [DQNNet(num_actions=spec.groups[g].type.n_action)
+            for g in range(2)]
+    vh, vw, C = spec.view_space(1)
+    F = spec.feature_size(1)
+    p1 = nets[1].init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, vh, vw, C), jnp.float32),
+                      jnp.zeros((1, F), jnp.float32))["params"]
+    params = ({}, p1)  # group 0 scripted: no net built at all
+    tx = optax.adam(1e-3)
+    opts = tuple(tx.init(p) for p in params)
+    tgt = jax.tree.map(lambda x: x, params)
+    step = jax.jit(make_dqn_train_step(venv, nets, tx, rollout_len=3,
+                                       train_groups=(1,)))
+    state = venv.reset(jax.random.PRNGKey(0))
+    p_new, o_new, s_new, m = step(params, tgt, opts, state,
+                                  jax.random.PRNGKey(2), 0.5)
+    loss = np.asarray(m["loss"])
+    assert loss[0] == 0.0 and np.isfinite(loss[1])
+    assert p_new[0] == {}  # untouched
+    moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         params[1], p_new[1])
+    assert max(jax.tree.leaves(moved)) > 0
