@@ -13,12 +13,14 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "scripts", "launch_multihost.py")
 
 
+@pytest.mark.slow
 def test_multiprocess_env_loop():
     # (the subprocess.run timeout below bounds the test; pytest-timeout
     # isn't in the image)

@@ -49,6 +49,7 @@ def test_fast_path_matches_rotating_path(group):
     np.testing.assert_allclose(np.asarray(f_fast), np.asarray(f_leg), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_xla_fallback():
     env, handles = _battle_env(24)
     _step_random(env, handles, steps=2)
@@ -211,11 +212,11 @@ def _turn_env(map_size=20, minimap=False):
              "minimap_mode": minimap})
     big = cfg.register_agent_type(
         "big", {'width': 1, 'length': 2, 'hp': 6, 'speed': 1,
-                'view_range': gw.CircleRange(5),
+                'view_range': gw.CircleRange(3),
                 'attack_range': gw.CircleRange(2), 'damage': 1})
     small = cfg.register_agent_type(
         "small", {'width': 1, 'length': 1, 'hp': 4, 'speed': 1,
-                  'view_range': gw.CircleRange(4),
+                  'view_range': gw.CircleRange(2),
                   'attack_range': gw.CircleRange(1), 'damage': 1})
     g0 = cfg.add_group(big)
     g1 = cfg.add_group(small)
@@ -236,8 +237,12 @@ def _turn_env(map_size=20, minimap=False):
 
 # group 0 exercises the big-body channel permutation with minimap channels;
 # group 1 the small-body one without — the cross combos add only interpret
-# time, not coverage
-@pytest.mark.parametrize("group,minimap", [(0, True), (1, False)])
+# time, not coverage.  The second combo is nightly-tier (interpret compile
+# dominates its minute of wall time).
+@pytest.mark.parametrize("group,minimap", [
+    (0, True),
+    pytest.param(1, False, marks=pytest.mark.slow),
+])
 def test_rotating_kernel_matches_rotating_xla(group, minimap):
     """The stacked-rotations kernel path (turn_mode observations through the
     Pallas window kernel) must match the legacy per-direction XLA gather —

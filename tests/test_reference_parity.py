@@ -78,6 +78,7 @@ REFBUILD = "/tmp/refbuild"
     not os.path.exists(os.path.join(REFBUILD, "build", "libmagent.so")),
     reason="reference C++ build missing (see CLAUDE.md: cp -r /root/reference"
            " /tmp/refbuild && cmake+ninja)")
+@pytest.mark.slow
 def test_randomized_differential_fuzz_sample():
     """A small sample of the randomized reference-vs-sequential fuzz
     (scripts/test/fuzz_reference.py) — random configs beyond the fixed

@@ -45,6 +45,7 @@ def test_sequential_snake_matches_reference(name):
     np.testing.assert_allclose(trace["feat0"], golden["feat0"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_randomized_snake_fuzz_sample():
     """Two seeds of the randomized snake differential fuzz
     (scripts/test/fuzz_snake.py) — fresh subprocesses per engine pin the
