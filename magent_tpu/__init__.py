@@ -23,6 +23,21 @@ if _os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
     except Exception:
         pass
 
+# Opt-in persistent XLA compile cache (MAGENT_JAX_CACHE=<dir>): env vars
+# alone don't enable it on this jax version, and subprocess-hosted models
+# (model.SubprocessModel children) never run tests/conftest.py — an
+# inherited env var is the only channel that reaches them.
+if _os.environ.get("MAGENT_JAX_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["MAGENT_JAX_CACHE"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 from . import gridworld
 from . import utility
 from .env import GridWorld

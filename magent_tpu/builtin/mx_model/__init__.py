@@ -1,5 +1,8 @@
-"""Compatibility alias: the reference exposed MXNet models under
-``magent.builtin.mx_model``; here they are JAX models (builtin.jax_model)."""
+"""Import-path alias: the reference exposed its SECOND NN backend under
+``magent.builtin.mx_model`` (MXNet DQN + A2C,
+python/magent/builtin/mx_model/__init__.py); here the second backend is
+torch (builtin.torch_model) with the same two model families."""
 
-from ..jax_model import *  # noqa: F401,F403
-from ..jax_model import DeepQNetwork  # noqa: F401
+from ..torch_model import AdvantageActorCritic, DeepQNetwork  # noqa: F401
+
+__all__ = ["DeepQNetwork", "AdvantageActorCritic"]

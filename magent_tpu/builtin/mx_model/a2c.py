@@ -1,5 +1,4 @@
-"""Compatibility alias: the reference exposed this under
-``magent.builtin.mx_model.a2c``; the implementation is the JAX model."""
+"""Import-path alias: the reference's second-backend A2C lived at
+``magent.builtin.mx_model.a2c``; the implementation is the torch model."""
 
-from ..jax_model.a2c import *  # noqa: F401,F403
-from ..jax_model.a2c import AdvantageActorCritic  # noqa: F401
+from ..torch_model.a2c import AdvantageActorCritic, TorchA2CNet  # noqa: F401

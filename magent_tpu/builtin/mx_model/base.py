@@ -1,5 +1,4 @@
-"""Compatibility alias: the reference exposed this under
-``magent.builtin.mx_model.base``; the implementation is the JAX model."""
+"""Import-path alias: the reference's second-backend base lived at
+``magent.builtin.mx_model.base``; the implementation is the torch model."""
 
-from ..jax_model.base import *  # noqa: F401,F403
-from ..jax_model.base import JaxBaseModel  # noqa: F401
+from ..torch_model.base import TorchBaseModel  # noqa: F401

@@ -1,5 +1,4 @@
-"""Compatibility alias: the reference exposed this under
-``magent.builtin.mx_model.dqn``; the implementation is the JAX model."""
+"""Import-path alias: the reference's second-backend DQN lived at
+``magent.builtin.mx_model.dqn``; the implementation is the torch model."""
 
-from ..jax_model.dqn import *  # noqa: F401,F403
-from ..jax_model.dqn import DeepQNetwork  # noqa: F401
+from ..torch_model.dqn import DeepQNetwork, TorchDQNNet  # noqa: F401

@@ -5,6 +5,8 @@ virtual 8-device mesh so sharding tests run without TPU hardware."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# inherited by subprocess-hosted models so their compiles hit the cache too
+os.environ.setdefault("MAGENT_JAX_CACHE", "/tmp/magent_tpu_jax_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
