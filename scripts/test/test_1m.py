@@ -176,8 +176,11 @@ def run_vectorized(args):
 
     @jax.jit
     def run(state, key):
+        # --unroll amortizes per-iteration scan overhead at tiny scales
+        # (CLAUDE.md: ~50% loop overhead on small bodies)
         (state, key), sink = jax.lax.scan(body, (state, key), None,
-                                          length=args.n_step)
+                                          length=args.n_step,
+                                          unroll=args.unroll)
         return state, key, jnp.sum(sink)
 
     state = jax.jit(venv.reset)(jax.random.PRNGKey(0))
@@ -201,6 +204,7 @@ if __name__ == "__main__":
     parser.add_argument("--agent_number", type=int, default=1000)
     parser.add_argument("--num_gpu", type=int, default=0)
     parser.add_argument("--n_envs", type=int, default=16)
+    parser.add_argument("--unroll", type=int, default=1)
     parser.add_argument("--vectorized", action="store_true")
     parser.add_argument("--frame", default="jax", choices=["jax", "tf", "mx"])
     args = parser.parse_args()
