@@ -479,14 +479,19 @@ class GeneralRule(_BaseRule):
                 return starts[i] + jnp.arange(shape[i]) < caps[i]
 
             def axis_take(per_slot, i):
-                """Block slice per_slot[offs[i]+starts[i] :][: shape[i]]
-                (ragged tails read clamped garbage — every use is masked by
-                axis_valid through T)."""
+                """Block slice per_slot[offs[i]+starts[i] :][: shape[i]].
+                The array is padded by the block size first so a ragged tail
+                on the LAST group can never trip dynamic_slice's
+                start-clamping (which would shift VALID elements onto
+                neighboring slots); pad reads are masked by axis_valid
+                through T."""
                 if static:
                     lo = offs[i] + starts[i]
                     return per_slot[lo : lo + shape[i]]
+                padded = jnp.concatenate(
+                    [per_slot, jnp.zeros((shape[i],), per_slot.dtype)])
                 return jax.lax.dynamic_slice_in_dim(
-                    per_slot, offs[i] + starts[i], shape[i])
+                    padded, offs[i] + starts[i], shape[i])
 
             def binding(sym):
                 """(axis_or_None, slot-values) for a bound (non-'all')

@@ -170,7 +170,8 @@ def _eval_fast(spec, S0):
     return np.asarray(nr), np.asarray(gr)
 
 
-def _one_case(seed, force_general):
+def _one_case(seed, force_general, caps=None):
+    caps = CAPS if caps is None else caps
     rng = random.Random(seed)
     cfg = _base_config()
     pool = []
@@ -198,7 +199,7 @@ def _one_case(seed, force_general):
         elif "MAGENT_RULES" in os.environ:
             del os.environ["MAGENT_RULES"]
         try:
-            spec = speclib.compile_spec(cfg, CAPS)
+            spec = speclib.compile_spec(cfg, caps)
             plans = spec.compiled_rules()
         except NotImplementedError:
             return None  # receiver shapes without defined semantics
@@ -229,16 +230,54 @@ def test_random_rules_match_sequential(force_general):
 def test_chunked_join_matches_sequential(monkeypatch):
     """Joins larger than MAX_TENSOR take the lax.scan block path
     (rules.GeneralRule.eval_block): shrink the cap so EVERY multi-axis join
-    chunks (incl. ragged tails — 5/6 caps vs power-of-two blocks) and re-run
-    the property sweep against the reference-order DFS."""
+    chunks (incl. ragged tails) and re-run the property sweep against the
+    reference-order DFS.  Caps [5,7]: the LAST group's cap is odd, so its
+    ragged tail block runs past n_agents_cap — the shape that used to trip
+    dynamic_slice start-clamping in axis_take (ADVICE r3 high)."""
     from magent_tpu.core.rules import GeneralRule
 
     monkeypatch.setattr(GeneralRule, "MAX_TENSOR", 8)
     ran = 0
     for seed in range(60):
-        if _one_case(seed, True):
+        if _one_case(seed, True, caps=[5, 7]):
             ran += 1
     assert ran > 30, f"only {ran} cases were evaluable"
+
+
+def test_chunked_ragged_tail_on_last_group(monkeypatch):
+    """Deterministic regression for the axis_take clamping bug: a
+    two-'any'-axis rule with caps [5,7] under MAX_TENSOR=8 chunks group 1's
+    axis into blocks of 2; the last block (group start 6) slices slots
+    [11,12) of a 12-slot array, which lax.dynamic_slice clamps to [10,12) —
+    shifting the block so slot 11 reads slot 10's active/op_obj.  With slot
+    10 active and slot 11 inactive the buggy fast path paid the inactive
+    slot."""
+    from magent_tpu.core.rules import GeneralRule
+
+    monkeypatch.setattr(GeneralRule, "MAX_TENSOR", 8)
+    monkeypatch.setenv("MAGENT_RULES", "general")
+    cfg = _base_config()
+    a0 = AgentSymbol(0, "any")
+    a1 = AgentSymbol(1, "any")
+    n1 = EventNode(); n1.op = OP_IN; n1.inputs = [a0, 0, 0, MAP - 1, MAP - 1]
+    n2 = EventNode(); n2.op = OP_IN; n2.inputs = [a1, 0, 0, MAP - 1, MAP - 1]
+    root = EventNode(); root.op = OP_AND; root.inputs = [n1, n2]
+    cfg.add_reward_rule(root, receiver=[a1], value=[-2.5])
+    spec = speclib.compile_spec(cfg, [5, 7])
+    rule = spec.compiled_rules()[0]
+    assert type(rule).__name__ == "GeneralRule" and min(rule.chunk_sizes) >= 1
+
+    rng = random.Random(0)
+    S0 = _random_state(rng, spec)
+    S0["active"][:] = False
+    S0["active"][0] = True        # group 0: one live agent
+    S0["active"][5:11] = True     # group 1: 6/7 live — slot 11 INACTIVE
+    S0["dead"][:] = False
+    nr_f, gr_f = _eval_fast(spec, S0)
+    nr_s, gr_s = _eval_seq(spec, S0)
+    np.testing.assert_allclose(nr_f, nr_s, atol=2e-4)
+    np.testing.assert_allclose(gr_f, gr_s, atol=2e-4)
+    assert nr_s[11] == 0.0 and nr_s[10] == -2.5
 
 
 @pytest.mark.parametrize("max_tensor", [None, 8])
