@@ -146,9 +146,19 @@ class DeepQNetwork(JaxBaseModel):
             return params, opt_state, loss, jnp.mean(target)
 
         self._q_fn = jax.jit(q_fn)
+        self._act_fn_raw = act_fn
         self._act_fn = jax.jit(act_fn)
         # note: no donation — target_params aliases params right after a sync
         self._train_step = jax.jit(train_step)
+
+        # data-parallel inference over a device mesh: the TPU-native analog
+        # of the reference DQN's per-GPU eval-net round-robin
+        # (reference: tf_model/dqn.py:368-393) — honored through the same
+        # ``num_gpu`` knob
+        self._sharded_act_fn = None
+        self._infer_devices = 1
+        if num_gpu and num_gpu > 1:
+            self.shard_inference(num_gpu)
 
         # ---- replay buffers (reference: dqn.py:140-149) ----
         self.replay_buf_len = 0
@@ -170,6 +180,33 @@ class DeepQNetwork(JaxBaseModel):
         self.opt_state = self.tx.init(self.params)
 
     # ------------------------------------------------------------ inference
+    def shard_inference(self, n_devices=None):
+        """Shard large inference batches data-parallel over the first
+        ``n_devices`` of the process's device mesh — the TPU-native analog
+        of the reference DQN replicating its eval net per GPU and
+        round-robining ``infer_batch_size`` chunks
+        (reference: tf_model/dqn.py:96-97,368-393).  Per-row results are
+        identical to the single-device path: the jitted program is the
+        same, only the batch axis placement changes."""
+        devs = jax.devices()
+        n = min(n_devices or len(devs), len(devs))
+        if n <= 1:
+            self._sharded_act_fn = None
+            self._infer_devices = 1
+            return self
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(devs[:n]), ("dp",))
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("dp"))
+        self._sharded_act_fn = jax.jit(
+            self._act_fn_raw,
+            in_shardings=(rep, bsh, bsh, rep, rep),
+            out_shardings=bsh,
+        )
+        self._infer_devices = n
+        return self
+
     def infer_action(self, raw_obs, ids, policy="e_greedy", eps=0, block=True):
         view, feature = raw_obs[0], raw_obs[1]
         n = len(view)
@@ -183,12 +220,17 @@ class DeepQNetwork(JaxBaseModel):
         while pos < n:
             chunk = min(n - pos, self.infer_batch_size)
             padded = round_up_pow2(chunk)
+            fn = self._act_fn
+            if self._sharded_act_fn is not None:
+                fn = self._sharded_act_fn
+                d = self._infer_devices  # batch must split evenly over dp
+                padded = -(-padded // d) * d
             pv = np.zeros((padded,) + tuple(self.view_space), np.float32)
             pf = np.zeros((padded,) + tuple(self.feature_space), np.float32)
             pv[:chunk] = view[pos : pos + chunk]
             pf[:chunk] = feature[pos : pos + chunk]
             self.key, sub = jax.random.split(self.key)
-            acts = self._act_fn(self.params, pv, pf, sub, jnp.float32(eps))
+            acts = fn(self.params, pv, pf, sub, jnp.float32(eps))
             out[pos : pos + chunk] = np.asarray(acts[:chunk])
             pos += chunk
         return out
