@@ -248,32 +248,56 @@ def standard_cli(name, *, n_round, map_size, save_every=5, algs=("dqn", "drqn", 
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--name", type=str, default=name)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--backend", default="jax", choices=["jax", "torch"],
+                   help="NN backend driving the models (the reference's "
+                        "second-backend swap: tf_model <-> mx_model)")
     if algs:
         p.add_argument("--alg", default="dqn", choices=list(algs))
     return p
 
 
-def build_alg(alg, *, batch_size=256, unroll_step=8, target_update=1200,
-              train_freq=5, memory_size=None, learning_rate=1e-4):
+def model_module(backend="jax"):
+    """Resolve a --backend choice to its model module.  Capability parity
+    with the reference's two-backend example suite, where the smoke harness
+    sed-swaps ``tf_model`` -> ``mx_model`` and reruns every example
+    (reference: scripts/test/test_examples.py:16-31)."""
+    if backend == "jax":
+        from magent_tpu.builtin import jax_model
+        return jax_model
+    if backend == "torch":
+        from magent_tpu.builtin import torch_model
+        return torch_model
+    raise ValueError(f"unknown backend {backend!r} (expected jax or torch)")
+
+
+def build_alg(alg, *, backend="jax", batch_size=256, unroll_step=8,
+              target_update=1200, train_freq=5, memory_size=None,
+              learning_rate=1e-4):
     """Map an --alg choice to (model class, constructor kwargs) with the
     conventional hyperparameters the examples share.  ``memory_size``
     defaults per algorithm (DQN 2^20 flat transitions; DRQN 8*625 episode
     windows, the battle example's sizing) — pass it explicitly where the
-    original example used something else."""
-    from magent_tpu.builtin import jax_model
+    original example used something else.  ``backend`` selects the model
+    module (see :func:`model_module`); like the reference's MXNet backend,
+    torch ships DQN and A2C but no DRQN."""
+    mod = model_module(backend)
 
     if alg == "dqn":
-        return jax_model.DeepQNetwork, dict(
+        return mod.DeepQNetwork, dict(
             batch_size=batch_size, memory_size=memory_size or 2 ** 20,
             learning_rate=learning_rate, target_update=target_update,
             train_freq=train_freq)
     if alg == "drqn":
-        return jax_model.DeepRecurrentQNetwork, dict(
+        if not hasattr(mod, "DeepRecurrentQNetwork"):
+            raise ValueError(
+                f"--alg drqn is not available on the {backend} backend "
+                "(like the reference's mx_model, it ships dqn and a2c)")
+        return mod.DeepRecurrentQNetwork, dict(
             batch_size=batch_size // unroll_step, unroll_step=unroll_step,
             memory_size=memory_size or 8 * 625, learning_rate=learning_rate,
             target_update=target_update, train_freq=train_freq)
     if alg == "a2c":
-        return jax_model.AdvantageActorCritic, dict(
+        return mod.AdvantageActorCritic, dict(
             batch_size=batch_size, learning_rate=10 * learning_rate)
     raise ValueError(alg)
 

@@ -37,23 +37,26 @@ def generate_map(env, map_size, handles):
                    pos=square(map_size // 2 + gap))
 
 
-def build_learner(alg, env, handle, name, eval_obs, map_size):
+def build_learner(alg, env, handle, name, eval_obs, map_size, backend="jax"):
     """The learner uses the against-training hyperparameters (bigger replay
     and batch than the self-play examples)."""
-    from magent_tpu.builtin import jax_model
+    from rollout import model_module
 
+    mod = model_module(backend)
     if alg == "dqn":
-        return jax_model.DeepQNetwork(
+        return mod.DeepQNetwork(
             env, handle, name, eval_obs=eval_obs, batch_size=512,
             learning_rate=3e-4, memory_size=2 ** 21, target_update=1200,
             train_freq=5), None
     if alg == "drqn":
-        return jax_model.DeepRecurrentQNetwork(
+        if not hasattr(mod, "DeepRecurrentQNetwork"):
+            raise ValueError(f"drqn is not available on the {backend} backend")
+        return mod.DeepRecurrentQNetwork(
             env, handle, name, eval_obs=eval_obs, batch_size=512 // 16,
             unroll_step=16, learning_rate=3e-4, memory_size=2 * 8 * 625,
             target_update=1200, train_freq=5), None
     # a2c trains in-loop whenever enough fresh transitions accumulate
-    model = jax_model.AdvantageActorCritic(
+    model = mod.AdvantageActorCritic(
         env, handle, name, eval_obs=eval_obs, batch_size=512,
         learning_rate=1e-3)
     return model, int(10 * map_size * map_size * 0.04)
@@ -79,12 +82,13 @@ def main():
         generate_map(env, args.map_size, handles)
         eval_obs = magent.utility.sample_observation(env, handles, 2048, 500)[1]
 
-    from magent_tpu.builtin.jax_model import DeepQNetwork
+    from rollout import model_module
 
-    opponent = DeepQNetwork(env, handles[0], args.opponent_name,
-                            memory_size=2 ** 10)
+    opponent = model_module(args.backend).DeepQNetwork(
+        env, handles[0], args.opponent_name, memory_size=2 ** 10)
     learner, step_batch = build_learner(args.alg, env, handles[1], args.name,
-                                        eval_obs, args.map_size)
+                                        eval_obs, args.map_size,
+                                        backend=args.backend)
 
     savedir = "save_model"
     try:

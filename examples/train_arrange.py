@@ -13,7 +13,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import magent_tpu as magent
-from magent_tpu.builtin.jax_model import DeepQNetwork as RLModel
 from magent_tpu.renderer.server.arrange_server import generate_map, load_config
 from magent_tpu.utility import FontProvider
 
@@ -86,6 +85,8 @@ def main():
     parser.add_argument("--greedy", action="store_true")
     parser.add_argument("--name", type=str, default="arrange")
     parser.add_argument("--message", type=str, default="MAGENT")
+    parser.add_argument("--backend", default="jax",
+                        choices=["jax", "torch"])
     args = parser.parse_args()
 
     magent.utility.init_logger(args.name)
@@ -94,6 +95,8 @@ def main():
     handles = env.get_handles()
     font = FontProvider(FONT_FILE)
 
+    from rollout import model_module
+    RLModel = model_module(args.backend).DeepQNetwork
     model = RLModel(env, handles[1], args.name, batch_size=256,
                     memory_size=2 ** 19, target_update=1000, train_freq=4)
 

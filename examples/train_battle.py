@@ -57,7 +57,7 @@ def main():
         generate_map(env, args.map_size, handles)
         eval_obs = magent.utility.sample_observation(env, handles, 2048, 500)
 
-    RLModel, hyper = build_alg(args.alg)
+    RLModel, hyper = build_alg(args.alg, backend=args.backend)
     models = [
         magent.ProcessingModel(env, handles[i], f"{args.name}-{tag}",
                                20000 + i, 1000, RLModel,

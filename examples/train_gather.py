@@ -10,9 +10,8 @@ import time
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import magent_tpu as magent
-from magent_tpu.builtin.jax_model import DeepQNetwork
-from rollout import (EpisodeRunner, Side, load_checkpoints, save_checkpoints,
-                     standard_cli)
+from rollout import (EpisodeRunner, Side, load_checkpoints, model_module,
+                     save_checkpoints, standard_cli)
 
 
 def load_config(size):
@@ -93,6 +92,7 @@ def main():
         eval_obs = magent.utility.sample_observation(
             env, [player_handle], 2048, 500)[0]
 
+    DeepQNetwork = model_module(args.backend).DeepQNetwork
     model = DeepQNetwork(env, player_handle, args.name,
                          batch_size=512, memory_size=2 ** 19,
                          target_update=1000, train_freq=4, eval_obs=eval_obs)

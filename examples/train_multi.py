@@ -84,7 +84,7 @@ def main():
     env.set_render_dir("build/render")
     handles = env.get_handles()
 
-    RLModel, hyper = build_alg(args.alg)
+    RLModel, hyper = build_alg(args.alg, backend=args.backend)
     models = [
         magent.ProcessingModel(env, handles[i], f"{args.name}-{tag}",
                                20000 + i, 1000, RLModel, **hyper)

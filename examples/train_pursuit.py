@@ -9,9 +9,8 @@ import time
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import magent_tpu as magent
-from magent_tpu.builtin.jax_model import DeepQNetwork
-from rollout import (EpisodeRunner, Side, load_checkpoints, save_checkpoints,
-                     standard_cli)
+from rollout import (EpisodeRunner, Side, load_checkpoints, model_module,
+                     save_checkpoints, standard_cli)
 
 
 def generate_map(env, map_size, handles):
@@ -37,6 +36,7 @@ def main():
         generate_map(env, args.map_size, handles)
         eval_obs = magent.utility.sample_observation(env, handles, 2048, 500)
 
+    DeepQNetwork = model_module(args.backend).DeepQNetwork
     models = [
         magent.ProcessingModel(env, handles[i], f"{args.name}-{tag}",
                                20001 + i, 1000, DeepQNetwork,

@@ -48,19 +48,23 @@ def main():
         generate_map(env, args.map_size, handles)
         eval_obs = magent.utility.sample_observation(env, handles, 2048, 500)[0]
 
+    from rollout import model_module
+    mod = model_module(args.backend)
     if args.alg == "dqn":
-        from magent_tpu.builtin.jax_model import DeepQNetwork
-        model = DeepQNetwork(env, handles[0], "selfplay", batch_size=512,
-                             learning_rate=3e-4, memory_size=2 ** 21,
-                             target_update=1200, train_freq=5,
-                             eval_obs=eval_obs)
+        model = mod.DeepQNetwork(env, handles[0], "selfplay", batch_size=512,
+                                 learning_rate=3e-4, memory_size=2 ** 21,
+                                 target_update=1200, train_freq=5,
+                                 eval_obs=eval_obs)
     else:
-        from magent_tpu.builtin.jax_model import DeepRecurrentQNetwork
-        model = DeepRecurrentQNetwork(env, handles[0], "selfplay",
-                                      learning_rate=3e-4, batch_size=32,
-                                      unroll_step=16, memory_size=2 * 8 * 625,
-                                      target_update=1200, train_freq=5,
-                                      eval_obs=eval_obs)
+        if not hasattr(mod, "DeepRecurrentQNetwork"):
+            raise ValueError(
+                f"drqn is not available on the {args.backend} backend")
+        model = mod.DeepRecurrentQNetwork(env, handles[0], "selfplay",
+                                          learning_rate=3e-4, batch_size=32,
+                                          unroll_step=16,
+                                          memory_size=2 * 8 * 625,
+                                          target_update=1200, train_freq=5,
+                                          eval_obs=eval_obs)
 
     savedir = "save_model"
     start_from = load_checkpoints([model], savedir, args.load_from)

@@ -32,7 +32,7 @@ def main():
     # reference hyperparameters: DQN replay 2^20 flat transitions, DRQN
     # 20000 episode windows (reference examples/train_tiger.py:136,142)
     RLModel, hyper = build_alg(
-        args.alg, target_update=500,
+        args.alg, backend=args.backend, target_update=500,
         memory_size=20000 if args.alg == "drqn" else 2 ** 20)
     model = RLModel(env, handles[1], args.name, **hyper)
     # a2c trains in-loop on accumulated transitions instead of per round

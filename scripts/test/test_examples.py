@@ -1,6 +1,9 @@
-"""Integration smoke test: run every training example for one round and
-assert exit code 0 (parity with reference scripts/test/test_examples.py)."""
+"""Integration smoke test: run every training example for one round on the
+JAX backend, then rerun the set on the torch backend via ``--backend torch``
+(parity with the reference harness, which sed-swaps tf_model -> mx_model
+and reruns every example: reference scripts/test/test_examples.py:16-31)."""
 
+import argparse
 import os
 import subprocess
 import sys
@@ -22,17 +25,23 @@ candidates = [
 ]
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backends", default="jax,torch",
+                    help="comma-separated backend list to sweep")
+    args = ap.parse_args()
+
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
     failed = []
-    for script, extra in candidates:
-        path = os.path.join(EXAMPLES, script)
-        cmd = [sys.executable, path] + extra
-        print(">>>", " ".join(cmd))
-        ret = subprocess.run(cmd, env=env)
-        if ret.returncode != 0:
-            failed.append(script)
+    for backend in args.backends.split(","):
+        for script, extra in candidates:
+            path = os.path.join(EXAMPLES, script)
+            cmd = [sys.executable, path] + extra + ["--backend", backend]
+            print(">>>", " ".join(cmd))
+            ret = subprocess.run(cmd, env=env)
+            if ret.returncode != 0:
+                failed.append(f"{script} [{backend}]")
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
-    print("all examples passed")
+    print("all examples passed on all backends")
