@@ -50,74 +50,91 @@ def load_forest(map_size):
     return cfg
 
 
-def measure_time(msg, func, *args, **kwargs):
-    start_time = time.time()
-    ret = func(*args, **kwargs)
-    print("%-11s %.5f" % (msg, time.time() - start_time))
-    return ret
+class PhaseClock:
+    """Accumulates wall time per named phase and prints a one-line summary
+    per step (protocol contract: the reference harness times each phase of
+    the host loop individually, reference scripts/test/test_1m.py:45-49)."""
+
+    def __init__(self):
+        self.totals = {}
+        self.current = {}
+
+    def __call__(self, phase, fn, *a):
+        t0 = time.time()
+        out = fn(*a)
+        dt = time.time() - t0
+        self.current[phase] = self.current.get(phase, 0.0) + dt
+        self.totals[phase] = self.totals.get(phase, 0.0) + dt
+        return out
+
+    def flush(self):
+        line = "  ".join("%s=%.4f" % kv for kv in self.current.items())
+        self.current = {}
+        return line
+
+
+# protocol constants (reference scripts/test/test_1m.py): 20 warm-up steps
+# before measurement; DQN mode uses one 100000-wide inference batch
+WARMUP_STEPS = 20
+DQN_INFER_BATCH = 100000
 
 
 def run_host_loop(args):
-    n_step = args.n_step
-    agent_number = args.agent_number
-    skip = 20
-    n_step += skip
-
-    env = magent.GridWorld(load_forest(int(math.sqrt(agent_number * 20))))
+    """Reference-style stateful-API loop: every phase is a separate device
+    call, so on the tunneled TPU backend this measures per-call dispatch
+    latency plus compute — comparable to the reference's ctypes loop."""
+    n = args.agent_number
+    env = magent.GridWorld(load_forest(int(math.sqrt(n * 20))))
     env.reset()
+    groups = env.get_handles()
+    env.add_walls(method="random", n=n // 10)
+    for h in groups:
+        env.add_agents(h, method="random", n=n // 2)
 
-    deer_handle, tiger_handle = env.get_handles()
-    env.add_walls(method="random", n=agent_number // 10)
-    env.add_agents(deer_handle, method="random", n=agent_number // 2)
-    env.add_agents(tiger_handle, method="random", n=agent_number // 2)
-
+    names = ("deer", "tiger")
     if args.num_gpu == 0:
-        model1 = RandomActor(env, deer_handle, "deer")
-        model2 = RandomActor(env, tiger_handle, "tiger")
+        actors = [RandomActor(env, h, nm) for h, nm in zip(groups, names)]
     else:
         from magent_tpu.builtin.jax_model import DeepQNetwork
-        model1 = DeepQNetwork(env, deer_handle, "deer", infer_batch_size=100000)
-        model2 = DeepQNetwork(env, tiger_handle, "tiger", infer_batch_size=100000)
+        actors = [DeepQNetwork(env, h, nm, infer_batch_size=DQN_INFER_BATCH)
+                  for h, nm in zip(groups, names)]
 
-    total_reward = 0
-    print(env.get_view_space(deer_handle))
-    print(env.get_view_space(tiger_handle))
-    total_time = 0
+    for h in groups:
+        print("view_space", env.get_view_space(h))
+
+    clock = PhaseClock()
+    reward_sum = 0.0
+    measured = 0.0
     measured_steps = 0
+    done = False
 
-    for i in range(n_step):
-        print("===== step %d =====" % i)
-        start_time = time.time()
+    for i in range(args.n_step + WARMUP_STEPS):
+        t0 = time.time()
+        for h, actor, nm in zip(groups, actors, names):
+            obs = clock("obs:" + nm, env.get_observation, h)
+            acts = clock("act:" + nm, actor.infer_action, obs, None)
+            clock("set:" + nm, env.set_action, h, acts)
+        done = clock("step", env.step)
+        rewards = clock("reward", env.get_reward, groups[1])
+        reward_sum += float(sum(rewards))
+        clock("clear", env.clear_dead)
 
-        obs_1 = measure_time("get obs 1", env.get_observation, deer_handle)
-        acts_1 = measure_time("infer act 1", model1.infer_action, obs_1, None)
-        measure_time("set act 1", env.set_action, deer_handle, acts_1)
-
-        obs_2 = measure_time("get obs 2", env.get_observation, tiger_handle)
-        acts_2 = measure_time("infer act 2", model2.infer_action, obs_2, None)
-        measure_time("set act 2", env.set_action, tiger_handle, acts_2)
-
-        done = measure_time("step", env.step)
-        rewards = measure_time("get reward", env.get_reward, tiger_handle)
-        total_reward += sum(rewards)
-        measure_time("clear", env.clear_dead)
-
-        step_time = time.time() - start_time
-        if i >= skip:
-            total_time += step_time
+        dt = time.time() - t0
+        if i >= WARMUP_STEPS:
+            measured += dt
             measured_steps += 1
-        print("all time: %.2f\n" % step_time)
-
-        print("number of deer: %d" % env.get_num(deer_handle))
-        print("number of tiger: %d" % env.get_num(tiger_handle))
-        print("total reward: %d" % total_reward)
-
+        alive = [env.get_num(h) for h in groups]
+        print("step %d  %.3fs  alive=%s  reward_sum=%.0f" %
+              (i, dt, alive, reward_sum))
+        print("  " + clock.flush())
         if done:
-            print("game over")
+            print("episode ended")
             break
 
-    if measured_steps and total_time > 0:
-        print("FPS", measured_steps * args.agent_number / total_time)
+    print("phase totals: " +
+          "  ".join("%s=%.3f" % kv for kv in sorted(clock.totals.items())))
+    if measured_steps:
+        print("FPS", measured_steps * n / measured)
     else:
         print("episode ended during warm-up; no FPS measured")
 
