@@ -421,13 +421,19 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     footprints): two pairwise rect sweeps reproduce the grid path's
     semantics cell-for-cell —
 
-    1. blocking: per target-rect cell, the unique CURRENT occupant
-       (excluding self) in the grid path's (i outer, j inner) scan order
-       (the ``enc`` gather loop in :func:`_move_phase`);
-    2. claims: per target-rect cell, the min-slot blank claimant covering
-       it (the grid path's ``claim.at[...].min`` arbitration); a mover wins
-       iff it is the min at every own cell, and a loser collides with the
-       winner of its FIRST lost cell.
+    1. blocking: the CURRENT occupant (excluding self) of the first
+       occupied target-rect cell in the grid path's (i outer, j inner)
+       scan order (the ``enc`` gather loop in :func:`_move_phase`);
+    2. claims: a blank mover wins iff no lower slot's target rect covers
+       any of its cells (the grid path's ``claim.at[...].min``
+       arbitration); a loser collides with the winner of its FIRST lost
+       cell — which equals the min-(first overlap cell, slot) lower-slot
+       claimant (any claimant covering an earlier cell would make THAT
+       cell the first lost one).
+
+    Each sweep is ONE lexicographic min-reduction per pair
+    (ops.attack_prefix.rect_first_overlap) — this phase owned the 1e5 FPS
+    cliff when it ran max_body^2 per-cell sweeps.
 
     Unlike the 1x1 gridless path, blocking must resolve BEFORE claims: a
     blocked mover never claims in the grid path, but with rect overlap a
@@ -436,7 +442,6 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     A = spec.n_agents_cap
     W, H = spec.width, spec.height
     MB = spec.max_body_w
-    slots = jnp.arange(A, dtype=jnp.int32)
 
     # border walls live at x==0 / y==0 (in_bounds excludes the far edges:
     # nx + bw < W keeps every body cell off the border columns)
@@ -444,37 +449,29 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     ok = is_move & in_bounds & ~wall_blocked
     stay = ok & (nx == state.x) & (ny == state.y)
 
-    # ---- sweep 1: per-cell blocking occupants (current rects) ----
+    # ---- sweep 1: blocking occupant at the first occupied cell ----
     q_ok = ok & ~stay
-    occ_cells = ap.rect_cell_min(
+    occ_slot = ap.rect_first_overlap(
         jnp.where(q_ok, nx, -2**20), jnp.where(q_ok, ny, -2**20),
         jnp.where(q_ok, bw, 0), jnp.where(q_ok, bh, 0),
         state.x, state.y,
         jnp.where(alive, bw, 0), jnp.where(alive, bh, 0),
-        max_body=MB, exclude_self=True,
+        max_body=MB, gate="exclude_self",
     )
-    coll_occ = jnp.full(A, -1, jnp.int32)
-    occupied = jnp.zeros(A, bool)
-    for occ_k in occ_cells:  # first occupied cell in (i, j) scan order
-        hit = occ_k < ap._NONE
-        coll_occ = jnp.where(~occupied & hit, occ_k, coll_occ)
-        occupied = occupied | hit
+    occupied = occ_slot < ap._NONE
+    coll_occ = jnp.where(occupied, occ_slot, -1)
     blank = q_ok & ~occupied
 
-    # ---- sweep 2: per-cell claim winners among blank movers ----
-    head_cells = ap.rect_cell_min(
+    # ---- sweep 2: claim winner at the first lost cell ----
+    head_slot = ap.rect_first_overlap(
         jnp.where(blank, nx, -2**20), jnp.where(blank, ny, -2**20),
         jnp.where(blank, bw, 0), jnp.where(blank, bh, 0),
         jnp.where(blank, nx, -2**20), jnp.where(blank, ny, -2**20),
         jnp.where(blank, bw, 0), jnp.where(blank, bh, 0),
-        max_body=MB, exclude_self=False,
+        max_body=MB, gate="lower_only",
     )
-    lose_to = jnp.full(A, -1, jnp.int32)
-    lost = jnp.zeros(A, bool)
-    for head_k in head_cells:  # first lost cell in (i, j) scan order
-        lost_k = blank & (head_k < slots)
-        lose_to = jnp.where(~lost & lost_k, head_k, lose_to)
-        lost = lost | lost_k
+    lost = blank & (head_slot < ap._NONE)
+    lose_to = jnp.where(lost, head_slot, -1)
     wins = blank & ~lost
 
     success = wins | stay

@@ -517,6 +517,111 @@ def rect_cell_min_xla(qx, qy, tbw, tbh, x, y, bw, bh, max_body,
     return outs
 
 
+def rect_first_overlap_xla(qx, qy, tbw, tbh, x, y, bw, bh, max_body,
+                           gate):
+    """Single-reduction reformulation of the two rect_cell_min sweeps (see
+    :func:`rect_first_overlap`): per pair, the overlap of the query rect
+    [qx, qx+tbw) x [qy, qy+tbh) with the body rect [x, x+bw) x [y, y+bh) is
+    itself a rect whose FIRST cell in the (i outer, j inner) scan order is
+    (max(qx,x)-qx, max(qy,y)-qy); min-reducing the lexicographic key
+    (first_cell, slot) over bodies yields exactly the scan-order-first
+    blocking occupant / claim winner."""
+    A = qx.shape[-1]
+    slots = jnp.arange(A, dtype=jnp.int32)
+    ox = jnp.maximum(qx[..., None, :], x[..., :, None])
+    oy = jnp.maximum(qy[..., None, :], y[..., :, None])
+    ex = jnp.minimum((qx + tbw)[..., None, :], (x + bw)[..., :, None])
+    ey = jnp.minimum((qy + tbh)[..., None, :], (y + bh)[..., :, None])
+    ov = (ox < ex) & (oy < ey)
+    if gate == "exclude_self":
+        ov = ov & (slots[:, None] != slots[None, :])
+    else:  # lower_only
+        ov = ov & (slots[:, None] < slots[None, :])
+    k = (ox - qx[..., None, :]) * max_body + (oy - qy[..., None, :])
+    stride = _NONE // max_body**2  # k < max_body^2, slot < A <= stride
+    key = k * stride + slots[:, None]  # lexicographic (first cell, slot)
+    best = jnp.min(jnp.where(ov, key, jnp.int32(2**31 - 1)), axis=-2)
+    slot = best % jnp.int32(stride)
+    return jnp.where(best == 2**31 - 1, _NONE, slot)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_body", "gate", "interpret"))
+def rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
+                           gate, interpret=False):
+    """Pallas pair sweep for :func:`rect_first_overlap` (single env; vmap
+    for batches).  ~15 vector ops per pair vs ~40 for the max_body^2
+    per-cell sweep it replaces — the move phase owned the 1e5 FPS cliff
+    (profile_sweep ladder: move 24.4ms of the 42.8ms step at 16x6250)."""
+    from jax.experimental import pallas as pl
+
+    MB = max_body
+    (A,) = qx.shape
+    Ap, (qx_p, qy_p, tbw_p, tbh_p, x_p, y_p, bw_p, bh_p) = _pad_operands(
+        A, [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
+            (tbw, jnp.int32(0)), (tbh, jnp.int32(0)),
+            (x, jnp.int32(0)), (y, jnp.int32(0)),
+            (bw, jnp.int32(0)), (bh, jnp.int32(0))])
+    stride = _NONE // (MB * MB)  # k < MB^2, slot < Ap <= stride
+    assert Ap <= stride, (Ap, MB)
+    none_key = 2**31 - 1  # python int: pallas kernels can't capture arrays
+
+    def kernel(x_ref, y_ref, bw_ref, bh_ref, qx_ref, qy_ref, tbw_ref,
+               tbh_ref, out_ref):
+        i = pl.program_id(1)
+        j = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[...] = jnp.full_like(out_ref, jnp.int32(none_key))
+
+        xc = x_ref[...]
+        yc = y_ref[...]
+        qxr = qx_ref[...]
+        qyr = qy_ref[...]
+        ox = jnp.maximum(qxr, xc)
+        oy = jnp.maximum(qyr, yc)
+        ex = jnp.minimum(qxr + tbw_ref[...], xc + bw_ref[...])
+        ey = jnp.minimum(qyr + tbh_ref[...], yc + bh_ref[...])
+        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
+        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
+        ov = (ox < ex) & (oy < ey)
+        if gate == "exclude_self":
+            ov = ov & (slot_col != slot_row)
+        else:  # lower_only
+            ov = ov & (slot_col < slot_row)
+        k = (ox - qxr) * MB + (oy - qyr)
+        key = k * stride + slot_col
+        out_ref[...] = jnp.minimum(
+            out_ref[...],
+            jnp.min(jnp.where(ov, key, none_key), axis=0, keepdims=True))
+
+    (out,) = _pair_grid_call(
+        kernel, [x_p, y_p, bw_p, bh_p], [qx_p, qy_p, tbw_p, tbh_p],
+        1, [jnp.int32], Ap, interpret)
+    best = out[0, :A]
+    slot = best % jnp.int32(stride)
+    return jnp.where(best == none_key, _NONE, slot)
+
+
+def rect_first_overlap(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body, gate,
+                       interpret=False):
+    """Per query rect: the slot of the body rect covering the FIRST
+    overlapped query cell in (i outer, j inner) scan order (ties at that
+    cell -> min slot), or ``_NONE``.  ``gate``: "exclude_self" skips the
+    i == j pair (blocking occupants), "lower_only" keeps only slot_i <
+    slot_j pairs (claim arbitration: a mover loses iff a lower slot covers
+    one of its cells, and collides with the winner of its first lost cell).
+    Replaces the two max_body^2-output rect_cell_min sweeps with one
+    reduction (same semantics — see engine._move_phase_gridless_rect)."""
+    if supports_pallas() or interpret:
+        return rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh,
+                                      max_body=max_body, gate=gate,
+                                      interpret=interpret)
+    return rect_first_overlap_xla(qx, qy, tbw, tbh, x, y, bw, bh,
+                                  max_body, gate)
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_body", "exclude_self", "interpret"))
 def rect_cell_min_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,

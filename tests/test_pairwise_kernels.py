@@ -67,6 +67,66 @@ def test_move_resolve_interpret_matches_xla(arrays):
     np.testing.assert_array_equal(hd1[has], hd2[has])
 
 
+@pytest.mark.parametrize("gate", ["exclude_self", "lower_only"])
+@pytest.mark.parametrize("max_body", [2, 3])
+def test_rect_first_overlap_interpret_matches_xla(gate, max_body):
+    A = 230
+    k = jax.random.PRNGKey(41 + max_body)
+    side = 40
+    x = jax.random.randint(k, (A,), 0, side, jnp.int32)
+    y = jax.random.randint(jax.random.fold_in(k, 1), (A,), 0, side, jnp.int32)
+    bw = jax.random.randint(jax.random.fold_in(k, 2), (A,), 0, max_body + 1,
+                            jnp.int32)
+    bh = jax.random.randint(jax.random.fold_in(k, 3), (A,), 0, max_body + 1,
+                            jnp.int32)
+    qx = jax.random.randint(jax.random.fold_in(k, 4), (A,), 0, side, jnp.int32)
+    qy = jax.random.randint(jax.random.fold_in(k, 5), (A,), 0, side, jnp.int32)
+    # some non-queries carry the caller's sentinel
+    sent = jax.random.bernoulli(jax.random.fold_in(k, 6), 0.2, (A,))
+    qx = jnp.where(sent, -2**20, qx)
+    tbw = jnp.where(sent, 0, bw)
+    tbh = jnp.where(sent, 0, bh)
+
+    s1 = ap.rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh,
+                                   max_body=max_body, gate=gate,
+                                   interpret=True)
+    s2 = ap.rect_first_overlap_xla(qx, qy, tbw, tbh, x, y, bw, bh,
+                                   max_body, gate)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert int(jnp.sum(s2 < ap._NONE)) > 0  # the case actually overlaps
+
+
+@pytest.mark.parametrize("gate", ["exclude_self", "lower_only"])
+def test_rect_first_overlap_matches_cell_min_semantics(gate):
+    """The single-reduction kernel must reproduce the per-cell sweep logic
+    it replaced (first overlapped cell in (i outer, j inner) scan order,
+    then the covering slot)."""
+    A, MB, side = 150, 2, 30
+    k = jax.random.PRNGKey(7)
+    x = jax.random.randint(k, (A,), 0, side, jnp.int32)
+    y = jax.random.randint(jax.random.fold_in(k, 1), (A,), 0, side, jnp.int32)
+    bw = jax.random.randint(jax.random.fold_in(k, 2), (A,), 0, MB + 1, jnp.int32)
+    bh = jax.random.randint(jax.random.fold_in(k, 3), (A,), 0, MB + 1, jnp.int32)
+    qx = jax.random.randint(jax.random.fold_in(k, 4), (A,), 0, side, jnp.int32)
+    qy = jax.random.randint(jax.random.fold_in(k, 5), (A,), 0, side, jnp.int32)
+
+    cells = ap.rect_cell_min_xla(qx, qy, bw, bh, x, y, bw, bh, MB,
+                                 gate == "exclude_self")
+    slots = jnp.arange(A, dtype=jnp.int32)
+    want = jnp.full(A, ap._NONE, jnp.int32)
+    found = jnp.zeros(A, bool)
+    for c in cells:  # scan order: first cell with a qualifying occupant
+        if gate == "lower_only":
+            hit = c < slots
+        else:
+            hit = c < ap._NONE
+        want = jnp.where(~found & hit, c, want)
+        found = found | hit
+
+    got = ap.rect_first_overlap_xla(qx, qy, bw, bh, x, y, bw, bh, MB, gate)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_move_claims_interpret_matches_xla(arrays):
     *_, tcell = arrays
     c1, hd1 = ap.move_claims_tpu(tcell, interpret=True)
