@@ -575,26 +575,36 @@ def rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
         def _init():
             out_ref[...] = jnp.full_like(out_ref, jnp.int32(none_key))
 
-        xc = x_ref[...]
-        yc = y_ref[...]
-        qxr = qx_ref[...]
-        qyr = qy_ref[...]
-        ox = jnp.maximum(qxr, xc)
-        oy = jnp.maximum(qyr, yc)
-        ex = jnp.minimum(qxr + tbw_ref[...], xc + bw_ref[...])
-        ey = jnp.minimum(qyr + tbh_ref[...], yc + bh_ref[...])
-        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
-        slot_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
-        ov = (ox < ex) & (oy < ey)
-        if gate == "exclude_self":
-            ov = ov & (slot_col != slot_row)
-        else:  # lower_only
-            ov = ov & (slot_col < slot_row)
-        k = (ox - qxr) * MB + (oy - qyr)
-        key = k * stride + slot_col
-        out_ref[...] = jnp.minimum(
-            out_ref[...],
-            jnp.min(jnp.where(ov, key, none_key), axis=0, keepdims=True))
+        def compute():
+            xc = x_ref[...]
+            yc = y_ref[...]
+            qxr = qx_ref[...]
+            qyr = qy_ref[...]
+            ox = jnp.maximum(qxr, xc)
+            oy = jnp.maximum(qyr, yc)
+            ex = jnp.minimum(qxr + tbw_ref[...], xc + bw_ref[...])
+            ey = jnp.minimum(qyr + tbh_ref[...], yc + bh_ref[...])
+            slot_col = (jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0)
+                        + i * _TI)
+            slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1)
+                        + j * _TJ)
+            ov = (ox < ex) & (oy < ey)
+            if gate == "exclude_self":
+                ov = ov & (slot_col != slot_row)
+            else:  # lower_only
+                ov = ov & (slot_col < slot_row)
+            k = (ox - qxr) * MB + (oy - qyr)
+            key = k * stride + slot_col
+            out_ref[...] = jnp.minimum(
+                out_ref[...],
+                jnp.min(jnp.where(ov, key, none_key), axis=0, keepdims=True))
+
+        if gate == "lower_only":
+            # upper-triangle blocks (every slot_col >= every slot_row) can
+            # never contribute — skip ~half the pair work
+            pl.when(i * _TI < (j + 1) * _TJ)(compute)
+        else:
+            compute()
 
     (out,) = _pair_grid_call(
         kernel, [x_p, y_p, bw_p, bh_p], [qx_p, qy_p, tbw_p, tbh_p],

@@ -64,14 +64,26 @@ class BattleServer(BaseServer):
             DeepQNetwork(env, handles[0], names[0], memory_size=2 ** 10),
             DeepQNetwork(env, handles[1], names[1], memory_size=2 ** 10),
         ]
+        # load order: locally-trained checkpoints first, then the
+        # checkpoints bundled with the repo (the reference's downloaded
+        # pretrained models, examples/show_battle_game.py:13-15) so the
+        # interactive game works out of the box
+        self.loaded = [False] * len(models)
+        roots = [path, magent.utility.bundled_model_dir()]
         for i, model in enumerate(models):
-            ep = epoch if epoch is not None else latest_epoch(path, names[i])
-            try:
+            for root in roots:
+                ep = (epoch if epoch is not None
+                      else latest_epoch(root, names[i]))
                 if ep is None:
-                    raise FileNotFoundError(names[i])
-                model.load(path, ep, names[i])
-                print("loaded %s epoch %d" % (names[i], ep))
-            except FileNotFoundError:
+                    continue
+                try:
+                    model.load(root, ep, names[i])
+                except FileNotFoundError:
+                    continue
+                print("loaded %s epoch %d from %s" % (names[i], ep, root))
+                self.loaded[i] = True
+                break
+            if not self.loaded[i]:
                 print("no checkpoint for %s: plays untrained "
                       "(train with examples/train_battle_game.py)" % names[i])
 

@@ -196,6 +196,17 @@ def download_model(url):
     os.remove(name)
 
 
+def bundled_model_dir():
+    """Directory of the pretrained checkpoints SHIPPED with the repo
+    (data/models).  The reference downloads pretrained archives so its
+    interactive demos work out of the box (utility.py:216-268); here the
+    battle-game checkpoints are committed instead — no network needed."""
+    import os
+
+    return os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "data", "models"))
+
+
 def check_model(name):
     """Ensure a named pretrained model is present, downloading it otherwise
     (reference: utility.py:242-270).  In network-less environments the

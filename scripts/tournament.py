@@ -67,6 +67,9 @@ def main():
     parser.add_argument("--pick_every", type=int, default=4)
     parser.add_argument("--n_game", type=int, default=2,
                         help="games per pairing (sides swap each game)")
+    parser.add_argument("--max_steps", type=int, default=550,
+                        help="per-game step cap (the battle episode cap)")
+    parser.add_argument("--eps", type=float, default=0.05)
     args = parser.parse_args()
 
     env = magent.GridWorld("battle", map_size=args.map_size)
@@ -90,7 +93,8 @@ def main():
             score = [0, 0]
             for g in range(args.n_game):
                 left, right = (0, 1) if g % 2 == 0 else (1, 0)
-                nums = play(env, handles, models, args.map_size, left, right)
+                nums = play(env, handles, models, args.map_size, left, right,
+                            eps=args.eps, max_steps=args.max_steps)
                 if nums[0] > nums[1]:
                     score[0] += 1
                 elif nums[1] > nums[0]:
