@@ -446,10 +446,15 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     # border walls live at x==0 / y==0 (in_bounds excludes the far edges:
     # nx + bw < W keeps every body cell off the border columns)
     wall_blocked = (nx == 0) | (ny == 0)
-    ok = is_move & in_bounds & ~wall_blocked
+    ok = is_move & in_bounds
     stay = ok & (nx == state.x) & (ny == state.y)
 
     # ---- sweep 1: blocking occupant at the first occupied cell ----
+    # wall-blocked movers still query: the grid path's cell scan skips wall
+    # cells (they block but never set collide_obj) and records the occupant
+    # of the first AGENT cell, so a rect overlapping both a border wall and
+    # a body must still collide with that body (Map.cc:486-501 semantics
+    # through the enc loop in _move_phase)
     q_ok = ok & ~stay
     occ_slot = ap.rect_first_overlap(
         jnp.where(q_ok, nx, -2**20), jnp.where(q_ok, ny, -2**20),
@@ -460,7 +465,7 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     )
     occupied = occ_slot < ap._NONE
     coll_occ = jnp.where(occupied, occ_slot, -1)
-    blank = q_ok & ~occupied
+    blank = q_ok & ~occupied & ~wall_blocked
 
     # ---- sweep 2: claim winner at the first lost cell ----
     head_slot = ap.rect_first_overlap(

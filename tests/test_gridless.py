@@ -238,3 +238,81 @@ def test_gridless_rect_matches_grid_path():
     # for the comparison to mean anything (forest predators have no damage
     # attribute, so attacks reward via the rule but never kill)
     assert saw_collide and saw_attack
+
+
+def test_gridless_rect_matches_grid_path_mixed_sizes():
+    """Asymmetric footprints (1x3 snakes vs 2x2 blocks): the first-overlap
+    reduction must reproduce the grid path's (i outer, j inner) first-hit
+    scan order when rects differ in BOTH dimensions (max_body=3 exercises
+    a non-power-of-two key stride)."""
+    import magent_tpu as magent
+
+    gw = magent.gridworld
+    cfg = gw.Config()
+    cfg.set({"map_width": 26, "map_height": 26})
+    block = cfg.register_agent_type(
+        "block", {'width': 2, 'length': 2, 'hp': 1, 'speed': 1,
+                  'view_range': gw.CircleRange(4),
+                  'attack_range': gw.CircleRange(2)})
+    snake = cfg.register_agent_type(
+        "snake", {'width': 1, 'length': 3, 'hp': 1, 'speed': 2,
+                  'view_range': gw.CircleRange(4),
+                  'attack_range': gw.CircleRange(1)})
+    g0 = cfg.add_group(block)
+    g1 = cfg.add_group(snake)
+    a = gw.AgentSymbol(g0, index='any')
+    b = gw.AgentSymbol(g1, index='any')
+    cfg.add_reward_rule(gw.Event(a, 'attack', b), receiver=[a, b],
+                        value=[1, -1])
+
+    rng = np.random.RandomState(11)
+    taken = set()
+    blocks, snakes = [], []
+    while len(blocks) < 12:
+        x, y = int(rng.randint(1, 22)), int(rng.randint(1, 22))
+        cells = [(x + dx, y + dy) for dx in range(2) for dy in range(2)]
+        if not any(c in taken for c in cells):
+            taken.update(cells)
+            blocks.append([x, y, 0])
+    while len(snakes) < 12:
+        x, y = int(rng.randint(1, 22)), int(rng.randint(1, 21))
+        cells = [(x, y + dy) for dy in range(3)]
+        if not any(c in taken for c in cells):
+            taken.update(cells)
+            snakes.append([x, y, 0])
+
+    old = os.environ.get("MAGENT_GRIDLESS")
+    try:
+        os.environ["MAGENT_GRIDLESS"] = "0"
+        v_grid = VecGridWorld(cfg, [12, 12], n_envs=3,
+                              placements=[blocks, snakes])
+        os.environ.pop("MAGENT_GRIDLESS")
+        v_free = VecGridWorld(cfg, [12, 12], n_envs=3,
+                              placements=[blocks, snakes])
+    finally:
+        if old is not None:
+            os.environ["MAGENT_GRIDLESS"] = old
+        else:
+            os.environ.pop("MAGENT_GRIDLESS", None)
+
+    s1 = v_grid.reset(jax.random.PRNGKey(0))
+    s2 = jax.tree.map(lambda a_: a_, s1)
+    step_grid = jax.jit(v_grid.step)
+    step_free = jax.jit(v_free.step)
+    key = jax.random.PRNGKey(1)
+    saw_collide = False
+    from magent_tpu.spec import OP_COLLIDE
+    for _ in range(30):
+        key, akey = jax.random.split(key)
+        acts = v_grid.random_actions(akey)
+        st1 = step_grid(s1, acts)
+        st2 = step_free(s2, acts)
+        for name in ("x", "y", "hp", "dead", "last_op", "op_obj",
+                     "next_reward"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st1, name)),
+                np.asarray(getattr(st2, name)), err_msg="step:" + name)
+        saw_collide |= bool(np.any(np.asarray(st1.last_op) == OP_COLLIDE))
+        s1, *_ = v_grid.transition(s1, acts)
+        s2, *_ = v_free.transition(s2, acts)
+    assert saw_collide
