@@ -49,6 +49,10 @@ def main():
     parser.add_argument("--steps_per_call", type=int, default=10,
                         help="train steps fused per device call (lax.scan)")
     parser.add_argument("--name", type=str, default="battle-fused")
+    parser.add_argument("--save_every", type=int, default=0,
+                        help="checkpoint both groups every N rounds "
+                             "(tfdqn_<round>.npz generations, the inputs "
+                             "to scripts/tournament.py)")
     parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                         help="obs + net-trunk compute dtype (bf16 = the "
                              "bench configuration; params stay f32)")
@@ -124,8 +128,24 @@ def main():
     jitted = jax.jit(train_loop)
     step_key = jax.random.PRNGKey(2)
 
+    from magent_tpu.builtin.jax_model.base import _flatten_pytree
+
+    subclass = {"dqn": "tfdqn", "dqn_remat": "tfdqn", "drqn": "tfdrqn",
+                "a2c": "tfa2c"}[args.alg]
+
+    def save(epoch):
+        for g, suffix in enumerate(["l", "r"]):
+            savedir = os.path.join("save_model",
+                                   "%s-%s" % (args.name, suffix))
+            os.makedirs(savedir, exist_ok=True)
+            path = os.path.join(savedir, "%s_%d.npz" % (subclass, epoch))
+            np.savez(path, **_flatten_pytree(jax.device_get(params[g])))
+        print("saved generation", epoch)
+
     print("alg:", args.alg, " devices:", len(jax.devices()),
           " envs:", args.n_envs, " agents/env:", 2 * args.agents_per_side)
+    if args.save_every:
+        save(0)  # the untrained generation anchors the tournament
     start = time.time()
     env_steps = 0
     n_calls = -(-args.n_round // args.steps_per_call)
@@ -146,6 +166,9 @@ def main():
             params, opt_states, env_state, metrics = jitted(
                 params, opt_states, env_state, ck)
         env_steps += args.rollout_len * args.n_envs * args.steps_per_call
+        if (args.save_every
+                and (k + args.steps_per_call) % args.save_every == 0):
+            save(k + args.steps_per_call)
         if c % 2 == 0 or c == n_calls - 1:
             loss = np.asarray(metrics["loss"])[-1]
             rew = np.asarray(metrics["mean_reward"])[-1]
@@ -160,17 +183,8 @@ def main():
           "agent-steps/s" % (env_steps, env_steps * total_agents / 1e6, dt,
                              env_steps * total_agents / dt))
 
-    # checkpoints compatible with the hosted model loaders
-    from magent_tpu.builtin.jax_model.base import _flatten_pytree
-
-    subclass = {"dqn": "tfdqn", "dqn_remat": "tfdqn", "drqn": "tfdrqn",
-                "a2c": "tfa2c"}[args.alg]
-    for g, suffix in enumerate(["l", "r"]):
-        savedir = os.path.join("save_model", "%s-%s" % (args.name, suffix))
-        os.makedirs(savedir, exist_ok=True)
-        path = os.path.join(savedir, "%s_0.npz" % subclass)
-        np.savez(path, **_flatten_pytree(jax.device_get(params[g])))
-        print("saved", path)
+    # final checkpoint, compatible with the hosted model loaders
+    save(args.n_round if args.save_every else 0)
 
 
 if __name__ == "__main__":

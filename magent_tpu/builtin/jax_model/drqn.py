@@ -42,8 +42,12 @@ class DRQNTrunk(nn.Module):
 class DRQNNet(nn.Module):
     """One GRU step: (state, view, feature) -> (new_state, q).
 
-    ``dtype`` is the trunk's COMPUTE dtype (params stay f32; bf16 doubles
-    MXU throughput on v5e); the GRU and heads always run in f32."""
+    ``dtype`` is the COMPUTE dtype of the trunk AND the GRU gate matmuls
+    (params and the carried hidden state stay f32; the Q heads always run
+    in f32).  At the reference's state size (512 = hidden_size[0]*2,
+    reference drqn.py:150-168) the six H×H gate matmuls are ~2/3 of the
+    trainer's FLOPs, so bf16 here doubles the fused DRQN's MXU
+    throughput."""
 
     num_actions: int
     use_dueling: bool = True
@@ -53,7 +57,12 @@ class DRQNNet(nn.Module):
     @nn.compact
     def __call__(self, state, view, feature):
         h = DRQNTrunk(name="trunk", dtype=self.dtype)(view, feature)
-        new_state, rnn_out = nn.GRUCell(self.state_size, name="gru")(state, h)
+        new_state, rnn_out = nn.GRUCell(
+            self.state_size, name="gru", dtype=self.dtype,
+            param_dtype=jnp.float32)(state.astype(self.dtype),
+                                     h.astype(self.dtype))
+        new_state = new_state.astype(jnp.float32)
+        rnn_out = rnn_out.astype(jnp.float32)
         if self.use_dueling:
             value = nn.Dense(1, name="value")(rnn_out)
             adv = nn.Dense(self.num_actions, use_bias=False, name="advantage")(rnn_out)
@@ -63,7 +72,8 @@ class DRQNNet(nn.Module):
         return new_state, q
 
 
-def split_unroll(net: DRQNNet, params, views, features, h0, keep=None):
+def split_unroll(net: DRQNNet, params, views, features, h0, keep=None,
+                 remat=False):
     """Unrolled DRQN evaluation -> q [T, B, n_actions].
 
     Equivalent to scanning ``net.apply`` over T frames (same param pytree,
@@ -76,30 +86,46 @@ def split_unroll(net: DRQNNet, params, views, features, h0, keep=None):
     ``keep`` [T, B, 1] bool optionally zeroes the carry after a frame
     (death/episode-end resets in the fused trainer); the emitted q for
     that frame still comes from the pre-reset state.
+
+    ``remat=True`` checkpoints the scan body with the dots-saveable
+    policy: the backward re-derives the gate activations from the saved
+    matmul outputs instead of storing every [B, H] intermediate as a scan
+    residual (the BPTT backward is HBM-residual bound at battle scale).
     """
     T, B = views.shape[:2]
     H = net.state_size
-    x = DRQNTrunk(dtype=net.dtype).apply(
+    dt = net.dtype
+    f32 = jnp.float32
+    x = DRQNTrunk(dtype=dt).apply(
         {"params": params["trunk"]},
         views.reshape((-1,) + views.shape[2:]),
         features.reshape((-1,) + features.shape[2:]),
     )
     pg = params["gru"]
+    # all matmuls in the net's compute dtype (f32 accumulate on the MXU);
+    # gate nonlinearities and the carried hidden stay f32
+    xd = x.astype(dt)
     xr, xz, xn = (
-        (x @ pg[k]["kernel"] + pg[k]["bias"]).reshape(T, B, H)
+        ((xd @ pg[k]["kernel"].astype(dt)).astype(f32)
+         + pg[k]["bias"]).reshape(T, B, H)
         for k in ("ir", "iz", "in")
     )
+    khr, khz, khn = (pg[k]["kernel"].astype(dt) for k in ("hr", "hz", "hn"))
     if keep is None:
         keep = jnp.ones((T, B, 1), bool)
 
     def body(h, xs):
         xr, xz, xn, k = xs
-        r = jax.nn.sigmoid(xr + h @ pg["hr"]["kernel"])
-        z = jax.nn.sigmoid(xz + h @ pg["hz"]["kernel"])
-        n = jnp.tanh(xn + r * (h @ pg["hn"]["kernel"] + pg["hn"]["bias"]))
+        hd = h.astype(dt)
+        r = jax.nn.sigmoid(xr + (hd @ khr).astype(f32))
+        z = jax.nn.sigmoid(xz + (hd @ khz).astype(f32))
+        n = jnp.tanh(xn + r * ((hd @ khn).astype(f32) + pg["hn"]["bias"]))
         h2 = (1.0 - z) * n + z * h
         return jnp.where(k, h2, 0.0), h2
 
+    if remat:
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_saveable)
     _, outs = jax.lax.scan(body, h0, (xr, xz, xn, keep))
     flat = outs.reshape(-1, H)
     if net.use_dueling:

@@ -204,6 +204,69 @@ def main():
 
     timed("rollout+unr", rollout_unroll, env_state, hiddens)
 
+    # ---- loss forward / pure grad (no rollout, fixed trajectory) ----
+    # isolates the backward: rollout once OUTSIDE the timed region, then
+    # time group_loss forward vs value_and_grad on that fixed window
+    def make_group_loss(remat):
+        def group_loss(p, tp, g, h0, traj):
+            act, rew = traj["acts"][g], traj["rewards"][g]
+            alive, done_b = traj["alive"][g], traj["done"][:, :, None]
+            qs = unroll_q(g, p, h0, traj, remat=remat)
+            tqs = jax.lax.stop_gradient(unroll_q(g, tp, h0, traj,
+                                                 remat=remat))
+            q_t = jnp.take_along_axis(qs[:-1], act[:-1][..., None],
+                                      axis=-1)[..., 0]
+            sel = jnp.argmax(jax.lax.stop_gradient(qs[1:]), axis=-1,
+                             keepdims=True)
+            next_v = jnp.take_along_axis(tqs[1:], sel, axis=-1)[..., 0]
+            terminal = (~alive[:-1]) | done_b[:-1]
+            target = jnp.where(terminal, rew[:-1], rew[:-1] + 0.99 * next_v)
+            mask = alive[:-1].astype(jnp.float32)
+            td = jnp.square(jax.lax.stop_gradient(target) - q_t)
+            return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return group_loss
+
+    def unroll_q_r(g, p, h0, traj, remat=False):
+        views, feats = traj["views"][g], traj["feats"][g]
+        T = views.shape[0]
+        keep_t = (traj["alive"][g] & ~traj["done"][:, :, None]).reshape(
+            T, -1, 1)
+        q = split_unroll(
+            nets[g], p,
+            views.reshape((T, -1) + views.shape[3:]),
+            feats.reshape((T, -1) + feats.shape[3:]),
+            h0.reshape(-1, Hs[g]), keep=keep_t, remat=remat)
+        return q.reshape(T, B, caps[g], -1)
+
+    unroll_q = unroll_q_r  # the granular variants take the remat knob
+
+    st_fix, hid_fix, traj_fix = jax.jit(do_rollout)(
+        jax.random.PRNGKey(7), env_state, hiddens)
+    traj_fix = dict(traj_fix, rewards=tuple(
+        jnp.zeros(traj_fix["acts"][g].shape, jnp.float32) for g in range(G)))
+    jax.block_until_ready(traj_fix["acts"][0])
+
+    def grad_sink(grads):
+        return sum(jnp.sum(l.reshape(-1)[:8]) for l in jax.tree.leaves(grads))
+
+    for name, remat in (("loss_fwd", False), ("grad", False),
+                        ("grad_remat", True)):
+        gl = make_group_loss(remat)
+        if name == "loss_fwd":
+            def fn(sk, p, sem=gl):
+                s = sum(sem(p[g], target_params[g], g, hiddens[g], traj_fix)
+                        for g in range(G))
+                return (p,), s
+        else:
+            def fn(sk, p, sem=gl):
+                s = 0.0
+                for g in range(G):
+                    loss, grads = jax.value_and_grad(sem)(
+                        p[g], target_params[g], g, hiddens[g], traj_fix)
+                    s = s + loss + grad_sink(grads)
+                return (p,), s
+        timed(name, fn, params)
+
     # ---- full train step ----
     def full(sk, p, tp, opt, state, hid):
         p, opt, state, hid, metrics = step(p, tp, opt, state, hid, sk,

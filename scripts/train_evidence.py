@@ -111,6 +111,10 @@ def main():
     ap.add_argument("--steps_per_call", type=int, default=10)
     ap.add_argument("--target_update", type=int, default=40)
     ap.add_argument("--eval_steps", type=int, default=200)
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="greedy-eval the live params every N rounds: a "
+                         "per-generation strength curve (the non-battle "
+                         "analog of scripts/tournament.py)")
     args = ap.parse_args()
 
     import jax
@@ -168,23 +172,7 @@ def main():
     step_key = jax.random.PRNGKey(2)
     print("game:", args.game, "caps:", caps, "train_groups:", train_groups)
 
-    start = time.time()
-    n_calls = -(-args.n_round // args.steps_per_call)
-    for c in range(n_calls):
-        k = c * args.steps_per_call
-        eps = magent.utility.piecewise_decay(
-            k, [0, args.n_round // 3, args.n_round], [1, 0.2, 0.05])
-        params, target_params, opt_states, env_state, metrics = jitted(
-            params, target_params, opt_states, env_state,
-            jax.random.fold_in(step_key, c), eps, jnp.asarray(k))
-        if c % 5 == 0 or c == n_calls - 1:
-            loss = np.asarray(metrics["loss"])[-1]
-            rew = np.asarray(metrics["mean_reward"])[-1]
-            log.info("round %d\t loss: %s\t reward: %s\t elapsed: %.1fs"
-                     % (k, np.round(loss, 4).tolist(),
-                        np.round(rew, 4).tolist(), time.time() - start))
-
-    # ---- eval: greedy rollouts, trained vs untrained init ----
+    # ---- eval: greedy rollouts of a params snapshot (jitted once) ----
     def eval_reward(p):
         def body(carry, t):
             state, key = carry
@@ -203,6 +191,35 @@ def main():
         return jnp.mean(rews)
 
     ev = jax.jit(eval_reward)
+    curve = []
+
+    start = time.time()
+    n_calls = -(-args.n_round // args.steps_per_call)
+    for c in range(n_calls):
+        k = c * args.steps_per_call
+        eps = magent.utility.piecewise_decay(
+            k, [0, args.n_round // 3, args.n_round], [1, 0.2, 0.05])
+        params, target_params, opt_states, env_state, metrics = jitted(
+            params, target_params, opt_states, env_state,
+            jax.random.fold_in(step_key, c), eps, jnp.asarray(k))
+        if c % 5 == 0 or c == n_calls - 1:
+            loss = np.asarray(metrics["loss"])[-1]
+            rew = np.asarray(metrics["mean_reward"])[-1]
+            log.info("round %d\t loss: %s\t reward: %s\t elapsed: %.1fs"
+                     % (k, np.round(loss, 4).tolist(),
+                        np.round(rew, 4).tolist(), time.time() - start))
+        gen = k + args.steps_per_call
+        if args.eval_every and gen % args.eval_every == 0:
+            g_ev = float(ev(params))
+            curve.append((gen, g_ev))
+            print("GEN %s round %d: eval=%.5f" % (args.game, gen, g_ev))
+            log.info("generation %d\t eval: %.5f" % (gen, g_ev))
+
+    if curve:
+        print("GENERATION CURVE %s: %s"
+              % (args.game, " ".join("%d:%.4f" % g for g in curve)))
+
+    # ---- trained vs untrained init, same seeds ----
     trained = float(ev(params))
     untrained = float(ev(jax.device_put(init_params,
                                         param_sharding(mesh, init_params))))

@@ -225,6 +225,43 @@ def test_drqn_split_unroll_matches_cell():
                                atol=1e-5)
 
 
+def test_drqn_bf16_gru_tracks_f32():
+    """bf16 GRU compute (params f32): both the stepped cell and the split
+    unroll stay within bf16 tolerance of the f32 net, and the params trees
+    are interchangeable (same names/shapes/dtypes)."""
+    from magent_tpu.builtin.jax_model.drqn import split_unroll
+
+    T, N = 4, 6
+    net32 = DRQNNet(num_actions=9, state_size=64)
+    net16 = DRQNNet(num_actions=9, state_size=64, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    views = jax.random.uniform(key, (T, N, 5, 5, 4))
+    feats = jax.random.uniform(jax.random.fold_in(key, 1), (T, N, 7))
+    p = net32.init(jax.random.fold_in(key, 3),
+                   jnp.zeros((1, 64), jnp.float32),
+                   views[0, :1], feats[0, :1])["params"]
+    p16 = net16.init(jax.random.fold_in(key, 3),
+                     jnp.zeros((1, 64), jnp.float32),
+                     views[0, :1], feats[0, :1])["params"]
+    assert (jax.tree.structure(p) == jax.tree.structure(p16)
+            and all(a.dtype == b.dtype == jnp.float32
+                    for a, b in zip(jax.tree.leaves(p),
+                                    jax.tree.leaves(p16))))
+    h0 = 0.1 * jax.random.normal(jax.random.fold_in(key, 4), (N, 64))
+
+    # stepped cell: bf16 net on the f32 params
+    h32, q32 = net32.apply({"params": p}, h0, views[0], feats[0])
+    h16, q16 = net16.apply({"params": p}, h0, views[0], feats[0])
+    assert h16.dtype == q16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(q16), np.asarray(q32),
+                               atol=0.05)
+    # split unroll in bf16 vs f32
+    u32 = split_unroll(net32, p, views, feats, h0)
+    u16 = split_unroll(net16, p, views, feats, h0)
+    np.testing.assert_allclose(np.asarray(u16), np.asarray(u32),
+                               atol=0.08)
+
+
 def test_dqn_train_step_with_mid_rollout_resets():
     """Tiny 1v1 sides die quickly, forcing auto-resets INSIDE the rollout:
     the recorded start-of-step liveness must keep the loss finite and the
