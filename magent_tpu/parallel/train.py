@@ -615,6 +615,7 @@ def make_drqn_train_step(
     gamma: float = 0.99,
     rollout_len: int = 8,
     use_double: bool = True,
+    unroll_remat: bool = False,
 ):
     """Fused recurrent-Q training: the GRU hidden state is carried per agent
     slot across calls ([B, cap, H] per group, reset on death/episode end),
@@ -713,7 +714,7 @@ def make_drqn_train_step(
             nets[g], p,
             views.reshape((T, -1) + views.shape[3:]),
             feats.reshape((T, -1) + feats.shape[3:]),
-            h0.reshape(-1, H[g]), keep=keep_t,
+            h0.reshape(-1, H[g]), keep=keep_t, remat=unroll_remat,
         )
         return q.reshape(T, B, caps[g], -1)
 

@@ -80,6 +80,9 @@ def main():
     total_agents = 2 * args.n_per_group * args.n_envs
 
     def timed(name, fn, *fargs):
+        # operands must be real arguments: a closure would bake them into
+        # the HLO as constants (the env state / trajectory are hundreds of
+        # MB — the tunnel's compile RPC rejects the request)
         @jax.jit
         def run(key, *xs):
             def body(carry, t):
@@ -88,14 +91,14 @@ def main():
                 out = fn(sk, *xs)
                 return (key, *out[0]), out[1]
             (key, *_), sink = jax.lax.scan(
-                body, (key, *fargs), jnp.arange(args.inner))
+                body, (key, *xs), jnp.arange(args.inner))
             return jnp.sum(sink)
 
-        s = run(jax.random.PRNGKey(2))
+        s = run(jax.random.PRNGKey(2), *fargs)
         float(s)
         t0 = time.perf_counter()
         for c in range(args.calls):
-            s = run(jax.random.fold_in(jax.random.PRNGKey(3), c))
+            s = run(jax.random.fold_in(jax.random.PRNGKey(3), c), *fargs)
         float(s)
         dtm = time.perf_counter() - t0
         per_env_step = dtm / (args.calls * args.inner * args.rollout_len)
@@ -179,6 +182,21 @@ def main():
 
     timed("rollout", rollout_only, env_state, hiddens)
 
+    # rollout with the stacked trajectory FORCED to materialize (the plain
+    # rollout sink only reads actions, so XLA dead-code-eliminates the
+    # [T, B, cap, vh, vw, C] view stacks that the real train step must
+    # write to HBM and read back in the loss)
+    def rollout_store(sk, state, hid):
+        st, hid, traj = do_rollout(sk, state, hid)
+        s = jnp.sum(traj["acts"][0][..., ::64]).astype(jnp.float32)
+        for g in range(G):
+            s = s + jnp.sum(traj["views"][g][:, :, :, 0, 0, 0]
+                            .astype(jnp.float32))
+            s = s + jnp.sum(traj["feats"][g][:, :, :, 0])
+        return (st, hid), s
+
+    timed("rollout_st", rollout_store, env_state, hiddens)
+
     # ---- rollout + both unrolls (no grad) ----
     def unroll_q(g, p, h0, traj):
         views, feats = traj["views"][g], traj["feats"][g]
@@ -207,6 +225,10 @@ def main():
     # ---- loss forward / pure grad (no rollout, fixed trajectory) ----
     # isolates the backward: rollout once OUTSIDE the timed region, then
     # time group_loss forward vs value_and_grad on that fixed window
+    # NOTE: every variant body must DEPEND on the per-iteration key, or
+    # XLA hoists it out of the timing scan as loop-invariant and the
+    # reading comes out ~inner× too fast.  The fixed-trajectory variants
+    # jitter h0 by a key-derived epsilon to break the invariance.
     def make_group_loss(remat):
         def group_loss(p, tp, g, h0, traj):
             act, rew = traj["acts"][g], traj["rewards"][g]
@@ -249,23 +271,95 @@ def main():
     def grad_sink(grads):
         return sum(jnp.sum(l.reshape(-1)[:8]) for l in jax.tree.leaves(grads))
 
+    # traj_fix rides the scan carry (a closure would bake the trajectory
+    # into the HLO as constants — hundreds of MB through the compile RPC)
     for name, remat in (("loss_fwd", False), ("grad", False),
                         ("grad_remat", True)):
         gl = make_group_loss(remat)
         if name == "loss_fwd":
-            def fn(sk, p, sem=gl):
-                s = sum(sem(p[g], target_params[g], g, hiddens[g], traj_fix)
+            def fn(sk, p, hid, traj, sem=gl):
+                jit = jax.random.uniform(sk, (), minval=1e-12, maxval=2e-12)
+                s = sum(sem(p[g], target_params[g], g, hid[g] + jit, traj)
                         for g in range(G))
-                return (p,), s
+                return (p, hid, traj), s
         else:
-            def fn(sk, p, sem=gl):
+            def fn(sk, p, hid, traj, sem=gl):
+                jit = jax.random.uniform(sk, (), minval=1e-12, maxval=2e-12)
                 s = 0.0
                 for g in range(G):
                     loss, grads = jax.value_and_grad(sem)(
-                        p[g], target_params[g], g, hiddens[g], traj_fix)
+                        p[g], target_params[g], g, hid[g] + jit, traj)
                     s = s + loss + grad_sink(grads)
-                return (p,), s
-        timed(name, fn, params)
+                return (p, hid, traj), s
+        timed(name, fn, params, hiddens, traj_fix)
+
+    # ---- rollout + grad composed, no optimizer ----
+    def train_noopt(sk, p, state, hid):
+        gl = make_group_loss(False)
+        h0 = hid
+        st, hid, traj = do_rollout(sk, state, hid)
+        traj = dict(traj, rewards=tuple(
+            jnp.zeros(traj["acts"][g].shape, jnp.float32)
+            for g in range(G)))
+        s = 0.0
+        for g in range(G):
+            loss, grads = jax.value_and_grad(gl)(
+                p[g], target_params[g], g, h0[g], traj)
+            s = s + loss + grad_sink(grads)
+        return (p, st, hid), s
+
+    timed("train_noopt", train_noopt, params, env_state, hiddens)
+
+    # acting rollout + grad on a FIXED trajectory: same per-part work as
+    # train_noopt but the loss does not consume the in-program trajectory
+    # (isolates dataflow/layout cost from compute cost)
+    def act_gradfix(sk, p, state, hid, traj):
+        gl = make_group_loss(False)
+        st, hid2, traj_live = do_rollout(sk, state, hid)
+        jit = jax.random.uniform(sk, (), minval=1e-12, maxval=2e-12)
+        s = jnp.sum(traj_live["acts"][0][..., ::64]).astype(jnp.float32)
+        for g in range(G):
+            loss, grads = jax.value_and_grad(gl)(
+                p[g], target_params[g], g, hiddens[g] + jit, traj)
+            s = s + loss + grad_sink(grads)
+        return (p, st, hid2, traj), s
+
+    timed("act_gradfix", act_gradfix, params, env_state, hiddens, traj_fix)
+
+    # random-action rollout (obs still rendered+stored) + grad on its own
+    # trajectory: drops the per-step acting GRU from the composition
+    def rand_rollout_grad(sk, p, state, hid):
+        gl = make_group_loss(False)
+
+        def body(carry, t):
+            st, k = carry
+            k, ak = jax.random.split(k)
+            all_obs = venv.observe_all(st)
+            acts = venv.random_actions(ak)
+            st, rew, alive, done = venv.transition(st, acts)
+            out = dict(
+                views=tuple(all_obs[g][0] for g in range(G)),
+                feats=tuple(all_obs[g][1] for g in range(G)),
+                acts=tuple(acts[:, offs[g]:offs[g] + caps[g]]
+                           for g in range(G)),
+                done=done,
+                alive=tuple(alive[:, offs[g]:offs[g] + caps[g]]
+                            for g in range(G)))
+            return (st, k), out
+
+        (st, _), traj = jax.lax.scan(body, (state, sk),
+                                     jnp.arange(args.rollout_len))
+        traj = dict(traj, rewards=tuple(
+            jnp.zeros(traj["acts"][g].shape, jnp.float32)
+            for g in range(G)))
+        s = 0.0
+        for g in range(G):
+            loss, grads = jax.value_and_grad(gl)(
+                p[g], target_params[g], g, hid[g], traj)
+            s = s + loss + grad_sink(grads)
+        return (p, st, hid), s
+
+    timed("rand_grad", rand_rollout_grad, params, env_state, hiddens)
 
     # ---- full train step ----
     def full(sk, p, tp, opt, state, hid):
@@ -275,6 +369,22 @@ def main():
 
     timed("full", full, params, target_params, opt_states, env_state,
           hiddens)
+
+    # ---- full train step, BPTT bodies rematerialized ----
+    try:
+        step_r = make_drqn_train_step(venv, nets, tx,
+                                      rollout_len=args.rollout_len,
+                                      unroll_remat=True)
+    except TypeError:
+        step_r = None
+    if step_r is not None:
+        def full_remat(sk, p, tp, opt, state, hid):
+            p, opt, state, hid, metrics = step_r(p, tp, opt, state, hid, sk,
+                                                 jnp.float32(0.3))
+            return (p, tp, opt, state, hid), jnp.sum(metrics["loss"])
+
+        timed("full_remat", full_remat, params, target_params, opt_states,
+              env_state, hiddens)
 
 
 if __name__ == "__main__":

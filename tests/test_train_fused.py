@@ -172,6 +172,45 @@ def test_dqn_remat_train_step():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+def test_drqn_remat_step_matches_plain():
+    """unroll_remat only changes what the BPTT backward stores, never the
+    math: one train step from identical inputs yields (near-)identical
+    losses and updated params."""
+    venv = VecGridWorld(battle.get_config(20), [6, 6], n_envs=4)
+    spec = venv.spec
+    nets = [DRQNNet(num_actions=spec.groups[g].type.n_action, state_size=32)
+            for g in range(2)]
+    params = []
+    for g in range(2):
+        vh, vw, C = spec.view_space(g)
+        F = spec.feature_size(g)
+        params.append(nets[g].init(
+            jax.random.PRNGKey(g),
+            jnp.zeros((1, 32), jnp.float32),
+            jnp.zeros((1, vh, vw, C), jnp.float32),
+            jnp.zeros((1, F), jnp.float32))["params"])
+    params = tuple(params)
+    tx = optax.adam(1e-3)
+    opts = tuple(tx.init(p) for p in params)
+    tgt = jax.tree.map(lambda x: x, params)
+    hiddens = init_drqn_hiddens(venv, nets)
+    state = venv.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    outs = []
+    for remat in (False, True):
+        step = jax.jit(make_drqn_train_step(venv, nets, tx, rollout_len=3,
+                                            unroll_remat=remat))
+        p2, o2, s2, h2, metrics = step(params, tgt, opts, state, hiddens,
+                                       key, 0.3)
+        outs.append((np.asarray(metrics["loss"]),
+                     np.concatenate([np.asarray(l).ravel()
+                                     for l in jax.tree.leaves(p2)])))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_drqn_split_unroll_matches_cell():
     """The fused DRQN loss's split unroll (batched trunk/input projections +
     carry-only scan, parallel/train.py unroll_q) computes exactly what
