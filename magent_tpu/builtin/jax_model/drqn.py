@@ -87,10 +87,12 @@ def split_unroll(net: DRQNNet, params, views, features, h0, keep=None,
     (death/episode-end resets in the fused trainer); the emitted q for
     that frame still comes from the pre-reset state.
 
-    ``remat=True`` checkpoints the scan body with the dots-saveable
-    policy: the backward re-derives the gate activations from the saved
-    matmul outputs instead of storing every [B, H] intermediate as a scan
-    residual (the BPTT backward is HBM-residual bound at battle scale).
+    ``remat`` checkpoints the scan body so the backward stores fewer
+    residuals (the BPTT backward is HBM-residual bound at battle scale):
+    ``"dots"`` (or True) keeps the gate matmul outputs and re-derives the
+    elementwise activations; ``"all"`` recomputes the whole body from the
+    carried hidden (the gate matmuls are bf16-cheap, the [B, H] residual
+    stores are not).
     """
     T, B = views.shape[:2]
     H = net.state_size
@@ -105,27 +107,34 @@ def split_unroll(net: DRQNNet, params, views, features, h0, keep=None,
     # all matmuls in the net's compute dtype (f32 accumulate on the MXU);
     # gate nonlinearities and the carried hidden stay f32
     xd = x.astype(dt)
+    # the [T, B, H] gate pre-activation stacks are scan inputs AND backward
+    # residuals — in bf16 mode storing them in dt halves that traffic
     xr, xz, xn = (
-        ((xd @ pg[k]["kernel"].astype(dt)).astype(f32)
-         + pg[k]["bias"]).reshape(T, B, H)
+        ((xd @ pg[k]["kernel"].astype(dt))
+         + pg[k]["bias"].astype(dt)).reshape(T, B, H)
         for k in ("ir", "iz", "in")
     )
     khr, khz, khn = (pg[k]["kernel"].astype(dt) for k in ("hr", "hz", "hn"))
+    hn_bias = pg["hn"]["bias"]
     if keep is None:
         keep = jnp.ones((T, B, 1), bool)
 
     def body(h, xs):
         xr, xz, xn, k = xs
         hd = h.astype(dt)
-        r = jax.nn.sigmoid(xr + (hd @ khr).astype(f32))
-        z = jax.nn.sigmoid(xz + (hd @ khz).astype(f32))
-        n = jnp.tanh(xn + r * ((hd @ khn).astype(f32) + pg["hn"]["bias"]))
+        r = jax.nn.sigmoid(xr.astype(f32) + (hd @ khr).astype(f32))
+        z = jax.nn.sigmoid(xz.astype(f32) + (hd @ khz).astype(f32))
+        n = jnp.tanh(xn.astype(f32)
+                     + r * ((hd @ khn).astype(f32) + hn_bias))
         h2 = (1.0 - z) * n + z * h
         return jnp.where(k, h2, 0.0), h2
 
     if remat:
-        body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.dots_saveable)
+        if remat == "all":
+            body = jax.checkpoint(body)
+        else:
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.dots_saveable)
     _, outs = jax.lax.scan(body, h0, (xr, xz, xn, keep))
     flat = outs.reshape(-1, H)
     if net.use_dueling:

@@ -371,20 +371,18 @@ def main():
           hiddens)
 
     # ---- full train step, BPTT bodies rematerialized ----
-    try:
+    for mode in ("dots", "all"):
         step_r = make_drqn_train_step(venv, nets, tx,
                                       rollout_len=args.rollout_len,
-                                      unroll_remat=True)
-    except TypeError:
-        step_r = None
-    if step_r is not None:
-        def full_remat(sk, p, tp, opt, state, hid):
-            p, opt, state, hid, metrics = step_r(p, tp, opt, state, hid, sk,
-                                                 jnp.float32(0.3))
+                                      unroll_remat=mode)
+
+        def full_remat(sk, p, tp, opt, state, hid, _s=step_r):
+            p, opt, state, hid, metrics = _s(p, tp, opt, state, hid, sk,
+                                             jnp.float32(0.3))
             return (p, tp, opt, state, hid), jnp.sum(metrics["loss"])
 
-        timed("full_remat", full_remat, params, target_params, opt_states,
-              env_state, hiddens)
+        timed("full_remat_" + mode, full_remat, params, target_params,
+              opt_states, env_state, hiddens)
 
 
 if __name__ == "__main__":

@@ -263,6 +263,13 @@ def test_drqn_split_unroll_matches_cell():
     np.testing.assert_allclose(np.asarray(q_split), np.asarray(q_ref),
                                atol=1e-5)
 
+    # and the REAL split_unroll (both remat modes) agrees with the cell too
+    from magent_tpu.builtin.jax_model.drqn import split_unroll
+    for remat in (False, "dots", "all"):
+        q_fn = split_unroll(net, p, views, feats, h0, keep=keep, remat=remat)
+        np.testing.assert_allclose(np.asarray(q_fn), np.asarray(q_ref),
+                                   atol=1e-5, err_msg=str(remat))
+
 
 def test_drqn_bf16_gru_tracks_f32():
     """bf16 GRU compute (params f32): both the stepped cell and the split
