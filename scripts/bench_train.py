@@ -80,9 +80,10 @@ def bench_alg(alg: str):
             venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,
             rollout_len=ROLLOUT, train_minibatch=16384))
     elif alg == "drqn":
+        remat = os.environ.get("BENCH_DRQN_REMAT", "")  # "", dots, all
         loop = jax.jit(make_drqn_train_loop(
             venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,
-            rollout_len=ROLLOUT))
+            rollout_len=ROLLOUT, unroll_remat=remat or False))
     else:
         loop = jax.jit(make_a2c_train_loop(
             venv, nets, tx, steps_per_call=STEPS_PER_CALL,
