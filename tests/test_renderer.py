@@ -35,6 +35,23 @@ def test_battle_server_steps():
     assert any("vs" in t for row in banners for (t, c) in row)
 
 
+def test_battle_server_loads_bundled_checkpoints():
+    """The interactive battle demo works out of the box: when the repo
+    ships pretrained checkpoints under data/models (the local analog of
+    the reference's downloaded models, reference utility.py:216-268),
+    BattleServer must load them even with no save_model dir."""
+    import magent_tpu as magent
+
+    bundled = os.path.join(magent.utility.bundled_model_dir(),
+                           "trusty-battle-game-l")
+    if not os.path.isdir(bundled):
+        pytest.skip("no bundled demo checkpoints in data/models")
+    server = BattleServer(map_size=32, total_step=4, add_counter=0,
+                          path="/nonexistent-save-model")
+    assert all(server.loaded)
+    assert server.get_data(1, (0, 32), (0, 32)) is not None
+
+
 def test_arrange_server_steps():
     server = ArrangeServer(messages=["HI"], map_size=48, total_step=6)
     n_goals = server.env.get_num(server.goal_handle)
