@@ -144,6 +144,12 @@ def main():
 
     print("alg:", args.alg, " devices:", len(jax.devices()),
           " envs:", args.n_envs, " agents/env:", 2 * args.agents_per_side)
+    if args.save_every and args.save_every % args.steps_per_call:
+        # saves fire on call boundaries; align rather than silently skip
+        args.save_every = -(-args.save_every
+                            // args.steps_per_call) * args.steps_per_call
+        print("save_every rounded up to %d (steps_per_call boundary)"
+              % args.save_every)
     if args.save_every:
         save(0)  # the untrained generation anchors the tournament
     start = time.time()
@@ -183,8 +189,14 @@ def main():
           "agent-steps/s" % (env_steps, env_steps * total_agents / 1e6, dt,
                              env_steps * total_agents / dt))
 
-    # final checkpoint, compatible with the hosted model loaders
-    save(args.n_round if args.save_every else 0)
+    # final checkpoint, compatible with the hosted model loaders (labelled
+    # with the ROUNDS ACTUALLY TRAINED — n_calls * steps_per_call — and
+    # skipped when the in-loop save already wrote that generation)
+    trained = n_calls * args.steps_per_call
+    if not args.save_every:
+        save(0)
+    elif trained % args.save_every:
+        save(trained)
 
 
 if __name__ == "__main__":

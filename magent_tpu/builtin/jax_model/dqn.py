@@ -185,10 +185,14 @@ class DeepQNetwork(JaxBaseModel):
         ``n_devices`` of the process's device mesh — the TPU-native analog
         of the reference DQN replicating its eval net per GPU and
         round-robining ``infer_batch_size`` chunks
-        (reference: tf_model/dqn.py:96-97,368-393).  Per-row results are
-        identical to the single-device path: the jitted program is the
-        same, only the batch axis placement changes."""
-        devs = jax.devices()
+        (reference: tf_model/dqn.py:96-97,368-393).  Greedy per-row results
+        are identical to the single-device path (same program, only the
+        batch axis placement changes).  e-greedy exploration draws can
+        differ when the device count does not divide the pow2-padded
+        chunk: the sharded path rounds the pad up to a multiple of the
+        device count, which shifts the shape of the per-chunk random
+        draw."""
+        devs = jax.local_devices()
         n = min(n_devices or len(devs), len(devs))
         if n <= 1:
             self._sharded_act_fn = None

@@ -484,7 +484,11 @@ _NONE = 2**30  # "no slot" sentinel for min-slot accumulation
 
 def rect_cell_min_xla(qx, qy, tbw, tbh, x, y, bw, bh, max_body,
                       exclude_self):
-    """Per query cell (k = i*max_body + j — the grid path's scan order,
+    """Semantic ORACLE for the per-cell rect queries (kept for
+    tests/test_pairwise_kernels.py; production moved to the one-reduction
+    :func:`rect_first_overlap`).
+
+    Per query cell (k = i*max_body + j — the grid path's scan order,
     engine._move_phase): the MINIMUM slot whose rect [x, x+bw) x [y, y+bh)
     covers cell (qx+i, qy+j), or 2**30; cells beyond the querier's own
     (tbw, tbh) footprint return 2**30.  Returns a list of max_body^2 [A]
@@ -630,76 +634,3 @@ def rect_first_overlap(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body, gate,
                                       interpret=interpret)
     return rect_first_overlap_xla(qx, qy, tbw, tbh, x, y, bw, bh,
                                   max_body, gate)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("max_body", "exclude_self", "interpret"))
-def rect_cell_min_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
-                      exclude_self, interpret=False):
-    """All max_body^2 per-cell min-slot lookups in ONE pair sweep
-    (single env; vmap for batches).  See :func:`rect_cell_min_xla`."""
-    from jax.experimental import pallas as pl
-
-    (A,) = qx.shape
-    MB = max_body
-    Ap, (qx_p, qy_p, tbw_p, tbh_p, x_p, y_p, bw_p, bh_p) = _pad_operands(
-        A, [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
-            (tbw, jnp.int32(0)), (tbh, jnp.int32(0)),
-            (x, jnp.int32(0)), (y, jnp.int32(0)),
-            (bw, jnp.int32(0)), (bh, jnp.int32(0))])
-
-    def kernel(x_ref, y_ref, bw_ref, bh_ref, qx_ref, qy_ref, tbw_ref,
-               tbh_ref, *out_refs):
-        i = pl.program_id(1)
-        j = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _init():
-            for ref in out_refs:
-                ref[...] = jnp.full_like(ref, _NONE)
-
-        xc = x_ref[...]
-        yc = y_ref[...]
-        xe = xc + bw_ref[...]
-        ye = yc + bh_ref[...]
-        qxr = qx_ref[...]
-        qyr = qy_ref[...]
-        tbwr = tbw_ref[...]
-        tbhr = tbh_ref[...]
-        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
-        gate = jnp.ones((_TI, 1), bool)
-        if exclude_self:
-            slot_row = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
-            )
-            gate = slot_col != slot_row
-        for di in range(MB):
-            for dj in range(MB):
-                cqx = qxr + di
-                cqy = qyr + dj
-                m = (
-                    (di < tbwr) & (dj < tbhr)
-                    & (cqx >= xc) & (cqx < xe) & (cqy >= yc) & (cqy < ye)
-                    & gate
-                )
-                ref = out_refs[di * MB + dj]
-                ref[...] = jnp.minimum(
-                    ref[...],
-                    jnp.min(jnp.where(m, slot_col, _NONE), axis=0,
-                            keepdims=True))
-
-    outs = _pair_grid_call(
-        kernel, [x_p, y_p, bw_p, bh_p], [qx_p, qy_p, tbw_p, tbh_p],
-        MB * MB, [jnp.int32] * (MB * MB), Ap, interpret)
-    return [o[0, :A] for o in outs]
-
-
-def rect_cell_min(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body, exclude_self,
-                  interpret=False):
-    if supports_pallas() or interpret:
-        return rect_cell_min_tpu(qx, qy, tbw, tbh, x, y, bw, bh,
-                                 max_body=max_body,
-                                 exclude_self=exclude_self,
-                                 interpret=interpret)
-    return rect_cell_min_xla(qx, qy, tbw, tbh, x, y, bw, bh, max_body,
-                             exclude_self)

@@ -30,7 +30,6 @@ from magent_tpu.builtin.config import battle
 from magent_tpu.builtin.jax_model.drqn import DRQNNet
 from magent_tpu.parallel import (VecGridWorld, init_drqn_hiddens,
                                  make_drqn_train_step)
-from magent_tpu.parallel import train as trainlib
 
 
 def main():
@@ -120,14 +119,8 @@ def main():
 
     timed("env_only", lambda sk, st: env_only(sk, st), env_state)
 
-    # ---- rollout (env + GRU inference) ----
-    rollout = None
-    # rebuild the same rollout the train step uses
-    import types
-    step_mod = trainlib.make_drqn_train_step
-    # call the factory again but intercept: easiest is to re-derive rollout
-    # through the public step with zero inner train — instead, use the
-    # private pieces by reconstructing them exactly as the factory does.
+    # ---- rollout (env + GRU inference), reconstructed exactly as the
+    # train-step factory builds it (the factory keeps it private) ----
     from magent_tpu.builtin.jax_model.drqn import split_unroll
     offs = [g.offset for g in spec.groups]
     caps = [g.cap for g in spec.groups]

@@ -96,7 +96,8 @@ def run_host_loop(args):
         actors = [RandomActor(env, h, nm) for h, nm in zip(groups, names)]
     else:
         from magent_tpu.builtin.jax_model import DeepQNetwork
-        actors = [DeepQNetwork(env, h, nm, infer_batch_size=DQN_INFER_BATCH)
+        actors = [DeepQNetwork(env, h, nm, infer_batch_size=DQN_INFER_BATCH,
+                               num_gpu=args.num_gpu)
                   for h, nm in zip(groups, names)]
 
     for h in groups:

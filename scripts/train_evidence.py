@@ -192,6 +192,12 @@ def main():
 
     ev = jax.jit(eval_reward)
     curve = []
+    if args.eval_every and args.eval_every % args.steps_per_call:
+        # evals fire on call boundaries; align rather than silently skip
+        args.eval_every = -(-args.eval_every
+                            // args.steps_per_call) * args.steps_per_call
+        print("eval_every rounded up to %d (steps_per_call boundary)"
+              % args.eval_every)
 
     start = time.time()
     n_calls = -(-args.n_round // args.steps_per_call)
