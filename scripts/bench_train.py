@@ -80,10 +80,13 @@ def bench_alg(alg: str):
             venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,
             rollout_len=ROLLOUT, train_minibatch=16384))
     elif alg == "drqn":
-        remat = os.environ.get("BENCH_DRQN_REMAT", "")  # "", dots, all
+        # BENCH_DRQN_REMAT: none | dots | all (default = the factory's "all")
+        remat = os.environ.get("BENCH_DRQN_REMAT", "")
+        kw = {} if not remat else {
+            "unroll_remat": False if remat == "none" else remat}
         loop = jax.jit(make_drqn_train_loop(
             venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,
-            rollout_len=ROLLOUT, unroll_remat=remat or False))
+            rollout_len=ROLLOUT, **kw))
     else:
         loop = jax.jit(make_a2c_train_loop(
             venv, nets, tx, steps_per_call=STEPS_PER_CALL,
