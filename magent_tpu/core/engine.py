@@ -30,6 +30,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import spec as speclib
 from ..ops import attack_prefix as ap
@@ -104,6 +105,39 @@ def _use_quad(A: int) -> bool:
     if path == "auto":
         return A <= ap.QUAD_MAX_AGENTS and (ap.supports_pallas() or A <= 1024)
     return path == "quad"
+
+
+def _wall_rect_code(spec: speclib.GameSpec, wall):
+    """Pack per-body-size wall-overlap bitmaps into one int32 grid.
+
+    ``wall`` — full [H, W] bool wall map (border + interior), static for the
+    life of the step function (lockstep envs share one layout).  Bit ``b`` of
+    ``code[y, x]`` says: a body rectangle of the b-th distinct (bw, bh) size
+    anchored at (x, y) overlaps at least one wall cell.  The gridless move
+    phases then answer "does my target rect hit a wall?" with ONE gather per
+    mover (random-access cost on TPU is index-count dominated — a per-cell
+    scan or 4 summed-area-table corners would cost 4x the indices).  Sizes
+    are static per slot (gridless requires turn_mode off, so every footprint
+    is the NORTH (width, length) rect); ``s_bit[slot]`` selects the bit.
+    """
+    H, W = spec.height, spec.width
+    wall = np.asarray(wall, bool)
+    assert wall.shape == (H, W)
+    sizes = sorted({(int(w), int(l))
+                    for w, l in zip(spec.s_width, spec.s_length)})
+    assert len(sizes) <= 31
+    code = np.zeros((H, W), np.int32)
+    for b, (bw, bh) in enumerate(sizes):
+        blocked = np.zeros((H, W), bool)
+        for i in range(bw):
+            for j in range(bh):
+                blocked[: H - j, : W - i] |= wall[j:, i:]
+        code |= blocked.astype(np.int32) << b
+    bit_of = {s: b for b, s in enumerate(sizes)}
+    s_bit = np.array(
+        [bit_of[(int(w), int(l))] for w, l in zip(spec.s_width, spec.s_length)],
+        np.int32)
+    return code, s_bit
 
 
 def _gridless_capable(spec: speclib.GameSpec) -> bool:
@@ -415,8 +449,25 @@ def _starve_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
     return state.replace(hp=hp, dead=dead, next_reward=next_reward, cell_slot=cell_slot)
 
 
+def _wall_blocked_gridless(spec, wall_ctx, nx, ny):
+    """Does the target rect anchored at (nx, ny) overlap a wall?
+
+    ``wall_ctx=None`` — border-only walls (the device reset's default):
+    answered by formula, zero gathers.  Otherwise one gather from the
+    packed :func:`_wall_rect_code` grid (bit = the slot's static body
+    size).  Only valid where in_bounds holds; callers mask accordingly.
+    """
+    if wall_ctx is None:
+        return (nx == 0) | (ny == 0)
+    code, s_bit = wall_ctx
+    W, H = spec.width, spec.height
+    cx = jnp.clip(nx, 0, W - 1)
+    cy = jnp.clip(ny, 0, H - 1)
+    return ((code[cy, cx] >> s_bit) & 1) != 0
+
+
 def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
-                              bw, bh, alive):
+                              bw, bh, alive, wall_ctx=None):
     """Gridless move resolution for multi-cell bodies (static NORTH
     footprints): two pairwise rect sweeps reproduce the grid path's
     semantics cell-for-cell —
@@ -444,8 +495,9 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     MB = spec.max_body_w
 
     # border walls live at x==0 / y==0 (in_bounds excludes the far edges:
-    # nx + bw < W keeps every body cell off the border columns)
-    wall_blocked = (nx == 0) | (ny == 0)
+    # nx + bw < W keeps every body cell off the border columns); interior
+    # walls, when present, come from the packed rect-overlap code grid
+    wall_blocked = _wall_blocked_gridless(spec, wall_ctx, nx, ny)
     ok = is_move & in_bounds
     stay = ok & (nx == state.x) & (ny == state.y)
 
@@ -492,7 +544,8 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     )
 
 
-def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
+def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False,
+                wall_ctx=None):
     """Resolve all move actions (reference: GridWorld.cc:573-613,
     Map::do_move Map.cc:313-358).
 
@@ -524,12 +577,12 @@ def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False):
 
     if gridless and MB > 1:
         return _move_phase_gridless_rect(
-            spec, state, is_move, in_bounds, nx, ny, bw, bh, alive)
+            spec, state, is_move, in_bounds, nx, ny, bw, bh, alive, wall_ctx)
 
     if gridless:
         # border walls live at x==0 / y==0 (in_bounds already excludes the
-        # far edges for 1x1 bodies)
-        wall_blocked = (nx == 0) | (ny == 0)
+        # far edges for 1x1 bodies); interior walls via the code-grid gather
+        wall_blocked = _wall_blocked_gridless(spec, wall_ctx, nx, ny)
         ok = is_move & in_bounds & ~wall_blocked
         tcell = jnp.where(ok, ny * W + nx, 2**30)
         cell = jnp.where(alive, state.y * W + state.x, 2**29)
@@ -764,18 +817,25 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
     )
 
 
-def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True):
+def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
+              walls=None):
     """Build the jittable full-step function for a spec.
 
     ``maintain_grid=False`` (vectorized lockstep path): when the config is
     :func:`_gridless_capable` — 1x1 bodies, no food, no turn mode, no
-    absorb — AND the caller guarantees border-only walls (the device-side
-    reset builds exactly those), the step resolves every occupancy question
-    pairwise in the VPU kernels and never reads or rebuilds
-    ``state.cell_slot`` (which then goes stale; observations render from
-    positions, so nothing in the lockstep loop reads it).  Eliminates four
-    ~0.3 ms grid scatters/gathers per step at battle scale.
-    ``MAGENT_GRIDLESS=0`` forces the grid path for differential testing.
+    absorb — the step resolves every occupancy question pairwise in the VPU
+    kernels and never reads or rebuilds ``state.cell_slot`` (which then goes
+    stale; observations render from positions, so nothing in the lockstep
+    loop reads it).  Eliminates four ~0.3 ms grid scatters/gathers per step
+    at battle scale.  ``MAGENT_GRIDLESS=0`` forces the grid path for
+    differential testing.
+
+    ``walls`` — static full [H, W] bool wall map when the layout has
+    INTERIOR walls (reference protocol: test_1m.py adds n/10 random wall
+    cells).  ``None`` (the default) means border-only walls — the device
+    reset's default — and the gridless move answers wall questions by
+    formula instead of a gather.  The grid path ignores this (it reads the
+    traced ``state.cell_wall``, which covers any layout).
     """
     rules = spec.compiled_rules()
     G = spec.n_groups
@@ -785,6 +845,15 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True):
         and _use_quad(spec.n_agents_cap)
         and os.environ.get("MAGENT_GRIDLESS", "auto") != "0"
     )
+    wall_ctx = None
+    if gridless and walls is not None:
+        walls = np.asarray(walls, bool)
+        interior = walls.copy()
+        interior[0, :] = interior[-1, :] = False
+        interior[:, 0] = interior[:, -1] = False
+        if interior.any():
+            code, s_bit = _wall_rect_code(spec, walls)
+            wall_ctx = (jnp.asarray(code), jnp.asarray(s_bit))
 
     def step(state: State, actions=None) -> State:
         if actions is not None:
@@ -815,7 +884,8 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True):
             with jax.named_scope("turn"):
                 state = _turn_phase(spec, state)
         with jax.named_scope("move"):
-            state = _move_phase(spec, state, gridless=gridless)
+            state = _move_phase(spec, state, gridless=gridless,
+                                wall_ctx=wall_ctx)
 
         # reward rules (reference: GridWorld::calc_reward, GridWorld.cc:681-692)
         next_reward, group_reward, terminal = state.next_reward, state.group_reward, False

@@ -31,7 +31,7 @@ from ..core.state import State
 from ..spec import NORTH, OP_NULL
 
 
-def _make_device_reset(spec: speclib.GameSpec, placements=None):
+def _make_device_reset(spec: speclib.GameSpec, placements=None, walls=None):
     """Build a pure ``reset(key) -> State`` for one env.
 
     ``placements`` — optional list (len n_groups) of [n_g, 3] (x, y, dir)
@@ -40,12 +40,22 @@ def _make_device_reset(spec: speclib.GameSpec, placements=None):
     cells, device-side: random scores per cell + argsort gives a random
     permutation of free cells without rejection sampling
     (replaces reference: Map::get_random_blank, Map.cc:49-63).
+
+    ``walls`` — optional [n_w, 2] (x, y) interior wall cells added on top of
+    the border (reference: GridWorld::add_agents with group -1,
+    GridWorld.cc:180-205; the FPS protocol places n/10 of them,
+    reference scripts/test/test_1m.py:70).  Static across resets — lockstep
+    envs share one wall layout, so the step function can treat it as a
+    compile-time constant (engine._wall_rect_code).
     """
     H, W, A, G = spec.height, spec.width, spec.n_agents_cap, spec.n_groups
     gof = spec.group_of_slot
 
     wall = np.zeros((H, W), bool)
     wall[0, :] = wall[-1, :] = wall[:, 0] = wall[:, -1] = True
+    if walls is not None and len(walls):
+        wxy = np.asarray(walls, np.int32)
+        wall[wxy[:, 1], wxy[:, 0]] = True
 
     hp0 = spec.g_hp_max[gof].astype(np.float32)
     step_reward0 = spec.g_step_reward[gof].astype(np.float32)
@@ -89,11 +99,12 @@ def _make_device_reset(spec: speclib.GameSpec, placements=None):
             "device-side random placement supports 1x1 bodies; pass "
             "explicit `placements` for multi-cell agent types"
         )
-        if A > (H - 2) * (W - 2):
+        n_free = int((~wall).sum())
+        if A > n_free:
             raise ValueError(
                 "cannot place %d agents on a %dx%d map (%d free interior "
                 "cells): the argsort tail would silently land on walls"
-                % (A, H, W, (H - 2) * (W - 2)))
+                % (A, H, W, n_free))
         free = ~wall.reshape(-1)
 
         def place(key):
@@ -154,13 +165,23 @@ class VecGridWorld:
     """
 
     def __init__(self, config: Config, caps, n_envs: int, placements=None,
-                 obs_dtype=None):
+                 obs_dtype=None, walls=None):
         self.spec = speclib.compile_spec(config, caps)
         self.n_envs = n_envs
-        self._reset1 = _make_device_reset(self.spec, placements)
-        # the device reset builds border-only walls, so the gridless fast
-        # path is sound here (see engine.make_step)
-        self._step1 = engine.make_step(self.spec, maintain_grid=False)
+        self._reset1 = _make_device_reset(self.spec, placements, walls)
+        # walls are static per lockstep layout: border-only by default
+        # (answered by formula in the gridless step), or border + the given
+        # interior cells (one packed-bitmap gather — see engine.make_step)
+        wall_map = None
+        if walls is not None and len(walls):
+            H, W = self.spec.height, self.spec.width
+            wall_map = np.zeros((H, W), bool)
+            wall_map[0, :] = wall_map[-1, :] = True
+            wall_map[:, 0] = wall_map[:, -1] = True
+            wxy = np.asarray(walls, np.int32)
+            wall_map[wxy[:, 1], wxy[:, 0]] = True
+        self._step1 = engine.make_step(self.spec, maintain_grid=False,
+                                       walls=wall_map)
         # obs_dtype=jnp.bfloat16 halves window HBM traffic (see
         # observe.make_observe); None keeps the f32 parity default
         obs_kw = {} if obs_dtype is None else {"obs_dtype": obs_dtype}

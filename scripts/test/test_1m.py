@@ -153,17 +153,24 @@ def run_vectorized(args):
     map_size = int(math.sqrt(per_env * 20))
     cfg = load_forest(map_size)
     # host-side placements matching the reference protocol's population mix
-    # (test_1m.py:72-74: n/2 predators + n/2 prey, both placed at random):
-    # 2x2 predators rejection-sampled as free 2x2 blocks, 1x1 prey on free
-    # cells (identical layout per lockstep env instance).  Deviation from
-    # the reference protocol: its n/10 random interior WALLS are omitted —
-    # the vectorized reset builds border-only walls (the gridless step's
-    # precondition); walls are obstacles only and don't change the obs/step
-    # work per agent.
+    # (test_1m.py:70-74: n/10 random interior walls first, then n/2
+    # predators + n/2 prey, both placed at random): walls rejection-sampled
+    # on free cells, 2x2 predators as free 2x2 blocks, 1x1 prey on free
+    # cells (identical layout per lockstep env instance; walls become a
+    # compile-time constant of the step — engine._wall_rect_code).
+    # ``--no_walls`` reproduces the wall-free layouts of rounds 2-4.
     n_pred = per_env // 2
     n_prey = per_env - n_pred
+    n_wall = 0 if args.no_walls else per_env // 10
     rng = np.random.RandomState(7)
     taken = set()
+    walls = []
+    while len(walls) < n_wall:
+        x = int(rng.randint(1, map_size - 1))
+        y = int(rng.randint(1, map_size - 1))
+        if (x, y) not in taken:
+            taken.add((x, y))
+            walls.append([x, y])
     preds = []
     while len(preds) < n_pred:
         x = int(rng.randint(1, map_size - 3))
@@ -180,7 +187,8 @@ def run_vectorized(args):
             taken.add((x, y))
             prey.append([x, y, 0])
     venv = VecGridWorld(cfg, [n_pred, n_prey], n_envs=n_envs,
-                        placements=[preds, prey])
+                        placements=[preds, prey],
+                        walls=walls if walls else None)
 
     def body(carry, _):
         state, key = carry
@@ -224,6 +232,9 @@ if __name__ == "__main__":
     parser.add_argument("--n_envs", type=int, default=16)
     parser.add_argument("--unroll", type=int, default=1)
     parser.add_argument("--vectorized", action="store_true")
+    parser.add_argument("--no_walls", action="store_true",
+                        help="omit the protocol's n/10 interior walls "
+                             "(rounds 2-4 measured this layout)")
     parser.add_argument("--frame", default="jax", choices=["jax", "tf", "mx"])
     args = parser.parse_args()
 

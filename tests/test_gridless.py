@@ -240,6 +240,125 @@ def test_gridless_rect_matches_grid_path():
     assert saw_collide and saw_attack
 
 
+def _interior_walls(map_size, n_wall, taken, seed=17):
+    """Random interior wall cells avoiding `taken` (the FPS protocol's
+    add_walls(method='random', n=n/10), reference scripts/test/test_1m.py:70)."""
+    rng = np.random.RandomState(seed)
+    walls = []
+    while len(walls) < n_wall:
+        x = int(rng.randint(1, map_size - 1))
+        y = int(rng.randint(1, map_size - 1))
+        if (x, y) not in taken:
+            taken.add((x, y))
+            walls.append([x, y])
+    return walls
+
+
+def _run_lockstep_parity(cfg, caps, placements, walls, steps=40, n_envs=4):
+    """Step grid vs gridless engines in lockstep, asserting bit-exact state;
+    returns the set of ops observed (for density sanity checks)."""
+    from magent_tpu.spec import OP_COLLIDE, OP_ATTACK
+
+    old = os.environ.get("MAGENT_GRIDLESS")
+    try:
+        os.environ["MAGENT_GRIDLESS"] = "0"
+        v_grid = VecGridWorld(cfg, caps, n_envs=n_envs,
+                              placements=placements, walls=walls)
+        os.environ.pop("MAGENT_GRIDLESS")
+        v_free = VecGridWorld(cfg, caps, n_envs=n_envs,
+                              placements=placements, walls=walls)
+    finally:
+        if old is not None:
+            os.environ["MAGENT_GRIDLESS"] = old
+        else:
+            os.environ.pop("MAGENT_GRIDLESS", None)
+
+    s1 = v_grid.reset(jax.random.PRNGKey(0))
+    s2 = jax.tree.map(lambda a: a, s1)
+    # interior walls must land in the traced wall grid (obs channel 0 and
+    # the grid path's enc both read it)
+    if walls:
+        w = np.asarray(s1.cell_wall[0])
+        assert all(w[y, x] for x, y in walls)
+    step_grid = jax.jit(v_grid.step)
+    step_free = jax.jit(v_free.step)
+    t_grid = jax.jit(v_grid.transition)
+    t_free = jax.jit(v_free.transition)
+    key = jax.random.PRNGKey(1)
+    saw_collide = saw_attack = False
+    for _ in range(steps):
+        key, akey = jax.random.split(key)
+        acts = v_grid.random_actions(akey)
+        st1 = step_grid(s1, acts)
+        st2 = step_free(s2, acts)
+        for name in ("x", "y", "hp", "dead", "last_op", "op_obj",
+                     "next_reward"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st1, name)),
+                np.asarray(getattr(st2, name)), err_msg="step:" + name)
+        saw_collide |= bool(np.any(np.asarray(st1.last_op) == OP_COLLIDE))
+        saw_attack |= bool(np.any(np.asarray(st1.last_op) == OP_ATTACK))
+        s1, r1, a1, d1 = t_grid(s1, acts)
+        s2, r2, a2, d2 = t_free(s2, acts)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    return saw_collide, saw_attack
+
+
+def test_gridless_interior_walls_match_grid_path():
+    """Interior walls (the FPS protocol's n/10 random wall cells) through
+    the 1x1 pairwise path: wall-blocked movers must fail their move without
+    registering a collide object — bit-exact vs the grid path's enc scan
+    (engine._wall_blocked_gridless one-gather bitmap vs cell_wall reads)."""
+    from magent_tpu.builtin.config import battle as battle_cfg
+
+    cfg = battle_cfg.get_config(24)
+    # dense hand layout around the walls so wall hits are guaranteed
+    rng = np.random.RandomState(5)
+    taken = set()
+    walls = _interior_walls(24, 40, taken)
+    sides = [[], []]
+    for side in sides:
+        while len(side) < 30:
+            x, y = int(rng.randint(1, 23)), int(rng.randint(1, 23))
+            if (x, y) not in taken:
+                taken.add((x, y))
+                side.append([x, y, 0])
+    saw_collide, saw_attack = _run_lockstep_parity(
+        cfg, [30, 30], sides, walls)
+    assert saw_collide and saw_attack
+
+
+def test_gridless_rect_interior_walls_match_grid_path():
+    """Interior walls through the multi-cell rect path: a 2x2 predator whose
+    target rect clips a single wall cell must be blocked (the packed
+    rect-overlap code grid), while overlap with a BODY must still record
+    that body as the collide object even when a wall also overlaps."""
+    map_size = 28
+    taken = set()
+    walls = _interior_walls(map_size, 60, taken)
+    cfg = _forest_cfg(map_size)
+    rng = np.random.RandomState(9)
+    preds = []
+    while len(preds) < 16:
+        x = int(rng.randint(1, map_size - 3))
+        y = int(rng.randint(1, map_size - 3))
+        block = [(x + dx, y + dy) for dx in range(2) for dy in range(2)]
+        if not any(c in taken for c in block):
+            taken.update(block)
+            preds.append([x, y, 0])
+    prey = []
+    while len(prey) < 16:
+        x = int(rng.randint(1, map_size - 2))
+        y = int(rng.randint(1, map_size - 2))
+        if (x, y) not in taken:
+            taken.add((x, y))
+            prey.append([x, y, 0])
+    saw_collide, saw_attack = _run_lockstep_parity(
+        cfg, [16, 16], [preds, prey], walls)
+    assert saw_collide and saw_attack
+
+
 def test_gridless_rect_matches_grid_path_mixed_sizes():
     """Asymmetric footprints (1x3 snakes vs 2x2 blocks): the first-overlap
     reduction must reproduce the grid path's (i outer, j inner) first-hit
