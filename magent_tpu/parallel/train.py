@@ -616,6 +616,7 @@ def make_drqn_train_step(
     rollout_len: int = 8,
     use_double: bool = True,
     unroll_remat="all",
+    share_acting: bool = True,
 ):
     """Fused recurrent-Q training: the GRU hidden state is carried per agent
     slot across calls ([B, cap, H] per group, reset on death/episode end),
@@ -629,6 +630,22 @@ def make_drqn_train_step(
     ~[B*cap, H] residual arrays per step — measured ~5% faster end to end
     at battle scale and bit-identical math (scripts/profile_drqn.py
     ladder; tests/test_train_fused.py::test_drqn_remat_step_matches_plain).
+
+    ``share_acting`` (default True): differentiate THROUGH the acting
+    rollout so its per-step GRU forward doubles as the online BPTT unroll —
+    the loss then runs only the TARGET unroll over the stored window
+    instead of two (the round-4 floor ladder identified the duplicated
+    online forward as the last ~2 ms at battle scale,
+    scripts/profile_drqn.py).  Semantics are unchanged: observations, the
+    env transition and the TD target are stop_gradient'd, so the only
+    differentiable path is the same params -> trunk/GRU/heads -> q chain
+    the plain loss re-derives with split_unroll (pinned equal by
+    tests/test_train_fused.py::test_drqn_split_unroll_matches_cell), and
+    the acting hidden chain (death/episode-end resets after each emitted q)
+    is exactly the unroll's keep chain.  The per-step net apply is
+    jax.checkpoint'd so the BPTT backward recomputes the gates from the
+    carried hidden + stored frame, matching ``unroll_remat="all"``.
+    ``share_acting=False`` keeps the two-unroll loss for comparison.
 
     Returns ``train_step(params, target_params, opt_states, env_state,
     hiddens, key, eps) -> (params, opt_states, env_state, hiddens,
@@ -653,20 +670,38 @@ def make_drqn_train_step(
         )
         return h2.reshape(B, caps[g], H[g]), q.reshape(B, caps[g], n_act)
 
-    def rollout(params, env_state, hiddens, key, eps):
+    sg = jax.lax.stop_gradient
+    # checkpointed per-step apply for the differentiate-through-acting path:
+    # the BPTT backward recomputes trunk+gates from (h_t, frame_t) instead of
+    # storing per-step activation residuals (= unroll_remat="all" behavior)
+    ckpt_net = [
+        jax.checkpoint(lambda p, h, v, f, g=g: net_step(g, p, h, v, f))
+        for g in range(G)
+    ]
+
+    def rollout(params, env_state, hiddens, key, eps, emit_q=False):
+        """``emit_q=False``: plain acting rollout (no grad flows).
+        ``emit_q=True``: the rollout is the online BPTT forward — the
+        emitted per-step q is differentiable wrt params through the carried
+        hidden chain; everything else (observations, env transition,
+        rewards) is stop_gradient'd."""
         def body(carry, t):
             state, hiddens, key = carry
             key, akey = jax.random.split(key)
             actions = jnp.zeros((B, A), jnp.int32)
-            out_views, out_feats, out_acts = [], [], []
+            out_views, out_feats, out_acts, out_qs = [], [], [], []
             all_obs = venv.observe_all(state)
             new_h = []
             for g in range(G):
                 view, feat = all_obs[g]
+                if emit_q:
+                    view, feat = sg(view), sg(feat)
+                    h2, q = ckpt_net[g](params[g], hiddens[g], view, feat)
+                else:
+                    h2, q = net_step(g, params[g], hiddens[g], view, feat)
                 n_act = spec.groups[g].type.n_action
-                h2, q = net_step(g, params[g], hiddens[g], view, feat)
                 kg, kr = jax.random.split(jax.random.fold_in(akey, g))
-                greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+                greedy = jnp.argmax(sg(q), axis=-1).astype(jnp.int32)
                 rand = jax.random.randint(kg, greedy.shape, 0, n_act, jnp.int32)
                 act = jnp.where(
                     jax.random.uniform(kr, greedy.shape) < eps, rand, greedy)
@@ -674,9 +709,14 @@ def make_drqn_train_step(
                 out_views.append(view)
                 out_feats.append(feat)
                 out_acts.append(act)
+                out_qs.append(q)
                 new_h.append(h2)
             next_state, rewards, alive, done = venv.transition(state, actions)
-            # hidden resets on death and on episode end (auto-reset)
+            if emit_q:
+                next_state = sg(next_state)
+                rewards = sg(rewards)
+            # hidden resets on death and on episode end (auto-reset); the
+            # kept chain stays differentiable — it IS the BPTT path
             kept = []
             for g in range(G):
                 keep = (alive[:, offs[g] : offs[g] + caps[g]]
@@ -698,6 +738,8 @@ def make_drqn_train_step(
                 ),
                 done=done,
             )
+            if emit_q:
+                out["qs"] = tuple(out_qs)
             return (next_state, tuple(kept), key), out
 
         (env_state, hiddens, _), traj = jax.lax.scan(
@@ -724,14 +766,13 @@ def make_drqn_train_step(
         )
         return q.reshape(T, B, caps[g], -1)
 
-    def group_loss(p, tp, g, h0, traj):
+    def td_loss(g, qs, tqs, traj):
+        """Masked double-DQN TD error over the window, given online q
+        [T, B, cap, n_act] (differentiable) and target q (stopped)."""
         act = traj["actions"][g]
         rew = traj["rewards"][g]
         alive = traj["alive"][g]
         done_b = traj["done"][:, :, None]
-
-        qs = unroll_q(g, p, h0, traj)
-        tqs = jax.lax.stop_gradient(unroll_q(g, tp, h0, traj))
 
         q_t = jnp.take_along_axis(qs[:-1], act[:-1][..., None], axis=-1)[..., 0]
         if use_double:
@@ -747,6 +788,47 @@ def make_drqn_train_step(
         mask = traj["alive_in"][g][:-1].astype(jnp.float32)
         td = jnp.square(jax.lax.stop_gradient(target) - q_t)
         return jnp.sum(td * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def group_loss(p, tp, g, h0, traj):
+        qs = unroll_q(g, p, h0, traj)
+        tqs = jax.lax.stop_gradient(unroll_q(g, tp, h0, traj))
+        return td_loss(g, qs, tqs, traj)
+
+    def shared_loss(params, target_params, env_state, hiddens, key, eps):
+        """Rollout + loss in one differentiable program: the acting forward
+        IS the online unroll (its q chain is emitted by the scan); only the
+        target net re-unrolls over the stored window.  Per-group losses are
+        separable (cross-group influence flows only through the
+        stop_gradient'd env transition), so grads of the sum equal the
+        plain path's per-group grads."""
+        h0 = hiddens
+        env_state, hiddens, traj = rollout(
+            params, env_state, hiddens, key, eps, emit_q=True)
+        losses = []
+        for g in range(G):
+            tqs = jax.lax.stop_gradient(
+                unroll_q(g, target_params[g], h0[g], traj))
+            losses.append(td_loss(g, traj["qs"][g], tqs, traj))
+        aux = (env_state, hiddens, traj["rewards"], jnp.stack(losses))
+        return sum(losses), aux
+
+    def train_step_shared(params, target_params, opt_states, env_state,
+                          hiddens, key, eps):
+        key, rkey = jax.random.split(key)
+        (_, aux), grads = jax.value_and_grad(shared_loss, has_aux=True)(
+            tuple(params), target_params, env_state, hiddens, rkey, eps)
+        env_state, hiddens, rewards, losses = aux
+        new_params, new_opts = [], []
+        for g in range(G):
+            updates, opt_g = tx.update(grads[g], opt_states[g], params[g])
+            new_params.append(optax.apply_updates(params[g], updates))
+            new_opts.append(opt_g)
+        metrics = dict(
+            loss=losses,
+            mean_reward=jnp.stack([jnp.mean(rewards[g]) for g in range(G)]),
+        )
+        return (tuple(new_params), tuple(new_opts), env_state, hiddens,
+                metrics)
 
     def train_step(params, target_params, opt_states, env_state, hiddens,
                    key, eps):
@@ -772,7 +854,7 @@ def make_drqn_train_step(
         return (tuple(new_params), tuple(new_opts), env_state, hiddens,
                 metrics)
 
-    return train_step
+    return train_step_shared if share_acting else train_step
 
 
 def init_drqn_hiddens(venv: VecGridWorld, nets):

@@ -211,6 +211,53 @@ def test_drqn_remat_step_matches_plain():
                                atol=1e-6)
 
 
+def test_drqn_shared_acting_matches_plain():
+    """share_acting differentiates through the acting rollout instead of
+    re-unrolling the online net over the stored window — same math (the
+    acting q/hidden chain IS the unroll chain), so one train step from
+    identical inputs must yield matching losses, updated params AND carried
+    hiddens; the env trajectory (actions from the same eps-greedy keys)
+    must be identical."""
+    venv = VecGridWorld(battle.get_config(20), [6, 6], n_envs=4)
+    spec = venv.spec
+    nets = [DRQNNet(num_actions=spec.groups[g].type.n_action, state_size=32)
+            for g in range(2)]
+    params = []
+    for g in range(2):
+        vh, vw, C = spec.view_space(g)
+        F = spec.feature_size(g)
+        params.append(nets[g].init(
+            jax.random.PRNGKey(g),
+            jnp.zeros((1, 32), jnp.float32),
+            jnp.zeros((1, vh, vw, C), jnp.float32),
+            jnp.zeros((1, F), jnp.float32))["params"])
+    params = tuple(params)
+    tx = optax.adam(1e-3)
+    opts = tuple(tx.init(p) for p in params)
+    tgt = jax.tree.map(lambda x: x, params)
+    hiddens = init_drqn_hiddens(venv, nets)
+    state = venv.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    outs = []
+    for share in (False, True):
+        step = jax.jit(make_drqn_train_step(venv, nets, tx, rollout_len=3,
+                                            share_acting=share))
+        p2, o2, s2, h2, metrics = step(params, tgt, opts, state, hiddens,
+                                       key, 0.3)
+        outs.append((np.asarray(metrics["loss"]),
+                     np.concatenate([np.asarray(l).ravel()
+                                     for l in jax.tree.leaves(p2)]),
+                     np.asarray(h2[0]),
+                     np.asarray(s2.x)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    # adam on float-reassociated grads can flip a near-zero update by ~lr
+    # on isolated params; 5e-6 absolute still pins the math shared
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4, atol=5e-6)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-4, atol=5e-6)
+    np.testing.assert_array_equal(outs[0][3], outs[1][3])
+
+
 def test_drqn_split_unroll_matches_cell():
     """The fused DRQN loss's split unroll (batched trunk/input projections +
     carry-only scan, parallel/train.py unroll_q) computes exactly what
