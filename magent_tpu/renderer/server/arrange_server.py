@@ -1,10 +1,14 @@
 """Arrange demo: agents swarm onto absorbing goal markers that spell a
-message rendered from the 8x8 pixel font (reference:
-python/magent/renderer/server/arrange_server.py).
+message rendered from the 8x8 pixel font.
 
-Goal markers are a ``can_absorb`` agent type; colliding agents are absorbed
-(Map.cc:340-353) and light the marker up — the absorbed markers are exactly
-the ones the replay/live renderers draw (RenderGenerator.cc:137-152)."""
+Capability parity with the reference's arrange game (reference:
+python/magent/renderer/server/arrange_server.py) through the
+:class:`BaseServer` contract.  Goal markers are a ``can_absorb`` agent
+type; colliding agents are absorbed (Map.cc:340-353) and light the marker
+up — the absorbed markers are exactly the ones the replay/live renderers
+draw (RenderGenerator.cc:137-152).  The reference's maze decoration is
+omitted; glyph layout is computed in one pass by :func:`_message_pixels`.
+"""
 
 import numpy as np
 
@@ -15,17 +19,20 @@ from magent_tpu.utility import FontProvider
 
 from .base_server import BaseServer
 
+BLACK = (0, 0, 0)
+
 
 def load_config(map_size):
+    """Arrange config: absorbing goal pixels + starving seeker agents
+    rewarded for colliding into a goal (parameter table is the contract
+    with examples/train_arrange.py checkpoints)."""
     gw = magent.gridworld
     cfg = gw.Config()
-    cfg.set({"map_width": map_size, "map_height": map_size})
-    cfg.set({"minimap_mode": True})
-    cfg.set({"embedding_size": 12})
+    cfg.set({"map_width": map_size, "map_height": map_size,
+             "minimap_mode": True, "embedding_size": 12})
 
     goal = cfg.register_agent_type(
-        "goal",
-        {'width': 1, 'length': 1, 'can_absorb': True})
+        "goal", {'width': 1, 'length': 1, 'can_absorb': True})
     agent = cfg.register_agent_type(
         "agent",
         {'width': 1, 'length': 1, 'hp': 10, 'speed': 2,
@@ -35,128 +42,141 @@ def load_config(map_size):
 
     g_goal = cfg.add_group(goal)
     g_agent = cfg.add_group(agent)
-
-    g = gw.AgentSymbol(g_goal, 'any')
-    a = gw.AgentSymbol(g_agent, 'any')
-    cfg.add_reward_rule(gw.Event(a, 'collide', g), receiver=a, value=10)
+    seeker = gw.AgentSymbol(g_agent, 'any')
+    marker = gw.AgentSymbol(g_goal, 'any')
+    cfg.add_reward_rule(gw.Event(seeker, 'collide', marker),
+                        receiver=seeker, value=10)
     return cfg
+
+
+def _wrap(messages, width=8):
+    """Split each message into lines of at most ``width`` glyphs."""
+    return [msg[i : i + width]
+            for msg in messages for i in range(0, len(msg), width)]
+
+
+def _message_pixels(messages, font, map_size):
+    """All lit font pixels of the (centred) message block, as (x, y)
+    cells."""
+    lines = _wrap(messages)
+    cells = []
+    y0 = (map_size - len(lines) * font.height) // 2
+    for row, line in enumerate(lines):
+        x0 = (map_size - len(line) * font.width) // 2
+        for col, ch in enumerate(line):
+            glyph = font.get(ch)
+            cells.extend(
+                [x0 + col * font.width + j, y0 + row * font.height + i]
+                for i in range(font.height) for j in range(font.width)
+                if glyph[i][j] == 1)
+    return cells
 
 
 def generate_map(env, map_size, goal_handle, agent_handle, messages, font,
                  agent_density=0.02):
-    """place goal markers spelling the message + a ring of agents"""
-    max_len = 8
-    lines = []
-    for msg in messages:
-        for i in range(0, len(msg), max_len):
-            lines.append(msg[i : i + max_len])
-
-    base_y = (map_size - len(lines) * font.height) // 2
-    for message in lines:
-        base_x = (map_size - len(message) * font.width) // 2
-        for ch in message:
-            data = font.get(ch)
-            pos = []
-            for i in range(font.height):
-                for j in range(font.width):
-                    if data[i][j] == 1:
-                        pos.append([base_x + j, base_y + i])
-            env.add_agents(goal_handle, method="custom", pos=pos)
-            base_x += font.width
-        base_y += font.height
-
+    env.add_agents(goal_handle, method="custom",
+                   pos=_message_pixels(messages, font, map_size))
     env.add_agents(agent_handle, method="random",
                    n=int(map_size * map_size * agent_density))
+
+
+def _true_stay_action(spec, slot):
+    """The (0, 0) move index for ``slot``'s group.  Goals must STAY PUT:
+    action 0 is the (0,-1) north move in the row-major move numbering,
+    which would drift the glyph pixels up every step (the reference never
+    sets goal actions; this engine consumes last_action for every active
+    agent).  The zero-padded tail of the move tables must not be mistaken
+    for a real (0,0) move, so the index is checked against turn_base."""
+    sdx = np.asarray(spec.s_move_dx)[slot]
+    sdy = np.asarray(spec.s_move_dy)[slot]
+    stay = int(np.flatnonzero((sdx == 0) & (sdy == 0))[0])
+    assert stay < int(np.asarray(spec.s_turn_base)[slot]), \
+        "goal type's move range has no true (0,0) stay"
+    return stay
 
 
 class ArrangeServer(BaseServer):
     def __init__(self, path="save_model", epoch=None, name="arrange",
                  messages=None, map_size=100, total_step=1000, eps=0.15,
                  font_file="data/font_8x8/basic.txt"):
-        from magent_tpu.builtin.jax_model.base import latest_epoch
-
-        messages = messages or ["MAGENT"]
         env = magent.GridWorld(load_config(map_size))
         goal_handle, agent_handle = env.get_handles()
-
-        ep = epoch if epoch is not None else latest_epoch(path, name)
-        try:
-            if ep is None:
-                raise FileNotFoundError(name)
-            model = DeepQNetwork(env, agent_handle, name, memory_size=2 ** 10)
-            model.load(path, ep, name)
-            print("loaded %s epoch %d" % (name, ep))
-        except FileNotFoundError:
-            model = RandomActor(env, agent_handle)
-            print("no checkpoint for %s: agents act randomly "
-                  "(train with examples/train_arrange.py)" % name)
+        self.model = self._restore(env, agent_handle, path, epoch, name)
 
         env.reset()
-        font = FontProvider(font_file)
-        generate_map(env, map_size, goal_handle, agent_handle, messages, font)
+        generate_map(env, map_size, goal_handle, agent_handle,
+                     messages or ["MAGENT"], FontProvider(font_file))
 
         self.env = env
         self.goal_handle = goal_handle
-        # goals must STAY PUT: action 0 is the (0,-1) north move in the
-        # row-major move numbering, which would drift the glyph pixels up
-        # every step (the reference never sets goal actions; this engine
-        # consumes last_action for every active agent).  Computed once; the
-        # zero-padded tail of the move tables must not be mistaken for a
-        # (0,0) move, so the index is checked against turn_base.
-        off = env.spec.groups[goal_handle.value].offset
-        sdx = np.asarray(env.spec.s_move_dx)[off]
-        sdy = np.asarray(env.spec.s_move_dy)[off]
-        stay = int(np.flatnonzero((sdx == 0) & (sdy == 0))[0])
-        assert stay < int(np.asarray(env.spec.s_turn_base)[off]), \
-            "goal type's move range has no true (0,0) stay"
-        self._goal_stay = stay
         self.agent_handle = agent_handle
-        self.model = model
+        self._goal_stay = _true_stay_action(
+            env.spec, env.spec.groups[goal_handle.value].offset)
         self.eps = eps
         self.map_size = map_size
         self.total_step = total_step
         self.done = False
 
-    def get_info(self):
-        return ((self.map_size, self.map_size), self.env._get_groups_info(),
-                {"wall": self.env._get_walls_info()})
+    @staticmethod
+    def _restore(env, handle, path, epoch, name):
+        from magent_tpu.builtin.jax_model.base import latest_epoch
 
-    def step(self):
+        ep = epoch if epoch is not None else latest_epoch(path, name)
+        if ep is not None:
+            try:
+                model = DeepQNetwork(env, handle, name, memory_size=2 ** 10)
+                model.load(path, ep, name)
+                print("loaded %s epoch %d" % (name, ep))
+                return model
+            except FileNotFoundError:
+                pass
+        print("no checkpoint for %s: agents act randomly "
+              "(train with examples/train_arrange.py)" % name)
+        return RandomActor(env, handle)
+
+    # ------------------------------------------------------------ simulation
+    def _advance(self):
         env = self.env
         obs = env.get_observation(self.agent_handle)
         ids = env.get_agent_id(self.agent_handle)
-        acts = self.model.infer_action(obs, ids, "e_greedy", eps=self.eps)
-        env.set_action(self.agent_handle, acts)
+        env.set_action(
+            self.agent_handle,
+            self.model.infer_action(obs, ids, "e_greedy", eps=self.eps))
         env.set_action(self.goal_handle, np.full(
             env.get_num(self.goal_handle), self._goal_stay, np.int32))
         done = env.step()
         env.clear_dead()
         return done
 
+    def _absorbed_count(self):
+        sl = self.env._group_slice(self.goal_handle)
+        return int(np.sum(np.asarray(self.env.state.absorbed[sl])))
+
+    # ------------------------------------------------------- client protocol
+    def get_info(self):
+        return ((self.map_size, self.map_size), self.env._get_groups_info(),
+                {"wall": self.env._get_walls_info()})
+
     def get_data(self, frame_id, x_range, y_range):
         if self.done:
             return None
-        self.done = self.step()
+        self.done = self._advance()
         return self.env._get_render_info(x_range, y_range)
 
     def add_agents(self, x, y, g):
-        pos = [(x + i, y + j) for i in range(-2, 3) for j in range(-2, 3)]
-        self.env.add_agents(self.agent_handle, method="custom", pos=pos)
+        block = [(x + dx, y + dy)
+                 for dx in range(-2, 3) for dy in range(-2, 3)]
+        self.env.add_agents(self.agent_handle, method="custom", pos=block)
 
     def get_map_size(self):
         return self.map_size, self.map_size
 
-    def _absorbed_count(self):
-        env = self.env
-        sl = env._group_slice(self.goal_handle)
-        return int(np.sum(np.asarray(env.state.absorbed[sl])))
-
     def get_banners(self, frame_id, resolution):
-        filled = self._absorbed_count()
-        total = self.env.get_num(self.goal_handle)
         return [
-            (("arranged %d / %d" % (filled, total), (0, 0, 0)),),
-            (("%d / %d steps" % (frame_id, self.total_step), (0, 0, 0)),),
+            (("arranged %d / %d" % (self._absorbed_count(),
+                                    self.env.get_num(self.goal_handle)),
+              BLACK),),
+            (("%d / %d steps" % (frame_id, self.total_step), BLACK),),
         ]
 
     def get_status(self, frame_id):
@@ -174,7 +194,7 @@ class ArrangeServer(BaseServer):
         return False
 
     def get_endscreen(self, frame_id):
-        if frame_id >= self.total_step or self.done:
-            return [(("Done, %d markers filled" % self._absorbed_count(),
-                      (0, 0, 0)),)]
-        return []
+        if frame_id < self.total_step and not self.done:
+            return []
+        return [(("Done, %d markers filled" % self._absorbed_count(),
+                  BLACK),)]
