@@ -387,50 +387,33 @@ def window_gather4(gfull, pos, mask, mm_img=None, mm_mask=None, act=None, *,
     return out[:, :N]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("vh", "vw", "C", "Wp", "chunk", "band_rows", "interpret",
-                     "out_dtype"),
-)
-def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
-                         band_rows=32, interpret=False,
-                         out_dtype=jnp.float32):
-    """Window gather for images too large for VMEM: the image is processed
-    in horizontal bands; agents are sorted by band and each kernel program
-    loads only its band's block.
-
-    Same contract as :func:`window_gather` with unpacked positions
-    (``pos = tl_y * Wp + tl_x``, no self-cell packing).  Returns windows in
-    SLOT order (the band sort is undone with one gather over the outputs).
-
-    ``band_rows`` must be a multiple of 8 (sublane alignment); the block a
-    program sees is ``band_rows + rows`` tall, so VMEM use is
-    ``(band_rows + rows) * lanes * 4`` bytes.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    assert band_rows % _SUBLANE == 0
+def banded_pack(gfull, *, band_rows, rows):
+    """Build the overlapping-band image for :func:`window_gather_banded`:
+    band b's slab replicates its ``rows`` margin from band b+1 (Pallas
+    block indexing cannot express overlapping blocks).  One full-image
+    HBM copy per call."""
     B, Hp, lanes = gfull.shape
-    N = pos.shape[1]
-    vwc = vw * C
-    rows = _ceil_to(vh + _SUBLANE - 1, _SUBLANE)
-    lanes_load = _ceil_to(vwc + _LANE - 1, _LANE)
     n_bands = -(-Hp // band_rows)
     block_rows = band_rows + rows
     # pad the image so the last band's block never runs off the end
     gfull = jnp.pad(gfull, ((0, 0), (0, n_bands * band_rows + rows - Hp),
                             (0, 0)))
-
-    # block indexing cannot express overlapping blocks, so build a banded
-    # image whose band b slab replicates its `rows` margin from band b+1
     slabs = [
         jax.lax.dynamic_slice_in_dim(gfull, b * band_rows, block_rows, axis=1)
         for b in range(n_bands)
     ]
-    gbanded = jnp.concatenate(slabs, axis=1)  # [B, n_bands*block_rows, lanes]
+    return jnp.concatenate(slabs, axis=1)  # [B, n_bands*block_rows, lanes]
 
-    # ---- band sort + per-band chunk padding (pure XLA bookkeeping) ----
+
+def banded_tables(pos, *, Wp, band_rows, n_bands, chunk):
+    """Band sort + per-band chunk padding (pure XLA bookkeeping) for
+    :func:`window_gather_banded`.
+
+    Returns ``(pos_pad, chunk_band, inv)``: padded per-chunk position
+    tables (dummies point at their band's first row), the chunk->band
+    prefetch table, and the slot->dest permutation that undoes the band
+    sort on the kernel outputs."""
+    B, N = pos.shape
     band = pos // (Wp * band_rows)
     slot_iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
     s_band, s_pos, s_slot = jax.lax.sort(
@@ -468,7 +451,7 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
     )
     chunk_band = jnp.clip(chunk_band, 0, n_bands - 1)
 
-    # padded position/slot tables; dummies point at their band's first row
+    # padded position tables; dummies point at their band's first row
     pos_pad = jnp.zeros((B, n_pad_total), jnp.int32)
     pos_pad = pos_pad.reshape(B, n_chunks, chunk) + (
         chunk_band[:, :, None] * band_rows * Wp
@@ -477,9 +460,52 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
     pos_pad = pos_pad.at[
         jnp.arange(B)[:, None], dest
     ].set(s_pos)
-    slot_pad = jnp.full((B, n_pad_total), -1, jnp.int32).at[
-        jnp.arange(B)[:, None], dest
-    ].set(s_slot)
+
+    # undo-the-sort permutation: for each original slot, where its window
+    # lands in the padded chunk layout
+    inv = jnp.zeros((B, N), jnp.int32).at[
+        jnp.arange(B)[:, None], s_slot
+    ].set(dest)
+    return pos_pad, chunk_band, inv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vh", "vw", "C", "Wp", "chunk", "band_rows", "interpret",
+                     "out_dtype"),
+)
+def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
+                         band_rows=32, interpret=False,
+                         out_dtype=jnp.float32):
+    """Window gather for images too large for VMEM: the image is processed
+    in horizontal bands; agents are sorted by band and each kernel program
+    loads only its band's block.
+
+    Same contract as :func:`window_gather` with unpacked positions
+    (``pos = tl_y * Wp + tl_x``, no self-cell packing).  Returns windows in
+    SLOT order (the band sort is undone with one gather over the outputs).
+
+    ``band_rows`` must be a multiple of 8 (sublane alignment); the block a
+    program sees is ``band_rows + rows`` tall, so VMEM use is
+    ``(band_rows + rows) * lanes * 4`` bytes.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert band_rows % _SUBLANE == 0
+    B, Hp, lanes = gfull.shape
+    N = pos.shape[1]
+    vwc = vw * C
+    rows = _ceil_to(vh + _SUBLANE - 1, _SUBLANE)
+    lanes_load = _ceil_to(vwc + _LANE - 1, _LANE)
+    n_bands = -(-Hp // band_rows)
+    block_rows = band_rows + rows
+
+    gbanded = banded_pack(gfull, band_rows=band_rows, rows=rows)
+    pos_pad, chunk_band, inv = banded_tables(
+        pos, Wp=Wp, band_rows=band_rows, n_bands=n_bands, chunk=chunk)
+    n_pad_total = pos_pad.shape[1]
+    n_chunks = n_pad_total // chunk
 
     # the position table must fit SMEM (~1MB): split the launch over chunk
     # ranges; the banded image operand is shared (no copies).  The prefetch
@@ -549,9 +575,6 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
         out = jnp.concatenate(parts, axis=1)
 
     # undo the band sort: for each original slot, where did its window land
-    inv = jnp.zeros((B, N), jnp.int32).at[
-        jnp.arange(B)[:, None], s_slot
-    ].set(dest)
     return jnp.take_along_axis(out, inv[:, :, None, None], axis=1)
 
 
