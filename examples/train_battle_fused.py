@@ -29,8 +29,9 @@ from magent_tpu.builtin.jax_model.drqn import DRQNNet
 from magent_tpu.parallel import (VecGridWorld, init_drqn_hiddens,
                                  make_a2c_train_loop, make_dqn_train_loop,
                                  make_dqn_remat_train_loop,
-                                 make_drqn_train_loop, make_mesh,
-                                 param_sharding, state_sharding)
+                                 make_drqn_train_loop, make_eval_q,
+                                 make_mesh, param_sharding,
+                                 sample_eval_set, state_sharding)
 
 
 def main():
@@ -56,6 +57,12 @@ def main():
     parser.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                         help="obs + net-trunk compute dtype (bf16 = the "
                              "bench configuration; params stay f32)")
+    parser.add_argument("--eval_q_every", type=int, default=0,
+                        help="log group-0 mean max-Q (online AND target "
+                             "net) on a fixed eval observation set every N "
+                             "rounds — the reference's eval-Q methodology "
+                             "(utility.py:115-178, dqn.py:348-356); dqn "
+                             "algs only")
     args = parser.parse_args()
 
     magent.utility.init_logger(args.name)
@@ -152,6 +159,14 @@ def main():
               % args.save_every)
     if args.save_every:
         save(0)  # the untrained generation anchors the tournament
+    evq = ev_views = ev_feats = None
+    if args.eval_q_every and args.alg in ("dqn", "dqn_remat"):
+        if args.eval_q_every % args.steps_per_call:
+            args.eval_q_every = -(-args.eval_q_every
+                                  // args.steps_per_call) * args.steps_per_call
+            print("eval_q_every rounded up to %d" % args.eval_q_every)
+        ev_views, ev_feats = sample_eval_set(venv, 0)
+        evq = make_eval_q(venv, nets, 0)
     start = time.time()
     env_steps = 0
     n_calls = -(-args.n_round // args.steps_per_call)
@@ -175,6 +190,11 @@ def main():
         if (args.save_every
                 and (k + args.steps_per_call) % args.save_every == 0):
             save(k + args.steps_per_call)
+        if evq is not None and (k + args.steps_per_call) % args.eval_q_every == 0:
+            q_on = float(evq(params, ev_views, ev_feats))
+            q_tg = float(evq(target_params, ev_views, ev_feats))
+            log.info("round %d\t evalq: %.4f\t targetq: %.4f"
+                     % (k + args.steps_per_call, q_on, q_tg))
         if c % 2 == 0 or c == n_calls - 1:
             loss = np.asarray(metrics["loss"])[-1]
             rew = np.asarray(metrics["mean_reward"])[-1]

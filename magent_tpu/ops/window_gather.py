@@ -472,11 +472,11 @@ def banded_tables(pos, *, Wp, band_rows, n_bands, chunk):
 @functools.partial(
     jax.jit,
     static_argnames=("vh", "vw", "C", "Wp", "chunk", "band_rows", "interpret",
-                     "out_dtype"),
+                     "out_dtype", "unsort"),
 )
 def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
                          band_rows=32, interpret=False,
-                         out_dtype=jnp.float32):
+                         out_dtype=jnp.float32, unsort=True):
     """Window gather for images too large for VMEM: the image is processed
     in horizontal bands; agents are sorted by band and each kernel program
     loads only its band's block.
@@ -574,8 +574,20 @@ def window_gather_banded(gfull, pos, mask, *, vh, vw, C, Wp, chunk=40,
             ))
         out = jnp.concatenate(parts, axis=1)
 
-    # undo the band sort: for each original slot, where did its window land
-    return jnp.take_along_axis(out, inv[:, :, None, None], axis=1)
+    if not unsort:
+        # banded order + the slot->row permutation, for consumers that can
+        # defer/avoid the window permutation (profiling; order-free sinks)
+        return out, inv
+
+    # undo the band sort: for each original slot, where did its window land.
+    # Gather FLATTENED [n_pad, vh*vwc] rows: the 4-D take_along_axis (slice
+    # sizes (1,1,vh,vwc)) lowers to a gather ~18x slower than the same
+    # permutation over 2-D rows (measured 505 -> 28 ms at 16x62500,
+    # scripts/profile_banded.py unsort vs unsort_flat)
+    n_pad_out = out.shape[1]
+    flat = out.reshape(B, n_pad_out, vh * vwc)
+    picked = jnp.take_along_axis(flat, inv[:, :, None], axis=1)
+    return picked.reshape(B, N, vh, vwc)
 
 
 def window_gather_xla(gfull, pos, mask, *, vh, vw, C, Wp):

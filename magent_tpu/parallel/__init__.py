@@ -23,7 +23,7 @@ from .train import (make_a2c_train_loop, make_a2c_train_step,
                     make_dqn_train_step,
                     make_dqn_train_step_remat,
                     make_drqn_train_loop, make_drqn_train_step,
-                    init_drqn_hiddens)
+                    init_drqn_hiddens, make_eval_q, sample_eval_set)
 
 __all__ = [
     "VecGridWorld",
@@ -38,5 +38,7 @@ __all__ = [
     "make_a2c_train_loop",
     "make_drqn_train_step",
     "make_drqn_train_loop",
+    "make_eval_q",
+    "sample_eval_set",
     "init_drqn_hiddens",
 ]

@@ -69,6 +69,53 @@ def _egreedy_actions(venv, nets, params, state, key, eps,
     return actions
 
 
+def sample_eval_set(venv: "VecGridWorld", group: int, n_steps: int = 10,
+                    key=None):
+    """A FIXED set of evaluation observations for ``group``, gathered from
+    a random rollout (the reference's sample_observation methodology,
+    reference utility.py:115-178: random actors play, observations are
+    sampled; DQN then reports its mean max-Q on that set every round,
+    reference tf_model/dqn.py:348-356).
+
+    Returns (views [n_steps*B*cap, vh, vw, C], feats [..., F]) as concrete
+    arrays — compute once, reuse for the whole run so the Q curve is
+    comparable across rounds.
+    """
+    import jax as _jax
+
+    key = _jax.random.PRNGKey(1234) if key is None else key
+
+    def body(carry, t):
+        state, k = carry
+        k, akey = _jax.random.split(k)
+        view, feat = venv.observe(state, group)
+        actions = venv.random_actions(akey)
+        state, _, _, _ = venv.transition(state, actions)
+        return (state, k), (view, feat)
+
+    def run(k0):
+        state0 = venv.reset(_jax.random.fold_in(k0, 0))
+        (_, _), (views, feats) = jax.lax.scan(
+            body, (state0, k0), jnp.arange(n_steps))
+        return (views.reshape((-1,) + views.shape[3:]),
+                feats.reshape((-1,) + feats.shape[3:]))
+
+    return _jax.jit(run)(key)
+
+
+def make_eval_q(venv: "VecGridWorld", nets, group: int):
+    """``eval_q(params, views, feats) -> mean max-Q`` on a fixed eval set
+    (one jitted program; pair with :func:`sample_eval_set`).  Tracking this
+    against the TARGET net's value on the same set separates learning from
+    replay-driven Q inflation."""
+
+    def eval_q(params, views, feats):
+        q = nets[group].apply({"params": params[group]}, views, feats)
+        return jnp.mean(jnp.max(q, axis=-1))
+
+    return jax.jit(eval_q)
+
+
 def make_dqn_train_step(
     venv: VecGridWorld,
     nets,

@@ -44,9 +44,12 @@ def main():
     ap.add_argument("--calls", type=int, default=3)
     ap.add_argument("--band_rows", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=40)
+    # NOTE: the "xla" variant crashed the TPU worker at 16x62500 (gather at
+    # ~1M x 2.4k-float windows) — keep it opt-in, not in the defaults
     ap.add_argument("variants", nargs="*",
                     default=["full", "fixed_pos", "fixed_img", "pack",
-                             "sort", "unsort", "xla"])
+                             "sort", "unsort", "unsort_flat", "unsort_lane",
+                             "unsort_scatter", "unsort_bf16"])
     args = ap.parse_args()
 
     B, N = args.n_envs, args.per_env
@@ -134,6 +137,15 @@ def main():
             return sink_windows(out)
         timed("fixed_img", body, img, pos0)
 
+    if "kernel" in which:
+        # fixed pos (tables hoisted) + no unsort: PACK + KERNEL only
+        def body(k, img, pos):
+            im = img + jax.random.uniform(k, (1, 1, 1))
+            out, inv = wg.window_gather_banded(im, pos, mask, unsort=False,
+                                               **kw)
+            return jnp.sum(out[:, :, 0, 0])
+        timed("kernel", body, img, pos0)
+
     if "pack" in which:
         def body(k, img):
             im = img + jax.random.uniform(k, (1, 1, 1))
@@ -152,8 +164,8 @@ def main():
                     + jnp.sum(chunk_band[:, ::8]))
         timed("sort", body, pos0)
 
+    n_pad = wg._ceil_to(N, args.chunk) + n_bands * args.chunk
     if "unsort" in which:
-        n_pad = wg._ceil_to(N, args.chunk) + n_bands * args.chunk
         wins = jax.random.uniform(jax.random.fold_in(key, 3),
                                   (B, n_pad, vh, vwc), jnp.float32)
         def body(k, wins):
@@ -161,6 +173,49 @@ def main():
             out = jnp.take_along_axis(wins, inv[:, :, None, None], axis=1)
             return sink_windows(out)
         timed("unsort", body, wins)
+
+    if "unsort_flat" in which:
+        # gather rows of a flattened [B, n_pad, vh*vwc] array
+        wins = jax.random.uniform(jax.random.fold_in(key, 3),
+                                  (B, n_pad, vh * vwc), jnp.float32)
+        def body(k, wins):
+            inv = jax.random.randint(k, (B, N), 0, n_pad)
+            out = jnp.take_along_axis(wins, inv[:, :, None], axis=1)
+            return jnp.sum(out[:, :, 0])
+        timed("unsort_flat", body, wins)
+
+    if "unsort_lane" in which:
+        # gather rows padded to a 128-lane multiple (what the kernel would
+        # emit with a padded out block): is the 55-lane row the problem?
+        row = wg._ceil_to(vh * vwc, 128)
+        wins = jax.random.uniform(jax.random.fold_in(key, 3),
+                                  (B, n_pad, row), jnp.float32)
+        def body(k, wins):
+            inv = jax.random.randint(k, (B, N), 0, n_pad)
+            out = jnp.take_along_axis(wins, inv[:, :, None], axis=1)
+            return jnp.sum(out[:, :, 0])
+        timed("unsort_lane", body, wins)
+
+    if "unsort_scatter" in which:
+        # scatter banded rows to slot positions instead of gathering
+        row = wg._ceil_to(vh * vwc, 128)
+        wins = jax.random.uniform(jax.random.fold_in(key, 3),
+                                  (B, n_pad, row), jnp.float32)
+        def body(k, wins):
+            dest = jax.random.randint(k, (B, n_pad), 0, N)
+            out = jnp.zeros((B, N, row), jnp.float32).at[
+                jnp.arange(B)[:, None], dest].set(wins)
+            return jnp.sum(out[:, :, 0])
+        timed("unsort_scatter", body, wins)
+
+    if "unsort_bf16" in which:
+        wins = jax.random.uniform(jax.random.fold_in(key, 3),
+                                  (B, n_pad, vh, vwc)).astype(jnp.bfloat16)
+        def body(k, wins):
+            inv = jax.random.randint(k, (B, N), 0, n_pad)
+            out = jnp.take_along_axis(wins, inv[:, :, None, None], axis=1)
+            return sink_windows(out)
+        timed("unsort_bf16", body, wins)
 
     if "xla" in which:
         def body(k, img, pos):

@@ -32,7 +32,7 @@ import numpy as np
 from test_1m import load_forest  # the sweep's config loader
 
 
-def build_venv(agent_number, n_envs):
+def build_venv(agent_number, n_envs, no_walls=False):
     from magent_tpu.parallel import VecGridWorld
 
     per_env = max(agent_number // n_envs, 4)
@@ -40,8 +40,16 @@ def build_venv(agent_number, n_envs):
     cfg = load_forest(map_size)
     n_pred = per_env // 2
     n_prey = per_env - n_pred
+    n_wall = 0 if no_walls else per_env // 10
     rng = np.random.RandomState(7)
     taken = set()
+    walls = []
+    while len(walls) < n_wall:
+        x = int(rng.randint(1, map_size - 1))
+        y = int(rng.randint(1, map_size - 1))
+        if (x, y) not in taken:
+            taken.add((x, y))
+            walls.append([x, y])
     preds = []
     while len(preds) < n_pred:
         x = int(rng.randint(1, map_size - 3))
@@ -58,10 +66,12 @@ def build_venv(agent_number, n_envs):
             taken.add((x, y))
             prey.append([x, y, 0])
     venv = VecGridWorld(cfg, [n_pred, n_prey], n_envs=n_envs,
-                        placements=[preds, prey])
+                        placements=[preds, prey],
+                        walls=walls if walls else None)
     print(f"map {map_size}x{map_size}, {n_envs} envs x {per_env} agents "
-          f"(cap {venv.spec.n_agents_cap})", flush=True)
-    return venv, per_env
+          f"(cap {venv.spec.n_agents_cap}), {n_wall} interior walls",
+          flush=True)
+    return venv, per_env, walls
 
 
 def main():
@@ -70,6 +80,7 @@ def main():
     ap_.add_argument("--n_envs", type=int, default=16)
     ap_.add_argument("--steps", type=int, default=16)
     ap_.add_argument("--calls", type=int, default=3)
+    ap_.add_argument("--no_walls", action="store_true")
     ap_.add_argument("variants", nargs="*",
                      default=["full", "obs_only", "step_only", "attack_only",
                               "move_only", "grids_only"])
@@ -77,7 +88,8 @@ def main():
 
     from magent_tpu.core import engine
 
-    venv, per_env = build_venv(args.agent_number, args.n_envs)
+    venv, per_env, walls = build_venv(args.agent_number, args.n_envs,
+                                      args.no_walls)
     spec = venv.spec
     n_envs = args.n_envs
     state = jax.jit(venv.reset)(jax.random.PRNGKey(0))
@@ -163,6 +175,16 @@ def main():
             return (state, key), sink_state(st)
         timed("attack_only", body)
 
+    wall_ctx = None
+    if walls and gridless:
+        # same packed wall-overlap grid the venv's own step uses
+        wm = np.zeros((spec.height, spec.width), bool)
+        wm[0, :] = wm[-1, :] = wm[:, 0] = wm[:, -1] = True
+        wxy = np.asarray(walls, np.int32)
+        wm[wxy[:, 1], wxy[:, 0]] = True
+        code, s_bit = engine._wall_rect_code(spec, wm)
+        wall_ctx = (jnp.asarray(code), jnp.asarray(s_bit))
+
     if "move_only" in which:
         def body(carry, _):
             state, key = carry
@@ -170,7 +192,7 @@ def main():
             actions = venv.random_actions(akey)
             st = state.replace(last_action=actions)
             st = jax.vmap(lambda s: engine._move_phase(
-                spec, s, gridless=gridless))(st)
+                spec, s, gridless=gridless, wall_ctx=wall_ctx))(st)
             state = state.replace(hp=st.hp * 0.0 + state.hp,
                                   next_reward=st.next_reward)
             return (state, key), sink_state(st)

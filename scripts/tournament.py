@@ -65,8 +65,9 @@ def main():
     parser.add_argument("--savedir", type=str, default="save_model")
     parser.add_argument("--begin", type=int, default=0)
     parser.add_argument("--pick_every", type=int, default=4)
-    parser.add_argument("--n_game", type=int, default=2,
-                        help="games per pairing (sides swap each game)")
+    parser.add_argument("--n_game", type=int, default=10,
+                        help="games per pairing (sides swap each game); "
+                             "games differ through the eps-greedy draw")
     parser.add_argument("--max_steps", type=int, default=550,
                         help="per-game step cap (the battle episode cap)")
     parser.add_argument("--eps", type=float, default=0.05)
@@ -85,12 +86,15 @@ def main():
     models = [DeepQNetwork(env, handles[0], "p0", memory_size=2 ** 10),
               DeepQNetwork(env, handles[1], "p1", memory_size=2 ** 10)]
 
-    wins = {e: 0 for e in epochs}
+    game_wins = {e: 0 for e in epochs}
+    games_played = {e: 0 for e in epochs}
+    pair_wins = {e: 0 for e in epochs}
     for i, e_a in enumerate(epochs):
         for e_b in epochs[i + 1:]:
             models[0].load(args.savedir, e_a, name=args.name)
             models[1].load(args.savedir, e_b, name=args.name)
             score = [0, 0]
+            draws = 0
             for g in range(args.n_game):
                 left, right = (0, 1) if g % 2 == 0 else (1, 0)
                 nums = play(env, handles, models, args.map_size, left, right,
@@ -99,15 +103,26 @@ def main():
                     score[0] += 1
                 elif nums[1] > nums[0]:
                     score[1] += 1
-            print("epoch %d vs %d -> %s" % (e_a, e_b, score))
+                else:
+                    draws += 1
+            print("epoch %d vs %d -> %d : %d (%d draws)"
+                  % (e_a, e_b, score[0], score[1], draws), flush=True)
+            game_wins[e_a] += score[0]
+            game_wins[e_b] += score[1]
+            games_played[e_a] += args.n_game
+            games_played[e_b] += args.n_game
             if score[0] > score[1]:
-                wins[e_a] += 1
+                pair_wins[e_a] += 1
             elif score[1] > score[0]:
-                wins[e_b] += 1
+                pair_wins[e_b] += 1
 
-    print("\n===== standings (wins) =====")
-    for e in sorted(wins, key=lambda k: -wins[k]):
-        print("epoch %6d : %d" % (e, wins[e]))
+    print("\n===== standings =====")
+    print("%10s  %9s  %8s  %s" % ("epoch", "game wins", "win rate",
+                                  "pairings won"))
+    for e in sorted(epochs, key=lambda k: (-game_wins[k], -pair_wins[k])):
+        rate = game_wins[e] / max(games_played[e], 1)
+        print("%10d  %9d  %7.0f%%  %d"
+              % (e, game_wins[e], 100 * rate, pair_wins[e]))
 
 
 if __name__ == "__main__":

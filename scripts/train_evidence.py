@@ -115,6 +115,13 @@ def main():
                     help="greedy-eval the live params every N rounds: a "
                          "per-generation strength curve (the non-battle "
                          "analog of scripts/tournament.py)")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="save each trained group's params every N rounds "
+                         "to save_model/<name>-g<g>/tfdqn_<round>.npz — the "
+                         "generations scripts/tournament_pursuit.py "
+                         "cross-plays")
+    ap.add_argument("--name", default=None,
+                    help="checkpoint name prefix (default: evidence-<game>)")
     args = ap.parse_args()
 
     import jax
@@ -124,8 +131,8 @@ def main():
     import magent_tpu as magent
     from magent_tpu.builtin.jax_model.dqn import DQNNet
     from magent_tpu.parallel import (VecGridWorld, make_dqn_train_loop,
-                                     make_mesh, param_sharding,
-                                     state_sharding)
+                                     make_eval_q, make_mesh, param_sharding,
+                                     sample_eval_set, state_sharding)
     from magent_tpu.parallel.train import _egreedy_actions
 
     magent.utility.init_logger("evidence-%s" % args.game)
@@ -191,13 +198,35 @@ def main():
         return jnp.mean(rews)
 
     ev = jax.jit(eval_reward)
+    # fixed eval observation set + mean max-Q on it (the reference's
+    # sample_observation / eval-Q methodology, utility.py:115-178,
+    # tf_model/dqn.py:348-356): online vs target Q on the SAME set
+    # separates learning from replay-driven Q inflation
+    ev_views, ev_feats = sample_eval_set(venv, hero)
+    evq = make_eval_q(venv, nets, hero)
     curve = []
-    if args.eval_every and args.eval_every % args.steps_per_call:
-        # evals fire on call boundaries; align rather than silently skip
-        args.eval_every = -(-args.eval_every
-                            // args.steps_per_call) * args.steps_per_call
-        print("eval_every rounded up to %d (steps_per_call boundary)"
-              % args.eval_every)
+    for attr in ("eval_every", "save_every"):
+        v = getattr(args, attr)
+        if v and v % args.steps_per_call:
+            # fires on call boundaries; align rather than silently skip
+            v = -(-v // args.steps_per_call) * args.steps_per_call
+            setattr(args, attr, v)
+            print("%s rounded up to %d (steps_per_call boundary)"
+                  % (attr, v))
+
+    from magent_tpu.builtin.jax_model.base import _flatten_pytree
+    ckpt_name = args.name or ("evidence-%s" % args.game)
+
+    def save_generation(round_k, p):
+        for g in train_groups:
+            savedir = os.path.join("save_model", "%s-g%d" % (ckpt_name, g))
+            os.makedirs(savedir, exist_ok=True)
+            np.savez(os.path.join(savedir, "tfdqn_%d.npz" % round_k),
+                     **_flatten_pytree(jax.device_get(p[g])))
+        print("saved generation", round_k)
+
+    if args.save_every:
+        save_generation(0, params)  # the untrained anchor generation
 
     start = time.time()
     n_calls = -(-args.n_round // args.steps_per_call)
@@ -215,11 +244,17 @@ def main():
                      % (k, np.round(loss, 4).tolist(),
                         np.round(rew, 4).tolist(), time.time() - start))
         gen = k + args.steps_per_call
+        if args.save_every and gen % args.save_every == 0:
+            save_generation(gen, params)
         if args.eval_every and gen % args.eval_every == 0:
             g_ev = float(ev(params))
+            q_on = float(evq(params, ev_views, ev_feats))
+            q_tg = float(evq(target_params, ev_views, ev_feats))
             curve.append((gen, g_ev))
-            print("GEN %s round %d: eval=%.5f" % (args.game, gen, g_ev))
-            log.info("generation %d\t eval: %.5f" % (gen, g_ev))
+            print("GEN %s round %d: eval=%.5f evalq=%.4f targetq=%.4f"
+                  % (args.game, gen, g_ev, q_on, q_tg))
+            log.info("generation %d\t eval: %.5f\t evalq: %.4f\t "
+                     "targetq: %.4f" % (gen, g_ev, q_on, q_tg))
 
     if curve:
         print("GENERATION CURVE %s: %s"

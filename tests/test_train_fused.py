@@ -211,6 +211,30 @@ def test_drqn_remat_step_matches_plain():
                                atol=1e-6)
 
 
+def test_eval_q_on_fixed_set():
+    """sample_eval_set + make_eval_q (the reference's sample_observation /
+    eval-Q methodology, utility.py:115-178, dqn.py:348-356): the set is
+    deterministic for a given key, and the Q estimate moves when params
+    move."""
+    from magent_tpu.parallel import make_eval_q, sample_eval_set
+
+    venv, params, tgt, opts, _ = _setup()
+    nets = [DQNNet(num_actions=venv.spec.groups[g].type.n_action)
+            for g in range(2)]
+    v1, f1 = sample_eval_set(venv, 0, n_steps=3, key=jax.random.PRNGKey(5))
+    v2, f2 = sample_eval_set(venv, 0, n_steps=3, key=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    assert v1.shape[0] == 3 * venv.n_envs * venv.spec.groups[0].cap
+
+    evq = make_eval_q(venv, nets, 0)
+    q0 = float(evq(params, v1, f1))
+    assert np.isfinite(q0)
+    bumped = list(params)
+    bumped[0] = jax.tree.map(lambda x: x + 0.05, params[0])
+    q1 = float(evq(tuple(bumped), v1, f1))
+    assert q0 != q1
+
+
 def test_drqn_shared_acting_matches_plain():
     """share_acting differentiates through the acting rollout instead of
     re-unrolling the online net over the stored window — same math (the
