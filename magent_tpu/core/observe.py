@@ -33,6 +33,11 @@ from ..ops import window_gather as wg
 from . import geometry as geo
 from .state import State
 
+# the kernel's image + output blocks double-buffer inside the ~16MB scoped
+# VMEM limit; images above this take the banded path (module-level so tests
+# can shrink it to force the banded branch on small maps)
+VMEM_IMAGE_BUDGET = 6 * 1024 * 1024
+
 
 # --------------------------------------------------------------------- helpers
 def _batched(state: State) -> bool:
@@ -240,7 +245,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     # the kernel's image + output blocks double-buffer inside the ~16MB
     # scoped VMEM limit, so cap the image at ~6MB (2*(img + chunk_out) must
     # fit); larger images take the banded path
-    fits_vmem = image_bytes <= 6 * 1024 * 1024
+    fits_vmem = image_bytes <= VMEM_IMAGE_BUDGET
     band_rows = 32
     rows_margin = wg._ceil_to(vh + 7, 8)
     band_fits = (band_rows + rows_margin) * lanes * 4 <= 8 * 1024 * 1024
@@ -257,7 +262,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
     # map=279/C=5 geometry: 4x2.35MB image + output blocks > 16MB)
     use_replica = (
         use_pallas and vh <= 13 and vw * C <= 65
-        and 4 * image_bytes <= 6 * 1024 * 1024
+        and 4 * image_bytes <= VMEM_IMAGE_BUDGET
         and obs_kernel != "roll"
     )
 
@@ -363,11 +368,40 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
                 out_dtype=obs_dtype,
             )
         elif use_banded:
-            view = wg.window_gather_banded(
+            # banded order out + one flat unsort at the END: the per-agent
+            # epilogue (minimap adds, self mark, liveness scaling) runs over
+            # the BANDED array first — its operands permute as cheap int
+            # scatters — so the epilogue fuses into the kernel's output pass
+            # and the permutation stays one 2-D row gather (materializing
+            # slot-order windows before the epilogue cost test_mega
+            # 2.21 -> 1.66M at 1x1M)
+            out_b, inv = wg.window_gather_banded(
                 img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp,
                 chunk=min(40, wg._ceil_to(gs.cap, 8)), band_rows=band_rows,
-                interpret=interpret, out_dtype=obs_dtype,
+                interpret=interpret, out_dtype=obs_dtype, unsort=False,
             )
+            n_pad_b = out_b.shape[1]
+            bidx = jnp.arange(B)[:, None]
+            act_b = jnp.zeros((B, n_pad_b), jnp.float32).at[
+                bidx, inv].set(act.astype(jnp.float32))
+            out_b = out_b.reshape(B, n_pad_b, vh, vw, C)
+            if spec.minimap_mode:
+                sc_b = jnp.zeros((B, n_pad_b), jnp.int32).at[
+                    bidx, inv].set(self_cell)
+                self_mark_b = jax.nn.one_hot(sc_b, vh * vw,
+                                             dtype=jnp.float32)
+                mm_maskc = jnp.asarray((chan_src >= 0).astype(np.float32))
+                out_b = (
+                    out_b
+                    + mm[:, None]
+                    + self_mark_b.reshape(B, n_pad_b, vh, vw)[..., None]
+                    * mm_maskc[None, None, None, None, :]
+                )
+            out_b = out_b * act_b[:, :, None, None, None]
+            out_b = out_b.astype(obs_dtype).reshape(B, n_pad_b, vh * vw * C)
+            view = jnp.take_along_axis(out_b, inv[:, :, None], axis=1)
+            view = view.reshape(B, gs.cap, vh, vw, C)
+            epilogue_fused = True  # nothing left for the XLA epilogue below
         else:
             view = wg.window_gather_xla(img, pos, mask, vh=vh, vw=vw, C=C, Wp=Wp)
         view = view.reshape(B, gs.cap, vh, vw, C)
@@ -415,6 +449,7 @@ def make_observe(spec: speclib.GameSpec, group: int, *, force_xla: bool = False,
         return view[0], feat[0]
 
     observe.grids_fn = grids_fn
+    observe.uses_banded = use_banded  # introspection for tests/profilers
     return observe
 
 
@@ -457,7 +492,7 @@ def _make_observe_rotating(spec: speclib.GameSpec, group: int, *,
     S = max(spec.height, spec.width)
     geom = wg.padded_geometry(S, S, spec.n_channel, vr_.height, vr_.width)
     stacked_bytes = 4 * geom[0] * geom[2] * 4
-    fits_vmem = stacked_bytes <= 6 * 1024 * 1024
+    fits_vmem = stacked_bytes <= VMEM_IMAGE_BUDGET
     # big maps: the stacked image lives in HBM and the banded kernel walks
     # it in row bands (same budget rule as the NORTH-only path)
     rows_margin = wg._ceil_to(vr_.height + 7, 8)

@@ -266,10 +266,31 @@ class VecGridWorld:
         )
         return next_state, rewards, alive, done
 
-    def random_actions(self, key):
-        """Uniform random action per slot, valid for each slot's group."""
+    def random_actions(self, key, fast: bool = False):
+        """Uniform random action per slot, valid for each slot's group.
+
+        ``fast=True`` replaces the threefry draw with a SplitMix-style
+        integer mix of (key word, env, slot) — the same counter-based
+        randomness the engine's attack shuffle uses (engine.make_step).
+        Distribution stays uniform; at small scales (A <= ~1e3/env) the
+        threefry bits are a measurable fixed cost that small programs
+        cannot overlap."""
         n_act = jnp.asarray(self.spec.s_n_action)
-        u = jax.random.uniform(key, (self.n_envs, self.spec.n_agents_cap))
+        A = self.spec.n_agents_cap
+        if fast:
+            lane = (jnp.arange(self.n_envs, dtype=jnp.uint32)[:, None]
+                    * jnp.uint32(0x632BE59B)
+                    + jnp.arange(A, dtype=jnp.uint32)[None, :])
+            kd = (key if jnp.issubdtype(key.dtype, jnp.integer)
+                  else jax.random.key_data(key))
+            z = kd.reshape(-1)[-1].astype(jnp.uint32) + (
+                lane * jnp.uint32(0x9E3779B9))
+            z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
+            z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
+            z = z ^ (z >> 16)
+            u = (z >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+            return (u * n_act).astype(jnp.int32)
+        u = jax.random.uniform(key, (self.n_envs, A))
         return (u * n_act).astype(jnp.int32)
 
     # ------------------------------------------------------------------ info

@@ -190,13 +190,21 @@ def run_vectorized(args):
                         placements=[preds, prey],
                         walls=walls if walls else None)
 
+    # banded-path views must be consumed in full: their slot-order restore
+    # is plain XLA (not an opaque Pallas output), so a one-element sink
+    # lets DCE skip the unsort + epilogue and overstate FPS
+    full_sink = any(getattr(o, "uses_banded", False) for o in venv._observe1)
+
     def body(carry, _):
         state, key = carry
         key, akey = jax.random.split(key)
         s = 0.0
         for view, feat in venv.observe_all(state):
-            s = s + jnp.sum(view[:, 0, 0, 0, 0])
-        actions = venv.random_actions(akey)
+            if full_sink:
+                s = s + jnp.sum(view.astype(jnp.float32))
+            else:
+                s = s + jnp.sum(view[:, 0, 0, 0, 0])
+        actions = venv.random_actions(akey, fast=args.fast_rand)
         state, rewards, alive, done = venv.transition(state, actions)
         return (state, key), s + jnp.sum(rewards[:, 0])
 
@@ -232,6 +240,11 @@ if __name__ == "__main__":
     parser.add_argument("--n_envs", type=int, default=16)
     parser.add_argument("--unroll", type=int, default=1)
     parser.add_argument("--vectorized", action="store_true")
+    parser.add_argument("--fast_rand", action="store_true",
+                        help="counter-based uniform actions instead of "
+                             "threefry (vec_env.random_actions fast=True); "
+                             "the threefry bits are a fixed cost small "
+                             "programs cannot overlap")
     parser.add_argument("--no_walls", action="store_true",
                         help="omit the protocol's n/10 interior walls "
                              "(rounds 2-4 measured this layout)")

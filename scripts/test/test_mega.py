@@ -66,6 +66,8 @@ def main():
                         n_envs=args.n_envs,
                         obs_dtype={"f32": None, "bf16": jnp.bfloat16}[
                             args.obs_dtype])
+    full_sink = any(getattr(o, "uses_banded", False)
+                    for o in venv._observe1)
 
     def body(carry, _):
         state, key = carry
@@ -73,7 +75,15 @@ def main():
         s = 0.0
         if args.observe:
             for view, feat in venv.observe_all(state):
-                s = s + jnp.sum(view[:, 0, 0, 0, 0])
+                # banded-path views MUST be consumed in full: their
+                # slot-order restore is plain XLA (not an opaque Pallas
+                # output), so a one-element sink lets DCE skip the unsort +
+                # epilogue and overstate FPS (round-5 finding: the old
+                # 2.21M 1x1M number was ~15% thinned)
+                if full_sink:
+                    s = s + jnp.sum(view.astype(jnp.float32))
+                else:
+                    s = s + jnp.sum(view[:, 0, 0, 0, 0])
         acts = venv.random_actions(akey)
         state, rew, alive, done = venv.transition(state, acts)
         return (state, key), s + jnp.sum(rew[:, 0])

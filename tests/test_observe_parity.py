@@ -64,6 +64,26 @@ def test_pallas_interpret_matches_xla_fallback():
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), atol=1e-6)
 
 
+def test_banded_obs_path_matches_xla(monkeypatch):
+    """The full banded obs branch (banded-order kernel + in-banded-order
+    minimap/self-mark/liveness epilogue + one flat unsort, observe.py
+    use_banded) must equal the XLA path bit-for-bit.  Forced on a small
+    battle map (minimap_mode on) by shrinking the VMEM budget."""
+    env, handles = _battle_env(24)
+    _step_random(env, handles, steps=2)
+    spec, state = env.spec, env.state
+
+    xla = obs_mod.make_observe(spec, 0, force_xla=True)
+    monkeypatch.setattr(obs_mod, "VMEM_IMAGE_BUDGET", 1)
+    banded = obs_mod.make_observe(spec, 0, interpret=True)
+    assert banded.uses_banded
+
+    v_x, f_x = xla(state)
+    v_b, f_b = banded(state)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_x), atol=1e-6)
+
+
 def test_batched_observe_matches_single():
     env, handles = _battle_env(24)
     _step_random(env, handles, steps=2)
