@@ -39,8 +39,11 @@ import jax.numpy as jnp
 
 from .window_gather import supports_pallas  # noqa: F401  (re-export)
 
-# above this capacity the O(A^2) pair count loses to the O(A log^2 A) sort
-QUAD_MAX_AGENTS = 8192
+# above this capacity the O(A^2) pair count loses to the O(A log^2 A) sort.
+# Crossover re-measured round 5 on the forest sweep (single world, walled):
+# at A=10000 the quad path reads 3.80M vs the sort path's 2.71M agent-
+# steps/s; at A=16384 they tie (2.59 vs 2.58M) — results/r05_batch3.log
+QUAD_MAX_AGENTS = 16384
 
 _TI = 512  # i-chunk (sublane axis, multiple of 8)
 _TJ = 1024  # j-tile (lane axis, multiple of 128)

@@ -84,6 +84,8 @@ def bench_alg(alg: str):
         remat = os.environ.get("BENCH_DRQN_REMAT", "")
         kw = {} if not remat else {
             "unroll_remat": False if remat == "none" else remat}
+        # BENCH_DRQN_SHARE=0 keeps the two-unroll loss (round-4 behavior)
+        kw["share_acting"] = os.environ.get("BENCH_DRQN_SHARE", "1") != "0"
         loop = jax.jit(make_drqn_train_loop(
             venv, nets, tx, steps_per_call=STEPS_PER_CALL, target_update=40,
             rollout_len=ROLLOUT, **kw))
