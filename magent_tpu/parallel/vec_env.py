@@ -31,6 +31,20 @@ from ..core.state import State
 from ..spec import NORTH, OP_NULL
 
 
+def _wall_map(spec: speclib.GameSpec, walls=None):
+    """Full [H, W] bool wall map: border + optional interior (x, y) cells.
+    The ONE construction site shared by the reset's cell_wall and the
+    step's packed wall-overlap grid (engine._wall_rect_code) so the two
+    can never desynchronize."""
+    H, W = spec.height, spec.width
+    wall = np.zeros((H, W), bool)
+    wall[0, :] = wall[-1, :] = wall[:, 0] = wall[:, -1] = True
+    if walls is not None and len(walls):
+        wxy = np.asarray(walls, np.int32)
+        wall[wxy[:, 1], wxy[:, 0]] = True
+    return wall
+
+
 def _make_device_reset(spec: speclib.GameSpec, placements=None, walls=None):
     """Build a pure ``reset(key) -> State`` for one env.
 
@@ -51,11 +65,7 @@ def _make_device_reset(spec: speclib.GameSpec, placements=None, walls=None):
     H, W, A, G = spec.height, spec.width, spec.n_agents_cap, spec.n_groups
     gof = spec.group_of_slot
 
-    wall = np.zeros((H, W), bool)
-    wall[0, :] = wall[-1, :] = wall[:, 0] = wall[:, -1] = True
-    if walls is not None and len(walls):
-        wxy = np.asarray(walls, np.int32)
-        wall[wxy[:, 1], wxy[:, 0]] = True
+    wall = _wall_map(spec, walls)
 
     hp0 = spec.g_hp_max[gof].astype(np.float32)
     step_reward0 = spec.g_step_reward[gof].astype(np.float32)
@@ -172,14 +182,8 @@ class VecGridWorld:
         # walls are static per lockstep layout: border-only by default
         # (answered by formula in the gridless step), or border + the given
         # interior cells (one packed-bitmap gather — see engine.make_step)
-        wall_map = None
-        if walls is not None and len(walls):
-            H, W = self.spec.height, self.spec.width
-            wall_map = np.zeros((H, W), bool)
-            wall_map[0, :] = wall_map[-1, :] = True
-            wall_map[:, 0] = wall_map[:, -1] = True
-            wxy = np.asarray(walls, np.int32)
-            wall_map[wxy[:, 1], wxy[:, 0]] = True
+        wall_map = (_wall_map(self.spec, walls)
+                    if walls is not None and len(walls) else None)
         self._step1 = engine.make_step(self.spec, maintain_grid=False,
                                        walls=wall_map)
         # obs_dtype=jnp.bfloat16 halves window HBM traffic (see
@@ -282,9 +286,13 @@ class VecGridWorld:
                     * jnp.uint32(0x632BE59B)
                     + jnp.arange(A, dtype=jnp.uint32)[None, :])
             kd = (key if jnp.issubdtype(key.dtype, jnp.integer)
-                  else jax.random.key_data(key))
-            z = kd.reshape(-1)[-1].astype(jnp.uint32) + (
-                lane * jnp.uint32(0x9E3779B9))
+                  else jax.random.key_data(key)).reshape(-1)
+            # mix ALL key words (keys differing only in the high word must
+            # not collide)
+            seed = kd[-1].astype(jnp.uint32)
+            for w in range(kd.shape[0] - 1):
+                seed = seed * jnp.uint32(0x9E3779B9) + kd[w].astype(jnp.uint32)
+            z = seed + lane * jnp.uint32(0x9E3779B9)
             z = (z ^ (z >> 16)) * jnp.uint32(0x85EBCA6B)
             z = (z ^ (z >> 13)) * jnp.uint32(0xC2B2AE35)
             z = z ^ (z >> 16)

@@ -123,13 +123,23 @@ def main():
 
     which = args.variants
 
+    # banded-path views must be consumed in full or DCE thins the XLA
+    # unsort/epilogue and overstates obs throughput (same gating as
+    # test_1m/test_mega)
+    full_sink = any(getattr(o, "uses_banded", False) for o in venv._observe1)
+
+    def view_sink(view, feat):
+        if full_sink:
+            return jnp.sum(view.astype(jnp.float32)) + jnp.sum(feat[:, 0, 0])
+        return jnp.sum(view[:, :, 0, 0, 0]) + jnp.sum(feat[:, 0, 0])
+
     if "full" in which:
         def body(carry, _):
             state, key = carry
             key, akey = jax.random.split(key)
             s = 0.0
             for view, feat in venv.observe_all(state):
-                s = s + jnp.sum(view[:, :, 0, 0, 0]) + jnp.sum(feat[:, 0, 0])
+                s = s + view_sink(view, feat)
             actions = venv.random_actions(akey)
             state, rewards, alive, done = venv.transition(state, actions)
             return (state, key), s + jnp.sum(rewards[:, 0])
@@ -140,7 +150,7 @@ def main():
             state, key = carry
             s = 0.0
             for view, feat in venv.observe_all(state):
-                s = s + jnp.sum(view[:, :, 0, 0, 0]) + jnp.sum(feat[:, 0, 0])
+                s = s + view_sink(view, feat)
             state = state.replace(hp=state.hp + 1e-6)
             return (state, key), s
         timed("obs_only", body)

@@ -201,9 +201,12 @@ def main():
     # fixed eval observation set + mean max-Q on it (the reference's
     # sample_observation / eval-Q methodology, utility.py:115-178,
     # tf_model/dqn.py:348-356): online vs target Q on the SAME set
-    # separates learning from replay-driven Q inflation
-    ev_views, ev_feats = sample_eval_set(venv, hero)
-    evq = make_eval_q(venv, nets, hero)
+    # separates learning from replay-driven Q inflation.  Built only when
+    # the eval loop will actually fire (the 10-step sampling rollout is a
+    # real compile + device cost).
+    if args.eval_every:
+        ev_views, ev_feats = sample_eval_set(venv, hero)
+        evq = make_eval_q(venv, nets, hero)
     curve = []
     for attr in ("eval_every", "save_every"):
         v = getattr(args, attr)
