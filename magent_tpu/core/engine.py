@@ -140,6 +140,44 @@ def _wall_rect_code(spec: speclib.GameSpec, wall):
     return code, s_bit
 
 
+# past this capacity the segmented sweeps' block-grid overhead (the pair
+# grid visits (A/SEG_ROWS)*(A/_TI) blocks even when skipped... the grid is
+# (A/SEG_ROWS) segments x (SEG_WIN/_TI) blocks, linear in A — the real
+# bound is the searchsorted/permute bookkeeping and untested territory)
+SEG_MAX_AGENTS = 131072
+
+
+def _seg_win_hint(spec: speclib.GameSpec, A: int, margin: int) -> int:
+    """Static partner-window width for the segmented sweeps: the expected
+    agents within ``margin`` rows of a SEG_ROWS segment at uniform density
+    (A / map height), with a 3x variance allowance + slack — windows wider
+    than this fall back to the full sweep (correct but catastrophic at
+    A ~ 1e5, so size generously; the width only costs linear pair work)."""
+    per_row = -(-A // max(spec.height, 1))
+    return ap.SEG_ROWS + 6 * margin * per_row + 512
+
+
+def _use_seg(spec: speclib.GameSpec, A: int) -> bool:
+    """Route big-single-world pair sweeps to the y-segmented kernels
+    (OPT-IN: ``MAGENT_SEG=1``; bit-exact vs the grid path at A = 6k / 10k /
+    20k / 100k on real TPU, scripts/test/diff_seg_chip.py).
+
+    Measured round-5 verdict: the segmented pairwise family does NOT beat
+    the incumbent paths at the protocol's densities, so it stays off by
+    default.  Below QUAD_MAX the plain quad sweeps win (1x10000: 3.81M
+    plain vs 1.47M segmented — sort/permute/window-gather index costs
+    outweigh the saved pair work); above it, the sort+grid path wins
+    (1x100000 forest: ~71 agents/row force ~4k-wide partner windows, so
+    A*window pair work plus ~25 ms/sweep of window gathers exceeds the
+    sort path's 29 ms whole-step).  The pairwise formulation is only
+    arithmetic-competitive when density*margin is small — a regime the
+    FPS protocol's maps never enter."""
+    if os.environ.get("MAGENT_SEG", "0") != "1":
+        return False
+    return (ap.QUAD_MAX_AGENTS < A <= SEG_MAX_AGENTS
+            and ap.supports_pallas())
+
+
 def _gridless_capable(spec: speclib.GameSpec) -> bool:
     """Config shapes whose occupancy questions are pairwise-answerable:
     no food cells, no rotation footprints, no absorb demo.  Multi-cell
@@ -154,7 +192,7 @@ def _gridless_capable(spec: speclib.GameSpec) -> bool:
     )
 
 def _attack_phase(spec: speclib.GameSpec, state: State, rank,
-                  gridless: bool = False):
+                  gridless: bool = False, seg_ctx=None):
     """Resolve all attack actions (reference: GridWorld.cc:470-517,
     Map.cc:209-310).
 
@@ -185,17 +223,50 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
     in_board = (tx >= 0) & (tx < W) & (ty >= 0) & (ty < H)
     txc = jnp.clip(tx, 0, W - 1)
     tyc = jnp.clip(ty, 0, H - 1)
+    # max |y reach| of any attack (target row offset from the attacker's
+    # row, NORTH frames) — bounds the y-distance of interacting pairs for
+    # the segmented sweeps
+    att_reach_y = int(np.max(np.abs(
+        np.asarray(spec.s_att_y_offset)[:, None] + np.asarray(spec.s_att_dy)
+    ))) if A else 0
+    seg = seg_ctx is not None
+    if seg:
+        sort_y, order = seg_ctx
+
     if gridless and spec.max_body_w > 1:
         # rect-containment occupant lookup (multi-cell bodies; dir is
         # always NORTH here so footprints are static per slot)
         bw_a, bh_a = geo.size_for_dir(state.dir, w, l)
         is_q = is_attack & in_board
-        tgt, hp_t_occ = ap.occupant_rect(
-            jnp.where(is_q, txc, -2**20), jnp.where(is_q, tyc, -2**20),
-            state.x, state.y,
-            jnp.where(alive, bw_a, 0), jnp.where(alive, bh_a, 0),
-            state.hp,
-        )
+        if seg:
+            # one packed row gather permutes every int operand; hp rides a
+            # second; results scatter back in one packed write (float hp
+            # bitcast through int32) — index ops, not width, are the cost
+            packed = jnp.stack(
+                [jnp.where(is_q, txc, -2**20), jnp.where(is_q, tyc, -2**20),
+                 state.x, state.y,
+                 jnp.where(alive, bw_a, 0), jnp.where(alive, bh_a, 0),
+                 jax.lax.bitcast_convert_type(
+                     state.hp.astype(jnp.float32), jnp.int32)],
+                axis=1)[order]
+            hp_s = jax.lax.bitcast_convert_type(packed[:, 6], jnp.float32)
+            m_occ = att_reach_y + spec.max_body_w
+            t_s, h_s = ap.occupant_rect_seg(
+                packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
+                packed[:, 4], packed[:, 5], hp_s, sort_y, order,
+                margin=m_occ, seg_win=_seg_win_hint(spec, A, m_occ))
+            both = jnp.zeros((A, 2), jnp.int32).at[order].set(jnp.stack(
+                [t_s, jax.lax.bitcast_convert_type(h_s, jnp.int32)], axis=1))
+            tgt = both[:, 0]
+            hp_t_occ = jax.lax.bitcast_convert_type(
+                both[:, 1], jnp.float32).astype(state.hp.dtype)
+        else:
+            tgt, hp_t_occ = ap.occupant_rect(
+                jnp.where(is_q, txc, -2**20), jnp.where(is_q, tyc, -2**20),
+                state.x, state.y,
+                jnp.where(alive, bw_a, 0), jnp.where(alive, bh_a, 0),
+                state.hp,
+            )
     elif gridless:
         # sentinels: queries use 2**30, dead agents' cells 2**29 — distinct
         # so dead cells never satisfy a (sentinel) query
@@ -243,7 +314,9 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
     ks_t = g_table(spec.g_kill_supply)
     slot_iota = jnp.arange(A, dtype=jnp.int32)
 
-    use_quad = _use_quad(A)
+    # seg implies the pairwise formulation stays viable past QUAD_MAX
+    # (rank_prefix runs its segmented variant)
+    use_quad = _use_quad(A) or seg
 
     if use_quad:
         # ---- order-aware damage via the pairwise prefix kernel: every
@@ -253,7 +326,24 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
         # the hp row-gather (gridless already got it from the occupant pass).
         rank_key = ap.pack_rank(rank, A)
         if gridless:
-            P = ap.rank_prefix(tgt_key, rank_key, dmg_slot)
+            if seg:
+                # attackers interact iff they share a target, which lies
+                # within the attack reach of both
+                pk = jnp.stack(
+                    [tgt_key, rank_key,
+                     jax.lax.bitcast_convert_type(
+                         dmg_slot.astype(jnp.float32), jnp.int32)],
+                    axis=1)[order]
+                m_rank = 2 * (att_reach_y + spec.max_body_w)
+                P_s = ap.rank_prefix_seg(
+                    pk[:, 0], pk[:, 1],
+                    jax.lax.bitcast_convert_type(pk[:, 2], jnp.float32),
+                    sort_y, margin=m_rank,
+                    seg_win=_seg_win_hint(spec, A, m_rank))
+                P = jnp.zeros(A, jnp.float32).at[order].set(P_s).astype(
+                    dmg_slot.dtype)
+            else:
+                P = ap.rank_prefix(tgt_key, rank_key, dmg_slot)
             hp_t = jnp.where(valid, hp_t_occ, jnp.inf)
         else:
             P, hp_t_raw = ap.rank_prefix(tgt_key, rank_key, dmg_slot, state.hp)
@@ -467,7 +557,7 @@ def _wall_blocked_gridless(spec, wall_ctx, nx, ny):
 
 
 def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
-                              bw, bh, alive, wall_ctx=None):
+                              bw, bh, alive, wall_ctx=None, seg_ctx=None):
     """Gridless move resolution for multi-cell bodies (static NORTH
     footprints): two pairwise rect sweeps reproduce the grid path's
     semantics cell-for-cell —
@@ -508,25 +598,69 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
     # a body must still collide with that body (Map.cc:486-501 semantics
     # through the enc loop in _move_phase)
     q_ok = ok & ~stay
-    occ_slot = ap.rect_first_overlap(
-        jnp.where(q_ok, nx, -2**20), jnp.where(q_ok, ny, -2**20),
-        jnp.where(q_ok, bw, 0), jnp.where(q_ok, bh, 0),
-        state.x, state.y,
-        jnp.where(alive, bw, 0), jnp.where(alive, bh, 0),
-        max_body=MB, gate="exclude_self",
-    )
+
+    if seg_ctx is not None:
+        # segmented sweeps for big single worlds (shared y-sort from the
+        # step): permute every per-slot operand in ONE packed row gather,
+        # run both sweeps in the sorted domain over per-segment partner
+        # windows (A*SEG_WIN pairs instead of A^2), and scatter only the
+        # two result arrays back — random access is index-count dominated,
+        # so the bookkeeping must stay at ~3 index ops total.  The y-margin
+        # bounds |y_i - y_j| for any interacting pair: bodies overlap
+        # within MB rows and every target sits within max|move dy| of its
+        # mover.
+        max_dy = int(np.max(np.abs(spec.s_move_dy))) if A else 0
+        margin = MB + 2 * max_dy
+        sort_y, order = seg_ctx
+        packed = jnp.stack(
+            [nx, ny, bw, bh, state.x, state.y,
+             q_ok.astype(jnp.int32), alive.astype(jnp.int32),
+             wall_blocked.astype(jnp.int32)], axis=1)
+        (nx_s, ny_s, bw_s, bh_s, x_s, y_s, qok_s, alive_s,
+         wallb_s) = [c for c in jnp.moveaxis(packed[order], 1, 0)]
+        qok_s = qok_s.astype(bool)
+
+        seg_win = _seg_win_hint(spec, A, margin)
+        res1 = ap.rect_first_overlap_seg(
+            jnp.where(qok_s, nx_s, -2**20), jnp.where(qok_s, ny_s, -2**20),
+            jnp.where(qok_s, bw_s, 0), jnp.where(qok_s, bh_s, 0),
+            x_s, y_s,
+            jnp.where(alive_s.astype(bool), bw_s, 0),
+            jnp.where(alive_s.astype(bool), bh_s, 0),
+            sort_y, order, max_body=MB, gate="exclude_self", margin=margin,
+            seg_win=seg_win)
+        blank_s = qok_s & ~(res1 < ap._NONE) & ~wallb_s.astype(bool)
+        s2q_s = (
+            jnp.where(blank_s, nx_s, -2**20),
+            jnp.where(blank_s, ny_s, -2**20),
+            jnp.where(blank_s, bw_s, 0), jnp.where(blank_s, bh_s, 0),
+        )
+        res2 = ap.rect_first_overlap_seg(
+            *s2q_s, *s2q_s, sort_y, order,
+            max_body=MB, gate="lower_only", margin=margin, seg_win=seg_win)
+        both = jnp.zeros((A, 2), jnp.int32).at[order].set(
+            jnp.stack([res1, res2], axis=1))  # one packed scatter
+        occ_slot, head_slot = both[:, 0], both[:, 1]
+    else:
+        occ_slot = ap.rect_first_overlap(
+            jnp.where(q_ok, nx, -2**20), jnp.where(q_ok, ny, -2**20),
+            jnp.where(q_ok, bw, 0), jnp.where(q_ok, bh, 0),
+            state.x, state.y,
+            jnp.where(alive, bw, 0), jnp.where(alive, bh, 0),
+            max_body=MB, gate="exclude_self",
+        )
+        blank_pre = q_ok & ~(occ_slot < ap._NONE) & ~wall_blocked
+        s2q = (
+            jnp.where(blank_pre, nx, -2**20),
+            jnp.where(blank_pre, ny, -2**20),
+            jnp.where(blank_pre, bw, 0), jnp.where(blank_pre, bh, 0),
+        )
+        head_slot = ap.rect_first_overlap(
+            *s2q, *s2q, max_body=MB, gate="lower_only",
+        )
     occupied = occ_slot < ap._NONE
     coll_occ = jnp.where(occupied, occ_slot, -1)
     blank = q_ok & ~occupied & ~wall_blocked
-
-    # ---- sweep 2: claim winner at the first lost cell ----
-    head_slot = ap.rect_first_overlap(
-        jnp.where(blank, nx, -2**20), jnp.where(blank, ny, -2**20),
-        jnp.where(blank, bw, 0), jnp.where(blank, bh, 0),
-        jnp.where(blank, nx, -2**20), jnp.where(blank, ny, -2**20),
-        jnp.where(blank, bw, 0), jnp.where(blank, bh, 0),
-        max_body=MB, gate="lower_only",
-    )
     lost = blank & (head_slot < ap._NONE)
     lose_to = jnp.where(lost, head_slot, -1)
     wins = blank & ~lost
@@ -545,7 +679,7 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
 
 
 def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False,
-                wall_ctx=None):
+                wall_ctx=None, seg_ctx=None):
     """Resolve all move actions (reference: GridWorld.cc:573-613,
     Map::do_move Map.cc:313-358).
 
@@ -577,7 +711,8 @@ def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False,
 
     if gridless and MB > 1:
         return _move_phase_gridless_rect(
-            spec, state, is_move, in_bounds, nx, ny, bw, bh, alive, wall_ctx)
+            spec, state, is_move, in_bounds, nx, ny, bw, bh, alive,
+            wall_ctx, seg_ctx)
 
     if gridless:
         # border walls live at x==0 / y==0 (in_bounds already excludes the
@@ -839,10 +974,21 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
     """
     rules = spec.compiled_rules()
     G = spec.n_groups
+    A_cap = spec.n_agents_cap
+    # rect configs may stay gridless past QUAD_MAX: every pairwise sweep of
+    # the rect path (move blocking/claims, attack occupant, rank prefix)
+    # has a y-segmented variant whose pair work is A*SEG_WIN, not A^2
+    # (ops.attack_prefix.*_seg).  1x1 configs keep the QUAD_MAX bound —
+    # their cell-equality kernels are not segmented.
+    seg_ok = (
+        spec.max_body_w > 1
+        and _use_seg(spec, A_cap)
+        and A_cap <= SEG_MAX_AGENTS
+    )
     gridless = (
         not maintain_grid
         and _gridless_capable(spec)
-        and _use_quad(spec.n_agents_cap)
+        and (_use_quad(A_cap) or seg_ok)
         and os.environ.get("MAGENT_GRIDLESS", "auto") != "0"
     )
     wall_ctx = None
@@ -876,8 +1022,18 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
         # named scopes label the phases in jax.profiler / xprof traces
         # (the reference's compile-gated LOG(TRACE) equivalents,
         # reference: GridWorld.cc:460-618)
+        # one y-sort serves every segmented pair sweep this step (positions
+        # only change in the move phase, which runs last)
+        seg_ctx = None
+        if gridless and _use_seg(spec, spec.n_agents_cap):
+            sort_y, order = jax.lax.sort(
+                (state.y.astype(jnp.int32),
+                 jnp.arange(spec.n_agents_cap, dtype=jnp.int32)),
+                num_keys=1)
+            seg_ctx = (sort_y, order)
         with jax.named_scope("attack"):
-            state = _attack_phase(spec, state, rank, gridless=gridless)
+            state = _attack_phase(spec, state, rank, gridless=gridless,
+                                  seg_ctx=seg_ctx)
         with jax.named_scope("starve"):
             state = _starve_phase(spec, state, gridless=gridless)
         if spec.turn_mode:
@@ -885,7 +1041,7 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
                 state = _turn_phase(spec, state)
         with jax.named_scope("move"):
             state = _move_phase(spec, state, gridless=gridless,
-                                wall_ctx=wall_ctx)
+                                wall_ctx=wall_ctx, seg_ctx=seg_ctx)
 
         # reward rules (reference: GridWorld::calc_reward, GridWorld.cc:681-692)
         next_reward, group_reward, terminal = state.next_reward, state.group_reward, False

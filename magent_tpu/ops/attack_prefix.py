@@ -58,10 +58,12 @@ def pack_rank(bits: jnp.ndarray, n_slots: int) -> jnp.ndarray:
 
     The high bits are random (uniform priority), the low bits the slot index
     (deterministic tie-break), giving a strict total order that matches a
-    uniform shuffle up to ~2^-18 tie probability per pair.
-    """
+    uniform shuffle up to the tie probability 2^-(31 - slot_bits) per pair
+    (~2^-18 at battle scale; ~2^-14 at the segmented path's 100k scale —
+    a tied pair falls back to slot order, a slight bias, never an
+    ill-defined order: the slot bits keep the key strict)."""
     slot_bits = max(1, (n_slots - 1).bit_length())
-    assert slot_bits <= 16, n_slots
+    assert slot_bits <= 24, n_slots
     rand_bits = 31 - slot_bits
     slot = jnp.arange(n_slots, dtype=jnp.uint32)
     return (((bits >> (32 - rand_bits)) << slot_bits) | slot).astype(jnp.int32)
@@ -420,24 +422,38 @@ def occupant_rect_xla(qx, qy, x, y, bw, bh, hp, *, exclude_self=False):
 
 @functools.partial(jax.jit, static_argnames=("exclude_self", "interpret"))
 def occupant_rect_tpu(qx, qy, x, y, bw, bh, hp, *, exclude_self=False,
-                      interpret=False):
+                      interpret=False, bslot=None):
     """Pairwise rect-containment occupant lookup (single env; vmap for
     batches).  qx/qy: [A] int32 query cell per agent (any value when the
     corresponding bw/bh say empty — queries are gated by the CALLER setting
     qx = -2**20 for non-queries); x/y/bw/bh: [A] int32 current rects (EMPTY
     rect bw=0 for dead agents); hp: [A] f32.
     Returns (tgt [A] int32 — occupant slot or -1, hp_t [A] f32).
+
+    ``bslot``: explicit original-slot ids for non-slot-ordered body arrays
+    (the segmented sweep's sorted layout; incompatible with exclude_self,
+    whose row ids would also need a qslot — no caller needs both).
     """
     from jax.experimental import pallas as pl
 
+    assert not (exclude_self and bslot is not None)
     (A,) = qx.shape
-    Ap, (qx_p, qy_p, x_p, y_p, bw_p, bh_p, hp_p) = _pad_operands(
-        A, [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
+    have_slots = bslot is not None
+    pads = [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
             (x, jnp.int32(0)), (y, jnp.int32(0)),
-            (bw, jnp.int32(0)), (bh, jnp.int32(0)), (hp, jnp.float32(0))])
+            (bw, jnp.int32(0)), (bh, jnp.int32(0)), (hp, jnp.float32(0))]
+    if have_slots:
+        pads.append((bslot, jnp.int32(-1)))
+    Ap, padded = _pad_operands(A, pads)
+    qx_p, qy_p, x_p, y_p, bw_p, bh_p, hp_p = padded[:7]
 
-    def kernel(x_ref, y_ref, bw_ref, bh_ref, h_ref, qx_ref, qy_ref,
-               tgt_ref, hpt_ref):
+    def kernel(*refs):
+        if have_slots:
+            (x_ref, y_ref, bw_ref, bh_ref, h_ref, bs_ref, qx_ref, qy_ref,
+             tgt_ref, hpt_ref) = refs
+        else:
+            (x_ref, y_ref, bw_ref, bh_ref, h_ref, qx_ref, qy_ref,
+             tgt_ref, hpt_ref) = refs
         i = pl.program_id(1)
         j = pl.program_id(0)
 
@@ -454,7 +470,11 @@ def occupant_rect_tpu(qx, qy, x, y, bw, bh, hp, *, exclude_self=False,
             (qxr >= xc) & (qxr < xc + bw_ref[...])
             & (qyr >= yc) & (qyr < yc + bh_ref[...])
         )
-        slot_col = jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0) + i * _TI
+        if have_slots:
+            slot_col = bs_ref[...]
+        else:
+            slot_col = (jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0)
+                        + i * _TI)
         if exclude_self:
             slot_row = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1) + j * _TJ
@@ -466,8 +486,11 @@ def occupant_rect_tpu(qx, qy, x, y, bw, bh, hp, *, exclude_self=False,
         hpt_ref[...] += jnp.sum(jnp.where(m, h_ref[...], 0.0), axis=0,
                                 keepdims=True)
 
+    col_ops = [x_p, y_p, bw_p, bh_p, hp_p]
+    if have_slots:
+        col_ops.append(padded[7])
     tgt, hp_t = _pair_grid_call(
-        kernel, [x_p, y_p, bw_p, bh_p, hp_p], [qx_p, qy_p], 2,
+        kernel, col_ops, [qx_p, qy_p], 2,
         [jnp.int32, jnp.float32], Ap, interpret)
     return tgt[0, :A], hp_t[0, :A]
 
@@ -555,26 +578,41 @@ def rect_first_overlap_xla(qx, qy, tbw, tbh, x, y, bw, bh, max_body,
 @functools.partial(
     jax.jit, static_argnames=("max_body", "gate", "interpret"))
 def rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
-                           gate, interpret=False):
+                           gate, interpret=False, qslot=None, bslot=None):
     """Pallas pair sweep for :func:`rect_first_overlap` (single env; vmap
     for batches).  ~15 vector ops per pair vs ~40 for the max_body^2
     per-cell sweep it replaces — the move phase owned the 1e5 FPS cliff
-    (profile_sweep ladder: move 24.4ms of the 42.8ms step at 16x6250)."""
+    (profile_sweep ladder: move 24.4ms of the 42.8ms step at 16x6250).
+
+    ``qslot``/``bslot``: explicit original-slot operands for callers whose
+    arrays are NOT in slot order (the segmented sweep's sorted layout);
+    results are then identical to the slot-ordered sweep.  The
+    lower_only triangular block skip only applies in iota (slot-order)
+    mode."""
     from jax.experimental import pallas as pl
 
     MB = max_body
     (A,) = qx.shape
-    Ap, (qx_p, qy_p, tbw_p, tbh_p, x_p, y_p, bw_p, bh_p) = _pad_operands(
-        A, [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
+    have_slots = qslot is not None
+    pads = [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
             (tbw, jnp.int32(0)), (tbh, jnp.int32(0)),
             (x, jnp.int32(0)), (y, jnp.int32(0)),
-            (bw, jnp.int32(0)), (bh, jnp.int32(0))])
+            (bw, jnp.int32(0)), (bh, jnp.int32(0))]
+    if have_slots:
+        pads += [(qslot, jnp.int32(_NONE - 1)), (bslot, jnp.int32(_NONE - 1))]
+    Ap, padded = _pad_operands(A, pads)
+    qx_p, qy_p, tbw_p, tbh_p, x_p, y_p, bw_p, bh_p = padded[:8]
     stride = _NONE // (MB * MB)  # k < MB^2, slot < Ap <= stride
     assert Ap <= stride, (Ap, MB)
     none_key = 2**31 - 1  # python int: pallas kernels can't capture arrays
 
-    def kernel(x_ref, y_ref, bw_ref, bh_ref, qx_ref, qy_ref, tbw_ref,
-               tbh_ref, out_ref):
+    def kernel(*refs):
+        if have_slots:
+            (x_ref, y_ref, bw_ref, bh_ref, bs_ref,
+             qx_ref, qy_ref, tbw_ref, tbh_ref, qs_ref, out_ref) = refs
+        else:
+            (x_ref, y_ref, bw_ref, bh_ref,
+             qx_ref, qy_ref, tbw_ref, tbh_ref, out_ref) = refs
         i = pl.program_id(1)
         j = pl.program_id(0)
 
@@ -591,10 +629,14 @@ def rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
             oy = jnp.maximum(qyr, yc)
             ex = jnp.minimum(qxr + tbw_ref[...], xc + bw_ref[...])
             ey = jnp.minimum(qyr + tbh_ref[...], yc + bh_ref[...])
-            slot_col = (jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0)
-                        + i * _TI)
-            slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1)
-                        + j * _TJ)
+            if have_slots:
+                slot_col = bs_ref[...]
+                slot_row = qs_ref[...]
+            else:
+                slot_col = (jax.lax.broadcasted_iota(jnp.int32, (_TI, 1), 0)
+                            + i * _TI)
+                slot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, _TJ), 1)
+                            + j * _TJ)
             ov = (ox < ex) & (oy < ey)
             if gate == "exclude_self":
                 ov = ov & (slot_col != slot_row)
@@ -606,19 +648,364 @@ def rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
                 out_ref[...],
                 jnp.min(jnp.where(ov, key, none_key), axis=0, keepdims=True))
 
-        if gate == "lower_only":
+        if gate == "lower_only" and not have_slots:
             # upper-triangle blocks (every slot_col >= every slot_row) can
             # never contribute — skip ~half the pair work
             pl.when(i * _TI < (j + 1) * _TJ)(compute)
         else:
             compute()
 
+    if have_slots:
+        qs_p, bs_p = padded[8], padded[9]
+        col_ops = [x_p, y_p, bw_p, bh_p, bs_p]
+        row_ops = [qx_p, qy_p, tbw_p, tbh_p, qs_p]
+    else:
+        col_ops = [x_p, y_p, bw_p, bh_p]
+        row_ops = [qx_p, qy_p, tbw_p, tbh_p]
     (out,) = _pair_grid_call(
-        kernel, [x_p, y_p, bw_p, bh_p], [qx_p, qy_p, tbw_p, tbh_p],
-        1, [jnp.int32], Ap, interpret)
+        kernel, col_ops, row_ops, 1, [jnp.int32], Ap, interpret)
     best = out[0, :A]
     slot = best % jnp.int32(stride)
     return jnp.where(best == none_key, _NONE, slot)
+
+
+def _rect_overlap_core(q_ops, b_ops, *, max_body, gate, interpret):
+    """Rectangular slot-carrying pair sweep: rows = queries (last-dim R,
+    multiple of _TJ), cols = bodies (last-dim P, multiple of _TI).
+
+    q_ops = (qx, qy, tbw, tbh, qslot); b_ops = (x, y, bw, bh, bslot).
+    Slots are EXPLICIT operands (original slot ids), so callers may present
+    queries/bodies in any order (e.g. sorted by y for the segmented sweep)
+    and still get results identical to the slot-ordered sweep — the
+    reduction key and the lower_only/exclude_self gates read the operand
+    slots, never positional iota.  Returns [R] best keys decoded to slots
+    (or _NONE).
+    """
+    from jax.experimental import pallas as pl
+
+    MB = max_body
+    qx, qy, tbw, tbh, qslot = q_ops
+    x, y, bw, bh, bslot = b_ops
+    R = qx.shape[-1]
+    P = x.shape[-1]
+    assert R % _TJ == 0 and P % _TI == 0, (R, P)
+    stride = _NONE // (MB * MB)
+    none_key = 2**31 - 1
+
+    def kernel(x_ref, y_ref, bw_ref, bh_ref, bs_ref, qx_ref, qy_ref,
+               tbw_ref, tbh_ref, qs_ref, out_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[...] = jnp.full_like(out_ref, jnp.int32(none_key))
+
+        xc = x_ref[...]
+        yc = y_ref[...]
+        qxr = qx_ref[...]
+        qyr = qy_ref[...]
+        ox = jnp.maximum(qxr, xc)
+        oy = jnp.maximum(qyr, yc)
+        ex = jnp.minimum(qxr + tbw_ref[...], xc + bw_ref[...])
+        ey = jnp.minimum(qyr + tbh_ref[...], yc + bh_ref[...])
+        slot_col = bs_ref[...]
+        slot_row = qs_ref[...]
+        ov = (ox < ex) & (oy < ey)
+        if gate == "exclude_self":
+            ov = ov & (slot_col != slot_row)
+        else:  # lower_only
+            ov = ov & (slot_col < slot_row)
+        k = (ox - qxr) * MB + (oy - qyr)
+        key = k * stride + slot_col
+        out_ref[...] = jnp.minimum(
+            out_ref[...],
+            jnp.min(jnp.where(ov, key, none_key), axis=0, keepdims=True))
+
+    in_specs = (
+        [pl.BlockSpec((_TI, 1), lambda j, i: (i, 0)) for _ in range(5)]
+        + [pl.BlockSpec((1, _TJ), lambda j, i: (0, j)) for _ in range(5)]
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=(R // _TJ, P // _TI),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, _TJ), lambda j, i: (0, j))],
+        out_shape=[jax.ShapeDtypeStruct((1, R), jnp.int32)],
+        interpret=interpret,
+    )(x[:, None], y[:, None], bw[:, None], bh[:, None], bslot[:, None],
+      qx[None, :], qy[None, :], tbw[None, :], tbh[None, :], qslot[None, :])
+    best = out[0]
+    slot = best % jnp.int32(stride)
+    return jnp.where(best == none_key, _NONE, slot)
+
+
+# segmented sweep geometry: rows per segment / partner window width.
+# Multiples of (_TJ, _TI); the window must cover every partner within
+# `margin` rows of the segment's y-range or the call falls back to the
+# full sweep (lax.cond), so these are pure performance knobs.
+SEG_ROWS = 1024
+SEG_WIN = 2048
+
+
+def _pad_operands_to(A, Ap, pads):
+    """Sentinel-pad 1-D operands to exactly Ap."""
+    out = []
+    for arr, fill in pads:
+        if Ap != arr.shape[0]:
+            arr = jnp.pad(arr, (0, Ap - arr.shape[0]), constant_values=fill)
+        out.append(arr)
+    return Ap, out
+
+
+def _seg_plan(sort_y_padded, A, Ap, margin, seg_win=None):
+    """Partner-window plan for a y-sorted population: per SEG_ROWS segment,
+    the window start covering every row within ``margin`` of the segment's
+    y-range, plus the overflow flag (some window wider than the static
+    window — the caller then lax.cond-falls back to the full sweep, so
+    segmentation is an optimization, never a semantics change).
+    ``seg_win``: static window width hint (callers size it from the map's
+    expected agents-per-row density; default SEG_WIN)."""
+    P = min(_ceil_to(seg_win or SEG_WIN, _TI), Ap)
+    S = Ap // SEG_ROWS
+    ymin = sort_y_padded.reshape(S, SEG_ROWS)[:, 0]
+    ymax = jnp.where(
+        jnp.arange(S) * SEG_ROWS < A,  # segments past the real rows: empty
+        sort_y_padded.reshape(S, SEG_ROWS)[:, -1], ymin)
+    lo = jnp.searchsorted(sort_y_padded, ymin - margin,
+                          side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(sort_y_padded, ymax + margin,
+                          side="right").astype(jnp.int32)
+    start = jnp.clip(jnp.minimum(lo, Ap - P), 0)
+    overflow = jnp.any(hi - start > P)
+    return S, P, start, overflow
+
+
+def _seg_gather(ops, start, P):
+    """[S, P] partner windows of 1-D padded operands.
+
+    All int32 operands ride ONE row gather of a stacked [Ap, k] array
+    (random access is index-count dominated on TPU; row width is nearly
+    free — CLAUDE.md); other dtypes gather individually."""
+    idx = start[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]
+    ints = [k for k, op in enumerate(ops) if op.dtype == jnp.int32]
+    out = [None] * len(ops)
+    if len(ints) > 1:
+        stacked = jnp.stack([ops[k] for k in ints], axis=1)  # [Ap, n_int]
+        win = stacked[idx]  # [S, P, n_int] — one gather
+        for c, k in enumerate(ints):
+            out[k] = win[..., c]
+    elif ints:
+        out[ints[0]] = ops[ints[0]][idx]
+    for k, op in enumerate(ops):
+        if out[k] is None:
+            out[k] = op[idx]
+    return out
+
+
+def rect_first_overlap_seg(qx, qy, tbw, tbh, x, y, bw, bh, sort_y, order,
+                           *, max_body, gate, margin, seg_win=None,
+                           interpret=False):
+    """Spatially-segmented :func:`rect_first_overlap` for big single worlds.
+
+    All operands are PRE-SORTED by agent y (``sort_y`` non-decreasing;
+    ``order[i]`` = original slot of sorted row i).  Queries are processed in
+    ``SEG_ROWS``-row segments; each segment's candidate bodies are the
+    sorted rows whose y lies within ``margin`` of the segment's y-range — a
+    contiguous window found by searchsorted and padded to ``SEG_WIN``.
+    Pair work drops from A^2 to A*SEG_WIN; results carry ORIGINAL slot ids
+    via the slot operands, so they equal the plain sweep's bit-for-bit.
+
+    Returns [A] results in sorted-row order; callers scatter back with
+    ``zeros.at[order].set(res)``.
+    """
+    (A,) = qx.shape
+    Ap = _ceil_to(A, SEG_ROWS)
+    pads = [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
+            (tbw, jnp.int32(0)), (tbh, jnp.int32(0)),
+            (x, jnp.int32(0)), (y, jnp.int32(0)),
+            (bw, jnp.int32(0)), (bh, jnp.int32(0)),
+            (sort_y, jnp.int32(2**20)), (order, jnp.int32(_NONE - 1))]
+    Ap, (qx_p, qy_p, tbw_p, tbh_p, x_p, y_p, bw_p, bh_p, y_s, ord_p) = (
+        _pad_operands_to(A, Ap, pads))
+    S, P, start, overflow = _seg_plan(y_s, A, Ap, margin, seg_win)
+
+    q_ops_p = (qx_p, qy_p, tbw_p, tbh_p, ord_p)
+    b_ops_p = (x_p, y_p, bw_p, bh_p, ord_p)
+
+    def run_seg(_):
+        wins = _seg_gather(b_ops_p, start, P)
+        segs = [op.reshape(S, SEG_ROWS) for op in q_ops_p]
+
+        def one(seg_ops, win_ops):
+            return _rect_overlap_core(tuple(seg_ops), tuple(win_ops),
+                                      max_body=max_body, gate=gate,
+                                      interpret=interpret)
+
+        out = jax.vmap(one)(segs, wins)  # [S, SEG_ROWS]
+        return out.reshape(Ap)[:A]
+
+    def run_full(_):
+        return rect_first_overlap_tpu(
+            qx, qy, tbw, tbh, x, y, bw, bh, max_body=max_body, gate=gate,
+            interpret=interpret, qslot=order, bslot=order)
+
+    return jax.lax.cond(overflow, run_full, run_seg, operand=None)
+
+
+def _occupant_rect_core(q_ops, b_ops, *, interpret):
+    """Rectangular occupant lookup: rows = query cells [R], cols = body
+    rects + hp + ORIGINAL slot ids [P].  Returns (tgt [R], hp_t [R])."""
+    from jax.experimental import pallas as pl
+
+    qx, qy = q_ops
+    x, y, bw, bh, hp, bslot = b_ops
+    R = qx.shape[-1]
+    P = x.shape[-1]
+    assert R % _TJ == 0 and P % _TI == 0, (R, P)
+
+    def kernel(x_ref, y_ref, bw_ref, bh_ref, h_ref, bs_ref, qx_ref, qy_ref,
+               tgt_ref, hpt_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            tgt_ref[...] = jnp.full_like(tgt_ref, -1)
+            hpt_ref[...] = jnp.zeros_like(hpt_ref)
+
+        xc = x_ref[...]
+        yc = y_ref[...]
+        qxr = qx_ref[...]
+        qyr = qy_ref[...]
+        m = (
+            (qxr >= xc) & (qxr < xc + bw_ref[...])
+            & (qyr >= yc) & (qyr < yc + bh_ref[...])
+        )
+        tgt_ref[...] = jnp.maximum(
+            tgt_ref[...],
+            jnp.max(jnp.where(m, bs_ref[...], -1), axis=0, keepdims=True))
+        hpt_ref[...] += jnp.sum(jnp.where(m, h_ref[...], 0.0), axis=0,
+                                keepdims=True)
+
+    in_specs = (
+        [pl.BlockSpec((_TI, 1), lambda j, i: (i, 0)) for _ in range(6)]
+        + [pl.BlockSpec((1, _TJ), lambda j, i: (0, j)) for _ in range(2)]
+    )
+    tgt, hp_t = pl.pallas_call(
+        kernel,
+        grid=(R // _TJ, P // _TI),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, _TJ), lambda j, i: (0, j))
+                   for _ in range(2)],
+        out_shape=[jax.ShapeDtypeStruct((1, R), jnp.int32),
+                   jax.ShapeDtypeStruct((1, R), jnp.float32)],
+        interpret=interpret,
+    )(x[:, None], y[:, None], bw[:, None], bh[:, None], hp[:, None],
+      bslot[:, None], qx[None, :], qy[None, :])
+    return tgt[0], hp_t[0]
+
+
+def occupant_rect_seg(qx, qy, x, y, bw, bh, hp, sort_y, order, *, margin,
+                      seg_win=None, interpret=False):
+    """Spatially-segmented :func:`occupant_rect` (no exclude_self — the
+    gridless attack path never self-targets).  Same contract as
+    :func:`rect_first_overlap_seg`: operands pre-sorted by y, results in
+    sorted-row order carrying ORIGINAL slot ids."""
+    (A,) = qx.shape
+    Ap = _ceil_to(A, SEG_ROWS)
+    pads = [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
+            (x, jnp.int32(0)), (y, jnp.int32(0)),
+            (bw, jnp.int32(0)), (bh, jnp.int32(0)), (hp, jnp.float32(0)),
+            (sort_y, jnp.int32(2**20)), (order, jnp.int32(-1))]
+    Ap, (qx_p, qy_p, x_p, y_p, bw_p, bh_p, hp_p, y_s, ord_p) = (
+        _pad_operands_to(A, Ap, pads))
+    S, P, start, overflow = _seg_plan(y_s, A, Ap, margin, seg_win)
+
+    def run_seg(_):
+        wins = _seg_gather((x_p, y_p, bw_p, bh_p, hp_p, ord_p), start, P)
+        segs = [op.reshape(S, SEG_ROWS) for op in (qx_p, qy_p)]
+
+        def one(seg_ops, win_ops):
+            return _occupant_rect_core(tuple(seg_ops), tuple(win_ops),
+                                       interpret=interpret)
+
+        tgt, hp_t = jax.vmap(one)(segs, wins)
+        return tgt.reshape(Ap)[:A], hp_t.reshape(Ap)[:A]
+
+    def run_full(_):
+        return occupant_rect_tpu(qx, qy, x, y, bw, bh, hp,
+                                 interpret=interpret, bslot=order)
+
+    return jax.lax.cond(overflow, run_full, run_seg, operand=None)
+
+
+def _rank_prefix_core(q_ops, b_ops, *, interpret):
+    """Rectangular rank-prefix: rows = attackers [R] (tgt, rank), cols =
+    partner attackers [P] (tgt, rank, dmg).  Positional — no slot ids
+    needed (rank keys already embed the slot tie-break, :func:`pack_rank`).
+    Returns P_sum [R]."""
+    from jax.experimental import pallas as pl
+
+    tr_q, rr_q = q_ops
+    tc, rc, dc = b_ops
+    R = tr_q.shape[-1]
+    P = tc.shape[-1]
+    assert R % _TJ == 0 and P % _TI == 0, (R, P)
+
+    def kernel(tc_ref, rc_ref, dc_ref, tr_ref, rr_ref, p_ref):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            p_ref[...] = jnp.zeros_like(p_ref)
+
+        m = (tc_ref[...] == tr_ref[...]) & (rc_ref[...] < rr_ref[...])
+        p_ref[...] += jnp.sum(jnp.where(m, dc_ref[...], 0.0), axis=0,
+                              keepdims=True)
+
+    in_specs = (
+        [pl.BlockSpec((_TI, 1), lambda j, i: (i, 0)) for _ in range(3)]
+        + [pl.BlockSpec((1, _TJ), lambda j, i: (0, j)) for _ in range(2)]
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=(R // _TJ, P // _TI),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, _TJ), lambda j, i: (0, j))],
+        out_shape=[jax.ShapeDtypeStruct((1, R), jnp.float32)],
+        interpret=interpret,
+    )(tc[:, None], rc[:, None], dc[:, None], tr_q[None, :], rr_q[None, :])
+    return out[0]
+
+
+def rank_prefix_seg(tgt, rank, dmg, sort_y, *, margin, seg_win=None,
+                    interpret=False):
+    """Spatially-segmented :func:`rank_prefix` (no hp pickup — the gridless
+    path gets target hp from the occupant pass).  Two attackers interact
+    only when they share a target, and a target lies within the attack
+    reach of both — so ``margin`` = 2 * (max attack y-reach + max body).
+    Operands pre-sorted by y; result in sorted-row order (positional)."""
+    (A,) = tgt.shape
+    Ap = _ceil_to(A, SEG_ROWS)
+    pads = [(tgt, jnp.int32(2**30)), (rank, jnp.int32(0)),
+            (dmg, jnp.float32(0)), (sort_y, jnp.int32(2**20))]
+    Ap, (tgt_p, rank_p, dmg_p, y_s) = _pad_operands_to(A, Ap, pads)
+    S, P, start, overflow = _seg_plan(y_s, A, Ap, margin, seg_win)
+
+    def run_seg(_):
+        wins = _seg_gather((tgt_p, rank_p, dmg_p), start, P)
+        segs = [op.reshape(S, SEG_ROWS) for op in (tgt_p, rank_p)]
+
+        def one(seg_ops, win_ops):
+            return _rank_prefix_core(tuple(seg_ops), tuple(win_ops),
+                                     interpret=interpret)
+
+        out = jax.vmap(one)(segs, wins)
+        return out.reshape(Ap)[:A]
+
+    def run_full(_):
+        return rank_prefix_tpu(tgt, rank, dmg, interpret=interpret)
+
+    return jax.lax.cond(overflow, run_full, run_seg, operand=None)
 
 
 def rect_first_overlap(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body, gate,
