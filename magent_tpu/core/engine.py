@@ -162,16 +162,19 @@ def _use_seg(spec: speclib.GameSpec, A: int) -> bool:
     (OPT-IN: ``MAGENT_SEG=1``; bit-exact vs the grid path at A = 6k / 10k /
     20k / 100k on real TPU, scripts/test/diff_seg_chip.py).
 
-    Measured round-5 verdict: the segmented pairwise family does NOT beat
-    the incumbent paths at the protocol's densities, so it stays off by
-    default.  Below QUAD_MAX the plain quad sweeps win (1x10000: 3.81M
-    plain vs 1.47M segmented — sort/permute/window-gather index costs
-    outweigh the saved pair work); above it, the sort+grid path wins
-    (1x100000 forest: ~71 agents/row force ~4k-wide partner windows, so
-    A*window pair work plus ~25 ms/sweep of window gathers exceeds the
-    sort path's 29 ms whole-step).  The pairwise formulation is only
-    arithmetic-competitive when density*margin is small — a regime the
-    FPS protocol's maps never enter."""
+    Measured round-5 verdict (CLEAN numbers — the first measurements ran
+    the O(A^2) overflow fallback unconditionally because vmap lowers a
+    batched-predicate lax.cond to select_n; VecGridWorld now steps
+    unbatched at n_envs=1 so the cond is real): the segmented pairwise
+    family still does NOT beat the incumbents at the protocol's
+    densities, so it stays off by default.  Below QUAD_MAX the plain quad
+    sweeps win (bookkeeping overhead); above it the sort+grid path wins
+    by ~9% (1x100000 forest: seg 2.11M vs sort 2.30M — ~71 agents/row
+    force ~4k-wide partner windows and the rect sweeps run near half of
+    VPU peak already, so A*window arithmetic just exceeds the sort
+    path's).  The pairwise formulation only becomes competitive when
+    density*margin is small — a regime the FPS protocol's maps never
+    enter."""
     if os.environ.get("MAGENT_SEG", "0") != "1":
         return False
     return (ap.QUAD_MAX_AGENTS < A <= SEG_MAX_AGENTS
@@ -980,17 +983,17 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
     # has a y-segmented variant whose pair work is A*SEG_WIN, not A^2
     # (ops.attack_prefix.*_seg).  1x1 configs keep the QUAD_MAX bound —
     # their cell-equality kernels are not segmented.
-    seg_ok = (
-        spec.max_body_w > 1
-        and _use_seg(spec, A_cap)
-        and A_cap <= SEG_MAX_AGENTS
-    )
+    # the routing decisions are captured ONCE here: step() must not re-read
+    # env vars at trace time (a retrace after an env change would silently
+    # flip paths — e.g. gridless past QUAD_MAX with the seg branches off)
+    seg_ok = spec.max_body_w > 1 and _use_seg(spec, A_cap)
     gridless = (
         not maintain_grid
         and _gridless_capable(spec)
         and (_use_quad(A_cap) or seg_ok)
         and os.environ.get("MAGENT_GRIDLESS", "auto") != "0"
     )
+    use_seg_flag = gridless and _use_seg(spec, A_cap)
     wall_ctx = None
     if gridless and walls is not None:
         walls = np.asarray(walls, bool)
@@ -1025,7 +1028,7 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
         # one y-sort serves every segmented pair sweep this step (positions
         # only change in the move phase, which runs last)
         seg_ctx = None
-        if gridless and _use_seg(spec, spec.n_agents_cap):
+        if use_seg_flag:
             sort_y, order = jax.lax.sort(
                 (state.y.astype(jnp.int32),
                  jnp.arange(spec.n_agents_cap, dtype=jnp.int32)),

@@ -670,23 +670,26 @@ def rect_first_overlap_tpu(qx, qy, tbw, tbh, x, y, bw, bh, *, max_body,
 
 
 def _rect_overlap_core(q_ops, b_ops, *, max_body, gate, interpret):
-    """Rectangular slot-carrying pair sweep: rows = queries (last-dim R,
-    multiple of _TJ), cols = bodies (last-dim P, multiple of _TI).
+    """Segment-batched slot-carrying pair sweep: q_ops are [S, R] query
+    operands (R multiple of _TJ), b_ops are [S, P] partner-window operands
+    (P multiple of _TI); q_ops = (qx, qy, tbw, tbh, qslot), b_ops =
+    (x, y, bw, bh, bslot).
 
-    q_ops = (qx, qy, tbw, tbh, qslot); b_ops = (x, y, bw, bh, bslot).
     Slots are EXPLICIT operands (original slot ids), so callers may present
     queries/bodies in any order (e.g. sorted by y for the segmented sweep)
     and still get results identical to the slot-ordered sweep — the
     reduction key and the lower_only/exclude_self gates read the operand
-    slots, never positional iota.  Returns [R] best keys decoded to slots
-    (or _NONE).
+    slots, never positional iota.  The segment axis S is a LEADING GRID
+    DIMENSION of one pallas_call (vmap-of-pallas_call measured ~5x slower
+    per pair block: the batching rule breaks cross-program pipelining).
+    Returns [S, R] best keys decoded to slots (or _NONE).
     """
     from jax.experimental import pallas as pl
 
     MB = max_body
     qx, qy, tbw, tbh, qslot = q_ops
     x, y, bw, bh, bslot = b_ops
-    R = qx.shape[-1]
+    S, R = qx.shape
     P = x.shape[-1]
     assert R % _TJ == 0 and P % _TI == 0, (R, P)
     stride = _NONE // (MB * MB)
@@ -694,22 +697,22 @@ def _rect_overlap_core(q_ops, b_ops, *, max_body, gate, interpret):
 
     def kernel(x_ref, y_ref, bw_ref, bh_ref, bs_ref, qx_ref, qy_ref,
                tbw_ref, tbh_ref, qs_ref, out_ref):
-        i = pl.program_id(1)
+        i = pl.program_id(2)
 
         @pl.when(i == 0)
         def _init():
             out_ref[...] = jnp.full_like(out_ref, jnp.int32(none_key))
 
-        xc = x_ref[...]
-        yc = y_ref[...]
-        qxr = qx_ref[...]
-        qyr = qy_ref[...]
+        xc = x_ref[0]
+        yc = y_ref[0]
+        qxr = qx_ref[0]
+        qyr = qy_ref[0]
         ox = jnp.maximum(qxr, xc)
         oy = jnp.maximum(qyr, yc)
-        ex = jnp.minimum(qxr + tbw_ref[...], xc + bw_ref[...])
-        ey = jnp.minimum(qyr + tbh_ref[...], yc + bh_ref[...])
-        slot_col = bs_ref[...]
-        slot_row = qs_ref[...]
+        ex = jnp.minimum(qxr + tbw_ref[0], xc + bw_ref[0])
+        ey = jnp.minimum(qyr + tbh_ref[0], yc + bh_ref[0])
+        slot_col = bs_ref[0]
+        slot_row = qs_ref[0]
         ov = (ox < ex) & (oy < ey)
         if gate == "exclude_self":
             ov = ov & (slot_col != slot_row)
@@ -717,24 +720,24 @@ def _rect_overlap_core(q_ops, b_ops, *, max_body, gate, interpret):
             ov = ov & (slot_col < slot_row)
         k = (ox - qxr) * MB + (oy - qyr)
         key = k * stride + slot_col
-        out_ref[...] = jnp.minimum(
-            out_ref[...],
+        out_ref[0] = jnp.minimum(
+            out_ref[0],
             jnp.min(jnp.where(ov, key, none_key), axis=0, keepdims=True))
 
-    in_specs = (
-        [pl.BlockSpec((_TI, 1), lambda j, i: (i, 0)) for _ in range(5)]
-        + [pl.BlockSpec((1, _TJ), lambda j, i: (0, j)) for _ in range(5)]
-    )
+    col_spec = pl.BlockSpec((1, _TI, 1), lambda s, j, i: (s, i, 0))
+    row_spec = pl.BlockSpec((1, 1, _TJ), lambda s, j, i: (s, 0, j))
     (out,) = pl.pallas_call(
         kernel,
-        grid=(R // _TJ, P // _TI),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, _TJ), lambda j, i: (0, j))],
-        out_shape=[jax.ShapeDtypeStruct((1, R), jnp.int32)],
+        grid=(S, R // _TJ, P // _TI),
+        in_specs=[col_spec] * 5 + [row_spec] * 5,
+        out_specs=[pl.BlockSpec((1, 1, _TJ), lambda s, j, i: (s, 0, j))],
+        out_shape=[jax.ShapeDtypeStruct((S, 1, R), jnp.int32)],
         interpret=interpret,
-    )(x[:, None], y[:, None], bw[:, None], bh[:, None], bslot[:, None],
-      qx[None, :], qy[None, :], tbw[None, :], tbh[None, :], qslot[None, :])
-    best = out[0]
+    )(x[:, :, None], y[:, :, None], bw[:, :, None], bh[:, :, None],
+      bslot[:, :, None],
+      qx[:, None, :], qy[:, None, :], tbw[:, None, :], tbh[:, None, :],
+      qslot[:, None, :])
+    best = out[:, 0]
     slot = best % jnp.int32(stride)
     return jnp.where(best == none_key, _NONE, slot)
 
@@ -819,6 +822,10 @@ def rect_first_overlap_seg(qx, qy, tbw, tbh, x, y, bw, bh, sort_y, order,
     ``zeros.at[order].set(res)``.
     """
     (A,) = qx.shape
+    # the lexicographic key packs (first-overlap cell, ORIGINAL slot id):
+    # ids must fit under the cell stride or `best % stride` decodes garbage
+    # (the iota kernel asserts the same bound on its padded capacity)
+    assert A <= _NONE // (max_body * max_body), (A, max_body)
     Ap = _ceil_to(A, SEG_ROWS)
     pads = [(qx, jnp.int32(-2**20)), (qy, jnp.int32(-2**20)),
             (tbw, jnp.int32(0)), (tbh, jnp.int32(0)),
@@ -835,13 +842,9 @@ def rect_first_overlap_seg(qx, qy, tbw, tbh, x, y, bw, bh, sort_y, order,
     def run_seg(_):
         wins = _seg_gather(b_ops_p, start, P)
         segs = [op.reshape(S, SEG_ROWS) for op in q_ops_p]
-
-        def one(seg_ops, win_ops):
-            return _rect_overlap_core(tuple(seg_ops), tuple(win_ops),
-                                      max_body=max_body, gate=gate,
-                                      interpret=interpret)
-
-        out = jax.vmap(one)(segs, wins)  # [S, SEG_ROWS]
+        out = _rect_overlap_core(tuple(segs), tuple(wins),
+                                 max_body=max_body, gate=gate,
+                                 interpret=interpret)  # [S, SEG_ROWS]
         return out.reshape(Ap)[:A]
 
     def run_full(_):
@@ -853,55 +856,54 @@ def rect_first_overlap_seg(qx, qy, tbw, tbh, x, y, bw, bh, sort_y, order,
 
 
 def _occupant_rect_core(q_ops, b_ops, *, interpret):
-    """Rectangular occupant lookup: rows = query cells [R], cols = body
-    rects + hp + ORIGINAL slot ids [P].  Returns (tgt [R], hp_t [R])."""
+    """Segment-batched occupant lookup: q_ops [S, R] query cells, b_ops
+    [S, P] body rects + hp + ORIGINAL slot ids.  Returns (tgt [S, R],
+    hp_t [S, R]).  S rides the grid (see _rect_overlap_core)."""
     from jax.experimental import pallas as pl
 
     qx, qy = q_ops
     x, y, bw, bh, hp, bslot = b_ops
-    R = qx.shape[-1]
+    S, R = qx.shape
     P = x.shape[-1]
     assert R % _TJ == 0 and P % _TI == 0, (R, P)
 
     def kernel(x_ref, y_ref, bw_ref, bh_ref, h_ref, bs_ref, qx_ref, qy_ref,
                tgt_ref, hpt_ref):
-        i = pl.program_id(1)
+        i = pl.program_id(2)
 
         @pl.when(i == 0)
         def _init():
             tgt_ref[...] = jnp.full_like(tgt_ref, -1)
             hpt_ref[...] = jnp.zeros_like(hpt_ref)
 
-        xc = x_ref[...]
-        yc = y_ref[...]
-        qxr = qx_ref[...]
-        qyr = qy_ref[...]
+        xc = x_ref[0]
+        yc = y_ref[0]
+        qxr = qx_ref[0]
+        qyr = qy_ref[0]
         m = (
-            (qxr >= xc) & (qxr < xc + bw_ref[...])
-            & (qyr >= yc) & (qyr < yc + bh_ref[...])
+            (qxr >= xc) & (qxr < xc + bw_ref[0])
+            & (qyr >= yc) & (qyr < yc + bh_ref[0])
         )
-        tgt_ref[...] = jnp.maximum(
-            tgt_ref[...],
-            jnp.max(jnp.where(m, bs_ref[...], -1), axis=0, keepdims=True))
-        hpt_ref[...] += jnp.sum(jnp.where(m, h_ref[...], 0.0), axis=0,
-                                keepdims=True)
+        tgt_ref[0] = jnp.maximum(
+            tgt_ref[0],
+            jnp.max(jnp.where(m, bs_ref[0], -1), axis=0, keepdims=True))
+        hpt_ref[0] += jnp.sum(jnp.where(m, h_ref[0], 0.0), axis=0,
+                              keepdims=True)
 
-    in_specs = (
-        [pl.BlockSpec((_TI, 1), lambda j, i: (i, 0)) for _ in range(6)]
-        + [pl.BlockSpec((1, _TJ), lambda j, i: (0, j)) for _ in range(2)]
-    )
+    col_spec = pl.BlockSpec((1, _TI, 1), lambda s, j, i: (s, i, 0))
+    row_spec = pl.BlockSpec((1, 1, _TJ), lambda s, j, i: (s, 0, j))
     tgt, hp_t = pl.pallas_call(
         kernel,
-        grid=(R // _TJ, P // _TI),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, _TJ), lambda j, i: (0, j))
+        grid=(S, R // _TJ, P // _TI),
+        in_specs=[col_spec] * 6 + [row_spec] * 2,
+        out_specs=[pl.BlockSpec((1, 1, _TJ), lambda s, j, i: (s, 0, j))
                    for _ in range(2)],
-        out_shape=[jax.ShapeDtypeStruct((1, R), jnp.int32),
-                   jax.ShapeDtypeStruct((1, R), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((S, 1, R), jnp.int32),
+                   jax.ShapeDtypeStruct((S, 1, R), jnp.float32)],
         interpret=interpret,
-    )(x[:, None], y[:, None], bw[:, None], bh[:, None], hp[:, None],
-      bslot[:, None], qx[None, :], qy[None, :])
-    return tgt[0], hp_t[0]
+    )(x[:, :, None], y[:, :, None], bw[:, :, None], bh[:, :, None],
+      hp[:, :, None], bslot[:, :, None], qx[:, None, :], qy[:, None, :])
+    return tgt[:, 0], hp_t[:, 0]
 
 
 def occupant_rect_seg(qx, qy, x, y, bw, bh, hp, sort_y, order, *, margin,
@@ -923,12 +925,8 @@ def occupant_rect_seg(qx, qy, x, y, bw, bh, hp, sort_y, order, *, margin,
     def run_seg(_):
         wins = _seg_gather((x_p, y_p, bw_p, bh_p, hp_p, ord_p), start, P)
         segs = [op.reshape(S, SEG_ROWS) for op in (qx_p, qy_p)]
-
-        def one(seg_ops, win_ops):
-            return _occupant_rect_core(tuple(seg_ops), tuple(win_ops),
-                                       interpret=interpret)
-
-        tgt, hp_t = jax.vmap(one)(segs, wins)
+        tgt, hp_t = _occupant_rect_core(tuple(segs), tuple(wins),
+                                        interpret=interpret)
         return tgt.reshape(Ap)[:A], hp_t.reshape(Ap)[:A]
 
     def run_full(_):
@@ -939,42 +937,41 @@ def occupant_rect_seg(qx, qy, x, y, bw, bh, hp, sort_y, order, *, margin,
 
 
 def _rank_prefix_core(q_ops, b_ops, *, interpret):
-    """Rectangular rank-prefix: rows = attackers [R] (tgt, rank), cols =
-    partner attackers [P] (tgt, rank, dmg).  Positional — no slot ids
+    """Segment-batched rank-prefix: q_ops [S, R] attacker (tgt, rank),
+    b_ops [S, P] partner (tgt, rank, dmg).  Positional — no slot ids
     needed (rank keys already embed the slot tie-break, :func:`pack_rank`).
-    Returns P_sum [R]."""
+    Returns P_sum [S, R].  S rides the grid (see _rect_overlap_core)."""
     from jax.experimental import pallas as pl
 
     tr_q, rr_q = q_ops
     tc, rc, dc = b_ops
-    R = tr_q.shape[-1]
+    S, R = tr_q.shape
     P = tc.shape[-1]
     assert R % _TJ == 0 and P % _TI == 0, (R, P)
 
     def kernel(tc_ref, rc_ref, dc_ref, tr_ref, rr_ref, p_ref):
-        i = pl.program_id(1)
+        i = pl.program_id(2)
 
         @pl.when(i == 0)
         def _init():
             p_ref[...] = jnp.zeros_like(p_ref)
 
-        m = (tc_ref[...] == tr_ref[...]) & (rc_ref[...] < rr_ref[...])
-        p_ref[...] += jnp.sum(jnp.where(m, dc_ref[...], 0.0), axis=0,
-                              keepdims=True)
+        m = (tc_ref[0] == tr_ref[0]) & (rc_ref[0] < rr_ref[0])
+        p_ref[0] += jnp.sum(jnp.where(m, dc_ref[0], 0.0), axis=0,
+                            keepdims=True)
 
-    in_specs = (
-        [pl.BlockSpec((_TI, 1), lambda j, i: (i, 0)) for _ in range(3)]
-        + [pl.BlockSpec((1, _TJ), lambda j, i: (0, j)) for _ in range(2)]
-    )
+    col_spec = pl.BlockSpec((1, _TI, 1), lambda s, j, i: (s, i, 0))
+    row_spec = pl.BlockSpec((1, 1, _TJ), lambda s, j, i: (s, 0, j))
     (out,) = pl.pallas_call(
         kernel,
-        grid=(R // _TJ, P // _TI),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, _TJ), lambda j, i: (0, j))],
-        out_shape=[jax.ShapeDtypeStruct((1, R), jnp.float32)],
+        grid=(S, R // _TJ, P // _TI),
+        in_specs=[col_spec] * 3 + [row_spec] * 2,
+        out_specs=[pl.BlockSpec((1, 1, _TJ), lambda s, j, i: (s, 0, j))],
+        out_shape=[jax.ShapeDtypeStruct((S, 1, R), jnp.float32)],
         interpret=interpret,
-    )(tc[:, None], rc[:, None], dc[:, None], tr_q[None, :], rr_q[None, :])
-    return out[0]
+    )(tc[:, :, None], rc[:, :, None], dc[:, :, None],
+      tr_q[:, None, :], rr_q[:, None, :])
+    return out[:, 0]
 
 
 def rank_prefix_seg(tgt, rank, dmg, sort_y, *, margin, seg_win=None,
@@ -994,12 +991,8 @@ def rank_prefix_seg(tgt, rank, dmg, sort_y, *, margin, seg_win=None,
     def run_seg(_):
         wins = _seg_gather((tgt_p, rank_p, dmg_p), start, P)
         segs = [op.reshape(S, SEG_ROWS) for op in (tgt_p, rank_p)]
-
-        def one(seg_ops, win_ops):
-            return _rank_prefix_core(tuple(seg_ops), tuple(win_ops),
-                                     interpret=interpret)
-
-        out = jax.vmap(one)(segs, wins)
+        out = _rank_prefix_core(tuple(segs), tuple(wins),
+                                interpret=interpret)
         return out.reshape(Ap)[:A]
 
     def run_full(_):

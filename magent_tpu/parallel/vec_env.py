@@ -212,7 +212,17 @@ class VecGridWorld:
 
     def step(self, state, actions):
         """Advance every env one step.  ``actions`` is [B, A] over the full
-        slot axis (per-group action ids at each group's slot range)."""
+        slot axis (per-group action ids at each group's slot range).
+
+        n_envs == 1 steps UNBATCHED (squeeze -> step1 -> expand): under
+        vmap, JAX lowers a batched-predicate ``lax.cond`` to select_n that
+        executes BOTH branches — which would run the segmented sweeps'
+        full-A^2 overflow fallback unconditionally in the big-single-world
+        regime the segmentation targets."""
+        if self.n_envs == 1:
+            st = jax.tree.map(lambda a: a[0], state)
+            out = self._step1(st, actions[0])
+            return jax.tree.map(lambda a: a[None], out)
         return jax.vmap(self._step1)(state, actions)
 
     def transition(self, state, actions):

@@ -1,21 +1,24 @@
 """On-chip differential for the segmented pair sweeps: the gridless engine
-with MAGENT_SEG active must stay bit-exact with the grid-maintaining
-engine at A large enough that segmentation actually engages (>=4096; CPU
-tests can't reach this — supports_pallas gates the path)."""
+with MAGENT_SEG=1 (forced here) must stay bit-exact with the
+grid-maintaining engine.  Segmentation only engages for
+QUAD_MAX < A <= SEG_MAX on a rect config — at A <= QUAD_MAX this script
+instead diffs the plain quad gridless path (still a valid check, flagged
+in the output); CPU tests can't reach either (supports_pallas gates
+them)."""
 
 import math
 import os
 import sys
 
+os.environ["MAGENT_SEG"] = "1"  # opt the engine into the segmented sweeps
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
 
 from magent_tpu.parallel import VecGridWorld
 from test_1m import load_forest  # noqa: E402
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def build(n, seed=3):
@@ -56,6 +59,10 @@ def main():
     os.environ.pop("MAGENT_GRIDLESS")
     v_free = VecGridWorld(cfg, caps, n_envs=1, placements=placements,
                           walls=walls)
+    from magent_tpu.core import engine
+    seg_live = engine._use_seg(v_free.spec, v_free.spec.n_agents_cap)
+    print("segmented sweeps engaged:" , seg_live,
+          "(A=%d, quad max %d)" % (n, engine.ap.QUAD_MAX_AGENTS))
 
     s1 = v_grid.reset(jax.random.PRNGKey(0))
     s2 = jax.tree.map(lambda a: a, s1)
