@@ -140,10 +140,15 @@ def _wall_rect_code(spec: speclib.GameSpec, wall):
     return code, s_bit
 
 
-# past this capacity the segmented sweeps' block-grid overhead (the pair
-# grid visits (A/SEG_ROWS)*(A/_TI) blocks even when skipped... the grid is
-# (A/SEG_ROWS) segments x (SEG_WIN/_TI) blocks, linear in A — the real
-# bound is the searchsorted/permute bookkeeping and untested territory)
+# measured crossovers for the y-segmented pair sweeps on the forest
+# protocol (single world, walled; results/seg_crossover.log):
+#   A=10000: quad 3.80M > seg 3.64M      A=16384: seg 3.17M > sort 2.58M
+#   A=32768: seg 2.91M > sort 1.27M      A=65536: seg 2.35M > sort 1.99M
+#   A=100000: sort 2.30M > seg 2.11M
+# -> segmentation is the DEFAULT engine in (QUAD_MAX, SEG_DEFAULT_MAX];
+#    beyond that the sort+grid path wins (density widens the partner
+#    windows until A*window arithmetic exceeds the sort's O(A log A))
+SEG_DEFAULT_MAX = 65536
 SEG_MAX_AGENTS = 131072
 
 
@@ -162,23 +167,23 @@ def _use_seg(spec: speclib.GameSpec, A: int) -> bool:
     (OPT-IN: ``MAGENT_SEG=1``; bit-exact vs the grid path at A = 6k / 10k /
     20k / 100k on real TPU, scripts/test/diff_seg_chip.py).
 
-    Measured round-5 verdict (CLEAN numbers — the first measurements ran
-    the O(A^2) overflow fallback unconditionally because vmap lowers a
-    batched-predicate lax.cond to select_n; VecGridWorld now steps
-    unbatched at n_envs=1 so the cond is real): the segmented pairwise
-    family still does NOT beat the incumbents at the protocol's
-    densities, so it stays off by default.  Below QUAD_MAX the plain quad
-    sweeps win (bookkeeping overhead); above it the sort+grid path wins
-    by ~9% (1x100000 forest: seg 2.11M vs sort 2.30M — ~71 agents/row
-    force ~4k-wide partner windows and the rect sweeps run near half of
-    VPU peak already, so A*window arithmetic just exceeds the sort
-    path's).  The pairwise formulation only becomes competitive when
-    density*margin is small — a regime the FPS protocol's maps never
-    enter."""
-    if os.environ.get("MAGENT_SEG", "0") != "1":
+    Defaults follow the measured crossovers (table above SEG_DEFAULT_MAX;
+    clean numbers — the first measurements ran the O(A^2) overflow
+    fallback unconditionally because vmap lowers a batched-predicate
+    lax.cond to select_n, so VecGridWorld now steps unbatched at
+    n_envs=1): ON in (QUAD_MAX, SEG_DEFAULT_MAX], where segmentation
+    beats the sort+grid path by 1.2-2.3x; OFF elsewhere (below QUAD_MAX
+    the plain quad sweeps win on bookkeeping; at 1e5+ density widens the
+    partner windows until the near-half-VPU-peak sweeps lose to the
+    sort's O(A log A)).  MAGENT_SEG=0 disables, =1 extends to
+    SEG_MAX_AGENTS, =force engages from A=4096 (crossover experiments)."""
+    mode = os.environ.get("MAGENT_SEG", "auto")
+    if mode == "0":
         return False
-    return (ap.QUAD_MAX_AGENTS < A <= SEG_MAX_AGENTS
-            and ap.supports_pallas())
+    if mode == "force":  # crossover experiments: engage below QUAD_MAX too
+        return 4096 <= A <= SEG_MAX_AGENTS and ap.supports_pallas()
+    hi = SEG_MAX_AGENTS if mode == "1" else SEG_DEFAULT_MAX
+    return ap.QUAD_MAX_AGENTS < A <= hi and ap.supports_pallas()
 
 
 def _gridless_capable(spec: speclib.GameSpec) -> bool:
