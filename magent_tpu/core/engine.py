@@ -98,12 +98,16 @@ def _row_lookup(table_2d, idx, count):
     return out
 
 
-def _use_quad(A: int) -> bool:
+def _use_quad(A: int, n_envs: int = 1) -> bool:
     """Route conflict resolution to the O(A^2) pairwise kernels?  The XLA
-    fallback materializes [A, A], so cap it harder off-TPU."""
+    fallback materializes [A, A], so cap it harder off-TPU.  Batch-aware
+    (see ap.QUAD_MAX_AGENTS): single worlds extend to QUAD_MAX_SINGLE,
+    batched configs keep the tighter measured bound (64x15625 on quad was
+    catastrophic while 1x16384 ties the sort path)."""
     path = os.environ.get("MAGENT_ATTACK_PATH", "auto")
     if path == "auto":
-        return A <= ap.QUAD_MAX_AGENTS and (ap.supports_pallas() or A <= 1024)
+        cap = ap.QUAD_MAX_SINGLE if n_envs == 1 else ap.QUAD_MAX_AGENTS
+        return A <= cap and (ap.supports_pallas() or A <= 1024)
     return path == "quad"
 
 
@@ -162,7 +166,7 @@ def _seg_win_hint(spec: speclib.GameSpec, A: int, margin: int) -> int:
     return ap.SEG_ROWS + 6 * margin * per_row + 512
 
 
-def _use_seg(spec: speclib.GameSpec, A: int) -> bool:
+def _use_seg(spec: speclib.GameSpec, A: int, n_envs: int = 1) -> bool:
     """Route big-single-world pair sweeps to the y-segmented kernels
     (OPT-IN: ``MAGENT_SEG=1``; bit-exact vs the grid path at A = 6k / 10k /
     20k / 100k on real TPU, scripts/test/diff_seg_chip.py).
@@ -178,12 +182,18 @@ def _use_seg(spec: speclib.GameSpec, A: int) -> bool:
     sort's O(A log A)).  MAGENT_SEG=0 disables, =1 extends to
     SEG_MAX_AGENTS, =force engages from A=4096 (crossover experiments)."""
     mode = os.environ.get("MAGENT_SEG", "auto")
-    if mode == "0":
+    if mode == "0" or n_envs != 1:
+        # n_envs == 1 is a HARD requirement, not a tuning choice:
+        # VecGridWorld only steps unbatched there, and under vmap the
+        # overflow lax.cond lowers to select_n — BOTH branches execute,
+        # including the full A^2 fallback
         return False
     if mode == "force":  # crossover experiments: engage below QUAD_MAX too
         return 4096 <= A <= SEG_MAX_AGENTS and ap.supports_pallas()
     hi = SEG_MAX_AGENTS if mode == "1" else SEG_DEFAULT_MAX
-    return ap.QUAD_MAX_AGENTS < A <= hi and ap.supports_pallas()
+    # inclusive at QUAD_MAX_SINGLE: both gates are true there and seg takes
+    # precedence in make_step — measured seg 3.17M vs quad 2.59M at 16384
+    return ap.QUAD_MAX_SINGLE <= A <= hi and ap.supports_pallas()
 
 
 def _gridless_capable(spec: speclib.GameSpec) -> bool:
@@ -200,7 +210,7 @@ def _gridless_capable(spec: speclib.GameSpec) -> bool:
     )
 
 def _attack_phase(spec: speclib.GameSpec, state: State, rank,
-                  gridless: bool = False, seg_ctx=None):
+                  gridless: bool = False, seg_ctx=None, n_envs: int = 1):
     """Resolve all attack actions (reference: GridWorld.cc:470-517,
     Map.cc:209-310).
 
@@ -324,7 +334,7 @@ def _attack_phase(spec: speclib.GameSpec, state: State, rank,
 
     # seg implies the pairwise formulation stays viable past QUAD_MAX
     # (rank_prefix runs its segmented variant)
-    use_quad = _use_quad(A) or seg
+    use_quad = _use_quad(A, n_envs) or seg
 
     if use_quad:
         # ---- order-aware damage via the pairwise prefix kernel: every
@@ -687,7 +697,7 @@ def _move_phase_gridless_rect(spec, state, is_move, in_bounds, nx, ny,
 
 
 def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False,
-                wall_ctx=None, seg_ctx=None):
+                wall_ctx=None, seg_ctx=None, n_envs: int = 1):
     """Resolve all move actions (reference: GridWorld.cc:573-613,
     Map::do_move Map.cc:313-358).
 
@@ -772,7 +782,7 @@ def _move_phase(spec: speclib.GameSpec, state: State, gridless: bool = False,
             collide_obj = jnp.where(hit, e, collide_obj)
 
     # cell claims: winner = lowest slot (reference buffer order = slot order)
-    if MB == 1 and _use_quad(A):
+    if MB == 1 and _use_quad(A, n_envs):
         # pairwise claims kernel: count-of-lower-slot-contenders + head slot
         # per mover, replacing the (cell, slot) sort + segment-head scan +
         # packed scatter-back
@@ -961,7 +971,7 @@ def _turn_phase(spec: speclib.GameSpec, state: State):
 
 
 def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
-              walls=None):
+              walls=None, n_envs: int = 1):
     """Build the jittable full-step function for a spec.
 
     ``maintain_grid=False`` (vectorized lockstep path): when the config is
@@ -991,14 +1001,14 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
     # the routing decisions are captured ONCE here: step() must not re-read
     # env vars at trace time (a retrace after an env change would silently
     # flip paths — e.g. gridless past QUAD_MAX with the seg branches off)
-    seg_ok = spec.max_body_w > 1 and _use_seg(spec, A_cap)
+    seg_ok = spec.max_body_w > 1 and _use_seg(spec, A_cap, n_envs)
     gridless = (
         not maintain_grid
         and _gridless_capable(spec)
-        and (_use_quad(A_cap) or seg_ok)
+        and (_use_quad(A_cap, n_envs) or seg_ok)
         and os.environ.get("MAGENT_GRIDLESS", "auto") != "0"
     )
-    use_seg_flag = gridless and _use_seg(spec, A_cap)
+    use_seg_flag = gridless and _use_seg(spec, A_cap, n_envs)
     wall_ctx = None
     if gridless and walls is not None:
         walls = np.asarray(walls, bool)
@@ -1041,7 +1051,7 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
             seg_ctx = (sort_y, order)
         with jax.named_scope("attack"):
             state = _attack_phase(spec, state, rank, gridless=gridless,
-                                  seg_ctx=seg_ctx)
+                                  seg_ctx=seg_ctx, n_envs=n_envs)
         with jax.named_scope("starve"):
             state = _starve_phase(spec, state, gridless=gridless)
         if spec.turn_mode:
@@ -1049,7 +1059,8 @@ def make_step(spec: speclib.GameSpec, *, maintain_grid: bool = True,
                 state = _turn_phase(spec, state)
         with jax.named_scope("move"):
             state = _move_phase(spec, state, gridless=gridless,
-                                wall_ctx=wall_ctx, seg_ctx=seg_ctx)
+                                wall_ctx=wall_ctx, seg_ctx=seg_ctx,
+                                n_envs=n_envs)
 
         # reward rules (reference: GridWorld::calc_reward, GridWorld.cc:681-692)
         next_reward, group_reward, terminal = state.next_reward, state.group_reward, False

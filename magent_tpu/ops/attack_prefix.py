@@ -40,10 +40,16 @@ import jax.numpy as jnp
 from .window_gather import supports_pallas  # noqa: F401  (re-export)
 
 # above this capacity the O(A^2) pair count loses to the O(A log^2 A) sort.
-# Crossover re-measured round 5 on the forest sweep (single world, walled):
-# at A=10000 the quad path reads 3.80M vs the sort path's 2.71M agent-
-# steps/s; at A=16384 they tie (2.59 vs 2.58M) — results/r05_batch3.log
-QUAD_MAX_AGENTS = 16384
+# The crossover is BATCH-DEPENDENT: per agent-step the quad path costs O(A)
+# pair work at any batch, while the sort path's fixed per-step costs
+# amortize away as B*A grows — so big batches favor the sort earlier.
+# Measured round 5 (walled forest): single world A=10000 quad 3.80M vs
+# sort 2.71M, tie at A=16384 (results/r05_batch3.log) -> QUAD_MAX_SINGLE;
+# but 64 envs x 15625 is catastrophic on quad (the sort path reads 5.67M)
+# while 512 x 1953 and 16 x 6250 are quad's best points -> the batched
+# bound stays at the round-2 measured 8192.
+QUAD_MAX_AGENTS = 8192
+QUAD_MAX_SINGLE = 16384
 
 _TI = 512  # i-chunk (sublane axis, multiple of 8)
 _TJ = 1024  # j-tile (lane axis, multiple of 128)

@@ -185,7 +185,7 @@ class VecGridWorld:
         wall_map = (_wall_map(self.spec, walls)
                     if walls is not None and len(walls) else None)
         self._step1 = engine.make_step(self.spec, maintain_grid=False,
-                                       walls=wall_map)
+                                       walls=wall_map, n_envs=n_envs)
         # obs_dtype=jnp.bfloat16 halves window HBM traffic (see
         # observe.make_observe); None keeps the f32 parity default
         obs_kw = {} if obs_dtype is None else {"obs_dtype": obs_dtype}
